@@ -1,0 +1,88 @@
+"""Python API over the native xbc block codec (our libbsc equivalent).
+
+Reference analog: BSC_compress / BSC_decompress / BSC_str_array_compress /
+BSC_str_array_decompress (src/libbsc/bsc.h:56-68). We expose:
+  compress(bytes) / decompress(bytes)          — general byte blobs
+  compress_str_array / decompress_str_array    — string arrays with lengths
+All heavy lifting (BWT + range coding, OpenMP over 32 MB blocks) is native.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from . import native
+
+DEFAULT_BLOCK = 32 << 20
+
+
+def _threads(num_threads: int) -> int:
+    return num_threads if num_threads > 0 else (os.cpu_count() or 8)
+
+
+def compress(data: bytes, block_size: int = DEFAULT_BLOCK,
+             num_threads: int = 0) -> bytes:
+    lib = native.load()
+    n = len(data)
+    cap = lib.stpu_xbc_bound(n, block_size)
+    dst = ctypes.create_string_buffer(cap)
+    src = (ctypes.c_uint8 * n).from_buffer_copy(data) if n else (ctypes.c_uint8 * 1)()
+    got = lib.stpu_xbc_compress(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), n,
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap,
+        block_size, _threads(num_threads))
+    if got < 0:
+        raise RuntimeError(f"xbc_compress failed ({got})")
+    return dst.raw[:got]
+
+
+def decompress(data: bytes, num_threads: int = 0) -> bytes:
+    lib = native.load()
+    n = len(data)
+    src = (ctypes.c_uint8 * n).from_buffer_copy(data) if n else (ctypes.c_uint8 * 1)()
+    srcp = ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8))
+    raw = lib.stpu_xbc_decompressed_size(srcp, n)
+    if raw < 0:
+        raise RuntimeError("corrupt xbc stream")
+    dst = ctypes.create_string_buffer(max(int(raw), 1))
+    got = lib.stpu_xbc_decompress(srcp, n,
+                                  ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)),
+                                  raw, _threads(num_threads))
+    if got != raw:
+        raise RuntimeError(f"xbc_decompress failed ({got})")
+    return dst.raw[:raw]
+
+
+def compress_str_array(strings: list[bytes], **kw) -> bytes:
+    """Compress a list of byte strings (reference: BSC_str_array_compress,
+    which joins with newlines; we store explicit lengths so strings may
+    contain any byte)."""
+    lens = np.fromiter((len(s) for s in strings), dtype=np.uint32,
+                       count=len(strings))
+    blob = b"".join(strings)
+    header = np.uint64(len(strings)).tobytes() + lens.tobytes()
+    return compress(header + blob, **kw)
+
+
+def decompress_str_array(data: bytes, **kw) -> list[bytes]:
+    raw = decompress(data, **kw)
+    count = int(np.frombuffer(raw[:8], dtype=np.uint64)[0])
+    lens = np.frombuffer(raw[8:8 + 4 * count], dtype=np.uint32)
+    out = []
+    off = 8 + 4 * count
+    for l in lens:
+        out.append(raw[off:off + int(l)])
+        off += int(l)
+    return out
+
+
+def compress_array(arr: np.ndarray, **kw) -> bytes:
+    """Compress a numpy array's raw bytes (dtype/shape must be known to the
+    caller at decode time)."""
+    return compress(np.ascontiguousarray(arr).tobytes(), **kw)
+
+
+def decompress_array(data: bytes, dtype, **kw) -> np.ndarray:
+    return np.frombuffer(decompress(data, **kw), dtype=dtype)

@@ -1,0 +1,58 @@
+"""Python API over the native tokenized read-ID codec.
+
+Reference analog: compress_id_block / decompress_id_block wrappers
+(src/util.cpp:113-141) over src/id_compression.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from . import native
+
+
+def compress_ids(ids: list[bytes]) -> bytes:
+    lib = native.load()
+    blob = b"".join(ids)
+    lens = np.fromiter((len(s) for s in ids), dtype=np.uint32, count=len(ids))
+    n = len(blob)
+    src = (ctypes.c_uint8 * max(n, 1)).from_buffer_copy(blob or b"\0")
+    lens_c = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    cap = n + 16 * len(ids) + 1024
+    dst = ctypes.create_string_buffer(cap)
+    got = lib.stpu_id_compress(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), lens_c, len(ids),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap)
+    if got < 0:
+        raise RuntimeError(f"id_compress failed ({got})")
+    return dst.raw[:got]
+
+
+def decompress_ids(data: bytes, expected_count: int,
+                   expected_bytes_hint: int = 0) -> list[bytes]:
+    lib = native.load()
+    n = len(data)
+    src = (ctypes.c_uint8 * max(n, 1)).from_buffer_copy(data or b"\0")
+    srcp = ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8))
+    cap = max(expected_bytes_hint, 256 * max(expected_count, 1))
+    while True:
+        dst = ctypes.create_string_buffer(cap)
+        lens = np.zeros(max(expected_count, 1), dtype=np.uint32)
+        count = ctypes.c_uint32(0)
+        got = lib.stpu_id_decompress(
+            srcp, n, ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(lens), ctypes.byref(count))
+        if got == -2:
+            cap *= 4
+            continue
+        if got < 0:
+            raise RuntimeError(f"id_decompress failed ({got})")
+        raw = dst.raw[:got]
+        out = []
+        off = 0
+        for l in lens[: count.value]:
+            out.append(raw[off:off + int(l)])
+            off += int(l)
+        return out

@@ -1,0 +1,73 @@
+"""ctypes loader (with on-demand build) for libspringtpu.so.
+
+The native library holds the sequential/byte-oriented codecs that the
+reference implements in C++ (libbsc, id_compression): our xbc block codec
+(SA-IS BWT + MTF/RLE0 + adaptive range coder) and the tokenized id codec.
+Built with `make` on first use; rebuilt when sources are newer than the .so.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_SO = os.path.join(_CSRC, "libspringtpu.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    for f in os.listdir(_CSRC):
+        if f.endswith((".cpp", ".h", "Makefile")):
+            if os.path.getmtime(os.path.join(_CSRC, f)) > so_mtime:
+                return True
+    return False
+
+
+def _build() -> None:
+    subprocess.run(["make", "-s", "-C", _CSRC], check=True,
+                   capture_output=True, text=True)
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _needs_build():
+            _build()
+        lib = ctypes.CDLL(_SO)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.stpu_xbc_bound.restype = ctypes.c_int64
+        lib.stpu_xbc_bound.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.stpu_xbc_compress.restype = ctypes.c_int64
+        lib.stpu_xbc_compress.argtypes = [c_u8p, ctypes.c_int64, c_u8p,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_int]
+        lib.stpu_xbc_decompressed_size.restype = ctypes.c_int64
+        lib.stpu_xbc_decompressed_size.argtypes = [c_u8p, ctypes.c_int64]
+        lib.stpu_xbc_decompress.restype = ctypes.c_int64
+        lib.stpu_xbc_decompress.argtypes = [c_u8p, ctypes.c_int64, c_u8p,
+                                            ctypes.c_int64, ctypes.c_int]
+        lib.stpu_id_compress.restype = ctypes.c_int64
+        lib.stpu_id_compress.argtypes = [c_u8p, c_u32p, ctypes.c_uint32,
+                                         c_u8p, ctypes.c_int64]
+        lib.stpu_id_decompress.restype = ctypes.c_int64
+        lib.stpu_id_decompress.argtypes = [c_u8p, ctypes.c_int64, c_u8p,
+                                           ctypes.c_int64, c_u32p,
+                                           ctypes.c_int64, c_u32p]
+        _lib = lib
+        return _lib
+
+
+def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_uint8):
+    return ctypes.cast(ctypes.c_char_p(bytes(buf)) if isinstance(buf, memoryview)
+                       else buf, ctypes.POINTER(ctypes.c_uint8))

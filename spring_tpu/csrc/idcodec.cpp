@@ -1,0 +1,271 @@
+// Tokenized read-identifier codec.
+//
+// Reference analog: src/id_compression/ (samcomp-derived): each id is
+// tokenized and coded against the previous id's tokens with token types
+// ALPHA/DIGIT/CHAR/MATCH/ZEROS/DELTA/END (src/id_compression/include/
+// sam_block.h:81-89) through an adaptive arithmetic coder. This is a
+// from-scratch equivalent on the shared binary range coder: ids are split
+// into alternating digit / non-digit runs, each token coded as MATCH /
+// DELTA(+k vs previous numeric token) / literal, with per-token-index
+// adaptive models. Typical Illumina ids (fixed prefix + incrementing
+// counter) cost well under a bit per id.
+//
+// Wire format: u32 count, rc stream.
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "rangecoder.h"
+
+namespace stpu {
+
+namespace {
+
+constexpr int kMaxTokCtx = 16;
+
+enum TokType { T_END = 0, T_MATCH = 1, T_DELTA = 2, T_LIT_DIGIT = 3, T_LIT_OTHER = 4 };
+
+struct Token {
+  bool is_digit;
+  const uint8_t* p;
+  uint32_t len;
+  uint64_t value;     // parsed numeric value (digit tokens with len<=18)
+  bool has_value;
+};
+
+void tokenize(const uint8_t* s, uint32_t n, std::vector<Token>& toks) {
+  toks.clear();
+  uint32_t i = 0;
+  while (i < n) {
+    bool d = s[i] >= '0' && s[i] <= '9';
+    uint32_t j = i;
+    while (j < n && ((s[j] >= '0' && s[j] <= '9') == d)) ++j;
+    Token t{d, s + i, j - i, 0, false};
+    if (d && t.len <= 18) {
+      uint64_t v = 0;
+      for (uint32_t k = i; k < j; ++k) v = v * 10 + (s[k] - '0');
+      t.value = v;
+      t.has_value = true;
+    }
+    toks.push_back(t);
+    i = j;
+  }
+}
+
+// format check: does `value` render back to exactly the token's bytes given
+// the previous token's width (to preserve zero padding)?
+bool delta_representable(const Token& prev, const Token& cur, uint64_t* delta) {
+  if (!prev.has_value || !cur.has_value) return false;
+  if (cur.value < prev.value) return false;
+  uint64_t d = cur.value - prev.value;
+  if (d > 65535) return false;
+  // exact re-rendering: same length means same zero padding; different
+  // length only allowed when cur has no leading zero (natural growth)
+  if (cur.len == prev.len) {
+    *delta = d;
+    return true;
+  }
+  if (cur.len > prev.len && cur.p[0] != '0' && prev.p[0] != '0') {
+    *delta = d;
+    return true;
+  }
+  return false;
+}
+
+// simple fixed-depth tree coders over a prob slab
+inline void tree_encode(RangeEncoder& rc, uint16_t* probs, int nbits, uint32_t sym) {
+  uint32_t node = 1;
+  for (int i = nbits - 1; i >= 0; --i) {
+    int bit = (sym >> i) & 1;
+    rc.encode_bit(&probs[node], bit);
+    node = (node << 1) | bit;
+  }
+}
+
+inline uint32_t tree_decode(RangeDecoder& rc, uint16_t* probs, int nbits) {
+  uint32_t node = 1;
+  for (int i = 0; i < nbits; ++i) node = (node << 1) | rc.decode_bit(&probs[node]);
+  return node - (1u << nbits);
+}
+
+struct Models {
+  // per token-index models
+  std::vector<uint16_t> type_p;   // 3-bit tree -> 8 nodes... use 8 slots
+  std::vector<uint16_t> len_p;    // 8-bit tree -> 256... use 512 slots
+  std::vector<uint16_t> chr_p;    // 8-bit tree per token index (literal chars)
+  std::vector<uint16_t> dig_p;    // 4-bit tree per digit position (literal digits)
+  std::vector<uint16_t> dlt_p;    // 17-bit... too big; use gamma coding probs
+  std::vector<uint16_t> dlt_unary, dlt_bits;
+  Models()
+      : type_p((size_t)kMaxTokCtx * 8, kProbInit),
+        len_p((size_t)kMaxTokCtx * 512, kProbInit),
+        chr_p((size_t)kMaxTokCtx * 512, kProbInit),
+        dig_p((size_t)kMaxTokCtx * 32, kProbInit),
+        dlt_unary((size_t)kMaxTokCtx * 20, kProbInit),
+        dlt_bits((size_t)kMaxTokCtx * 20, kProbInit) {}
+};
+
+inline int bit_len(uint64_t v) {
+  int k = 0;
+  while (v) {
+    ++k;
+    v >>= 1;
+  }
+  return k;
+}
+
+// gamma-code v (v >= 0): code v+1
+inline void gamma_encode(RangeEncoder& rc, uint16_t* unary, uint16_t* bits,
+                         int nctx, uint64_t v) {
+  uint64_t x = v + 1;
+  int k = bit_len(x);
+  for (int j = 0; j < k - 1; ++j) rc.encode_bit(&unary[j < nctx ? j : nctx - 1], 1);
+  rc.encode_bit(&unary[(k - 1) < nctx ? (k - 1) : nctx - 1], 0);
+  for (int j = k - 2; j >= 0; --j)
+    rc.encode_bit(&bits[j < nctx ? j : nctx - 1], (int)((x >> j) & 1));
+}
+
+inline uint64_t gamma_decode(RangeDecoder& rc, uint16_t* unary, uint16_t* bits,
+                             int nctx) {
+  int k = 1;
+  while (rc.decode_bit(&unary[(k - 1) < nctx ? (k - 1) : nctx - 1])) ++k;
+  uint64_t x = 1;
+  for (int j = k - 2; j >= 0; --j)
+    x = (x << 1) | (uint64_t)rc.decode_bit(&bits[j < nctx ? j : nctx - 1]);
+  return x - 1;
+}
+
+void encode_literal(RangeEncoder& rc, Models& m, int ti, const Token& t) {
+  // length via 8-bit tree (lengths >= 255 escape to gamma)
+  uint16_t* lp = &m.len_p[(size_t)ti * 512];
+  uint32_t l = t.len < 255 ? t.len : 255;
+  tree_encode(rc, lp, 8, l);
+  if (l == 255)
+    gamma_encode(rc, &m.dlt_unary[(size_t)ti * 20], &m.dlt_bits[(size_t)ti * 20],
+                 20, t.len - 255);
+  if (t.is_digit) {
+    uint16_t* dp = &m.dig_p[(size_t)ti * 32];
+    for (uint32_t i = 0; i < t.len; ++i) tree_encode(rc, dp, 4, t.p[i] - '0');
+  } else {
+    uint16_t* cp = &m.chr_p[(size_t)ti * 512];
+    for (uint32_t i = 0; i < t.len; ++i) tree_encode(rc, cp, 8, t.p[i]);
+  }
+}
+
+void decode_literal(RangeDecoder& rc, Models& m, int ti, bool is_digit,
+                    std::string& out) {
+  uint16_t* lp = &m.len_p[(size_t)ti * 512];
+  uint64_t len = tree_decode(rc, lp, 8);
+  if (len == 255)
+    len = 255 + gamma_decode(rc, &m.dlt_unary[(size_t)ti * 20],
+                             &m.dlt_bits[(size_t)ti * 20], 20);
+  if (is_digit) {
+    uint16_t* dp = &m.dig_p[(size_t)ti * 32];
+    for (uint64_t i = 0; i < len; ++i)
+      out.push_back((char)('0' + tree_decode(rc, dp, 4)));
+  } else {
+    uint16_t* cp = &m.chr_p[(size_t)ti * 512];
+    for (uint64_t i = 0; i < len; ++i) out.push_back((char)tree_decode(rc, cp, 8));
+  }
+}
+
+}  // namespace
+
+// ids: concatenated bytes; lens: per-id lengths; count ids.
+int64_t id_compress_block(const uint8_t* ids, const uint32_t* lens, uint32_t count,
+                          std::vector<uint8_t>& out) {
+  out.clear();
+  out.push_back((uint8_t)count);
+  out.push_back((uint8_t)(count >> 8));
+  out.push_back((uint8_t)(count >> 16));
+  out.push_back((uint8_t)(count >> 24));
+  Models m;
+  RangeEncoder rc(&out);
+  std::vector<Token> prev, cur;
+  const uint8_t* p = ids;
+  std::string prev_str;
+  for (uint32_t r = 0; r < count; ++r) {
+    uint32_t n = lens[r];
+    tokenize(p, n, cur);
+    for (size_t i = 0; i < cur.size(); ++i) {
+      int ti = (int)(i < kMaxTokCtx ? i : kMaxTokCtx - 1);
+      uint16_t* tp = &m.type_p[(size_t)ti * 8];
+      const Token& t = cur[i];
+      bool cmp = i < prev.size() && prev[i].is_digit == t.is_digit;
+      uint64_t delta = 0;
+      if (cmp && prev[i].len == t.len &&
+          std::memcmp(prev[i].p, t.p, t.len) == 0) {
+        tree_encode(rc, tp, 3, T_MATCH);
+      } else if (cmp && t.is_digit && delta_representable(prev[i], t, &delta)) {
+        tree_encode(rc, tp, 3, T_DELTA);
+        gamma_encode(rc, &m.dlt_unary[(size_t)ti * 20],
+                     &m.dlt_bits[(size_t)ti * 20], 20, delta);
+      } else {
+        tree_encode(rc, tp, 3, t.is_digit ? T_LIT_DIGIT : T_LIT_OTHER);
+        encode_literal(rc, m, ti, t);
+      }
+    }
+    int ti = (int)(cur.size() < kMaxTokCtx ? cur.size() : kMaxTokCtx - 1);
+    tree_encode(rc, &m.type_p[(size_t)ti * 8], 3, T_END);
+    prev_str.assign((const char*)p, n);
+    tokenize((const uint8_t*)prev_str.data(), n, prev);
+    p += n;
+  }
+  rc.flush();
+  return (int64_t)out.size();
+}
+
+// returns total bytes written to `out`; fills lens_out (must hold count_in).
+int64_t id_decompress_block(const uint8_t* src, int64_t src_len,
+                            std::vector<uint8_t>& out, std::vector<uint32_t>& lens) {
+  if (src_len < 4) return -1;
+  uint32_t count = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
+                   ((uint32_t)src[2] << 16) | ((uint32_t)src[3] << 24);
+  Models m;
+  RangeDecoder rc(src + 4, (size_t)(src_len - 4));
+  out.clear();
+  lens.clear();
+  std::string prev_str, cur_str;
+  std::vector<Token> prev;
+  for (uint32_t r = 0; r < count; ++r) {
+    cur_str.clear();
+    size_t i = 0;
+    for (;; ++i) {
+      int ti = (int)(i < kMaxTokCtx ? i : kMaxTokCtx - 1);
+      uint32_t tt = tree_decode(rc, &m.type_p[(size_t)ti * 8], 3);
+      if (tt == T_END) break;
+      if (tt == T_MATCH) {
+        if (i >= prev.size()) return -1;
+        cur_str.append((const char*)prev[i].p, prev[i].len);
+      } else if (tt == T_DELTA) {
+        if (i >= prev.size() || !prev[i].has_value) return -1;
+        uint64_t delta = gamma_decode(rc, &m.dlt_unary[(size_t)ti * 20],
+                                      &m.dlt_bits[(size_t)ti * 20], 20);
+        uint64_t v = prev[i].value + delta;
+        char buf[24];
+        int bl = 0;
+        uint64_t tv = v;
+        do {
+          buf[bl++] = (char)('0' + tv % 10);
+          tv /= 10;
+        } while (tv);
+        // zero-pad to previous width when the value fits in it
+        int width = bl > (int)prev[i].len ? bl : (int)prev[i].len;
+        for (int z = bl; z < width; ++z) cur_str.push_back('0');
+        for (int z = bl - 1; z >= 0; --z) cur_str.push_back(buf[z]);
+      } else if (tt == T_LIT_DIGIT || tt == T_LIT_OTHER) {
+        decode_literal(rc, m, ti, tt == T_LIT_DIGIT, cur_str);
+      } else {
+        return -1;
+      }
+    }
+    lens.push_back((uint32_t)cur_str.size());
+    out.insert(out.end(), cur_str.begin(), cur_str.end());
+    prev_str = cur_str;
+    tokenize((const uint8_t*)prev_str.data(), (uint32_t)prev_str.size(), prev);
+  }
+  return (int64_t)out.size();
+}
+
+}  // namespace stpu

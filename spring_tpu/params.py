@@ -1,0 +1,92 @@
+"""Tuning constants and runtime compression parameters.
+
+Reference analog: src/params.h:22-37 (compile-time constants) and the
+``compression_params`` struct at src/util.h:30-51. We keep the same knobs
+but as a versioned dataclass serialized to JSON in the archive manifest
+(the reference dumps a raw C struct, src/spring.cpp:217-221, which is
+ABI-fragile — deliberately not reproduced).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+FORMAT_MAGIC = "SPRING-TPU"
+FORMAT_VERSION = 1
+
+# --- short-read mode limits (reference src/params.h:22-24) ---
+MAX_READ_LEN = 511            # short mode limit; long mode is unlimited
+MAX_NUM_READS = 4294967290    # ~2^32
+
+# --- dictionary configuration (reference src/params.h:25-27 uses 2 dicts
+#     over windows around the read midpoint). We use 2 fixed-width hash
+#     windows; width in bases.
+NUM_DICTS = 2
+DICT_WIDTH = 32               # bases per dictionary key window (64 bits packed)
+
+# --- matching thresholds (reference src/params.h:30-33) ---
+THRESH_REORDER = 4            # max Hamming distance to join a contig
+THRESH_ENCODER = 24           # max Hamming distance in second-chance alignment
+MAX_SEARCH = 1000             # max candidates scanned per dictionary bin
+MAX_SHIFT_FRac = 0.5          # search shifts up to maxlen/2
+
+# --- blocking (reference src/params.h:35-36) ---
+NUM_READS_PER_BLOCK = 256000        # short mode block (random-access unit)
+NUM_READS_PER_BLOCK_LONG = 10000    # long mode block
+
+# --- entropy codec block size (reference src/params.h:37: 64 MB bsc blocks) ---
+CODEC_BLOCK_SIZE = 64 * 1024 * 1024
+
+# --- TPU batch geometry (no reference analog; ours) ---
+REORDER_BATCH = 4096          # parallel contig walkers per device
+DICT_PROBE_CANDIDATES = 16    # candidates gathered per dictionary probe
+
+QUALITY_MODES = ("lossless", "qvz", "ill_bin", "binary")
+
+
+@dataclasses.dataclass
+class CompressionParams:
+    """Runtime parameters stored in the archive manifest.
+
+    Mirrors reference compression_params (src/util.h:30-51): paired_end,
+    preserve_order, preserve_quality, preserve_id, long_flag, quality mode
+    and its parameters, num_reads, read length stats, block sizes.
+    """
+    paired_end: bool = False
+    preserve_order: bool = True
+    preserve_quality: bool = True
+    preserve_id: bool = True
+    long_mode: bool = False
+    fasta_input: bool = False
+    quality_mode: str = "lossless"       # one of QUALITY_MODES
+    qvz_ratio: float = 8.0
+    bin_thresholds: tuple = ()           # for binary thresholding mode
+    num_reads: int = 0
+    num_reads_clean: int = 0             # reads with only ACGT
+    max_readlen: int = 0
+    num_reads_per_block: int = NUM_READS_PER_BLOCK
+    num_reads_per_block_long: int = NUM_READS_PER_BLOCK_LONG
+    num_blocks: int = 0
+    paired_id_code: int = 0              # PE id pattern (0=none, 1..3)
+    paired_id_match: bool = False
+    version: int = FORMAT_VERSION
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["bin_thresholds"] = list(d["bin_thresholds"])
+        d["magic"] = FORMAT_MAGIC
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CompressionParams":
+        d = json.loads(s)
+        magic = d.pop("magic", None)
+        if magic != FORMAT_MAGIC:
+            raise ValueError(f"not a {FORMAT_MAGIC} archive (magic={magic!r})")
+        if d.get("version", 0) > FORMAT_VERSION:
+            raise ValueError(f"archive version {d['version']} is newer than "
+                             f"this library ({FORMAT_VERSION})")
+        d["bin_thresholds"] = tuple(d.get("bin_thresholds", ()))
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
