@@ -73,11 +73,10 @@ def read_blocks(path: str, block_size: int, fasta: bool = False) -> Iterator[Rea
             qual = f.readline()
             if not qual:
                 raise ValueError(f"{path}: truncated FASTQ record")
-            if idline[:1] != b"@":
-                raise ValueError(f"{path}: FASTQ id line must start with '@'")
-            if plus[:1] != b"+":
-                raise ValueError(f"{path}: FASTQ separator line must start with '+'")
-            block.ids.append(idline.rstrip(b"\r\n")[1:])
+            # Id lines are stored VERBATIM including the leading '@' (the
+            # reference does the same, src/util.cpp:38-49) — the CI fixture
+            # contains empty id lines and empty reads that must round-trip.
+            block.ids.append(idline.rstrip(b"\r\n"))
             block.seqs.append(seq.rstrip(b"\r\n"))
             block.quals.append(qual.rstrip(b"\r\n"))
             if len(block) == block_size:
@@ -88,27 +87,21 @@ def read_blocks(path: str, block_size: int, fasta: bool = False) -> Iterator[Rea
 
 
 def _read_fasta_blocks(f, block_size: int) -> Iterator[ReadBlock]:
+    # Strict 2-line records with verbatim header lines — the reference's
+    # FASTA mode (src/util.cpp:38-54 with fasta flag) reads exactly one
+    # header + one sequence line per record and does not interpret the
+    # header sigil (its own fixtures use '@' headers).
     block = ReadBlock()
-    cur_id: Optional[bytes] = None
-    cur_seq: list[bytes] = []
-
-    def flush():
-        nonlocal cur_id, cur_seq
-        if cur_id is not None:
-            block.ids.append(cur_id)
-            block.seqs.append(b"".join(cur_seq))
-        cur_id, cur_seq = None, []
-
-    for line in f:
-        if line.startswith(b">"):
-            flush()
-            if len(block) == block_size:
-                yield block
-                block = ReadBlock()
-            cur_id = line.rstrip(b"\r\n")[1:]
-        else:
-            cur_seq.append(line.rstrip(b"\r\n"))
-    flush()
+    while True:
+        idline = f.readline()
+        if not idline:
+            break
+        seq = f.readline()
+        block.ids.append(idline.rstrip(b"\r\n"))
+        block.seqs.append(seq.rstrip(b"\r\n"))
+        if len(block) == block_size:
+            yield block
+            block = ReadBlock()
     if len(block):
         yield block
 
@@ -142,12 +135,15 @@ class BlockWriter:
         for start in range(0, len(seqs), _GZ_CHUNK_RECORDS):
             end = min(start + _GZ_CHUNK_RECORDS, len(seqs))
             buf = bytearray()
-            if self.fasta:
+            if self.fasta or quals is None:
+                # FASTA, or quality discarded: 2-line records, like the
+                # reference writer with preserve_quality=false
+                # (src/util.cpp:62-68). Ids are verbatim lines.
                 for i in range(start, end):
-                    buf += b">" + ids[i] + b"\n" + seqs[i] + b"\n"
+                    buf += ids[i] + b"\n" + seqs[i] + b"\n"
             else:
                 for i in range(start, end):
-                    buf += (b"@" + ids[i] + b"\n" + seqs[i] + b"\n+\n"
+                    buf += (ids[i] + b"\n" + seqs[i] + b"\n+\n"
                             + quals[i] + b"\n")
             texts.append(bytes(buf))
         if self.gzipped:

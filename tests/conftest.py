@@ -1,0 +1,43 @@
+import os
+
+# Virtual 8-device CPU mesh for sharding tests; the real TPU is exercised by
+# bench.py / __graft_entry__.py, not by unit tests.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import pytest
+
+FIXTURES = pathlib.Path("/root/reference/util")
+
+
+@pytest.fixture
+def fq1() -> str:
+    return str(FIXTURES / "test_1.fastq")
+
+
+@pytest.fixture
+def fq2() -> str:
+    return str(FIXTURES / "test_2.fastq")
+
+
+@pytest.fixture
+def fa1() -> str:
+    return str(FIXTURES / "test_1.fasta")
+
+
+@pytest.fixture
+def fa2() -> str:
+    return str(FIXTURES / "test_2.fasta")
+
+
+@pytest.fixture
+def fq1_gz() -> str:
+    return str(FIXTURES / "test_1.fastq.gz")
+
+
+@pytest.fixture
+def fq2_gz() -> str:
+    return str(FIXTURES / "test_2.fastq.gz")

@@ -1,0 +1,149 @@
+"""End-to-end round-trip tests — the reference's test strategy
+(util/test_script.sh: 17 compress/decompress cycles verified byte-exact
+with cmp; reorder mode verified order-insensitively via sort|cmp).
+"""
+import gzip
+import pathlib
+import subprocess
+
+import pytest
+
+from spring_tpu import api, cli
+
+
+def _read(path):
+    p = pathlib.Path(path)
+    data = p.read_bytes()
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    return data
+
+
+def _norm(data: bytes) -> bytes:
+    return data if data.endswith(b"\n") or not data else data + b"\n"
+
+
+def assert_same(a, b):
+    assert _norm(_read(a)) == _norm(_read(b))
+
+
+def assert_same_multiset(a, b, fasta=False):
+    """Order-insensitive record multiset equality (reference
+    util/test_script.sh:79-92 uses sort|cmp)."""
+    def records(p):
+        lines = _read(p).decode().splitlines()
+        n = 2 if fasta else 4
+        return sorted(tuple(lines[i:i + n]) for i in range(0, len(lines), n))
+    assert records(a) == records(b)
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_se_long_lossless(fq1, tmp_path, reorder):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fastq"
+    opts = api.CompressOptions(long_mode=True, reorder=reorder, verbose=False)
+    api.compress([fq1], str(arc), opts)
+    api.decompress(str(arc), [str(out)], verbose=False)
+    assert_same(fq1, out)  # long mode always preserves order
+
+
+def test_pe_long_lossless(fq1, fq2, tmp_path):
+    arc = tmp_path / "a.spring"
+    o1, o2 = tmp_path / "o1.fastq", tmp_path / "o2.fastq"
+    api.compress([fq1, fq2], str(arc),
+                 api.CompressOptions(long_mode=True, verbose=False))
+    api.decompress(str(arc), [str(o1), str(o2)], verbose=False)
+    assert_same(fq1, o1)
+    assert_same(fq2, o2)
+
+
+def test_fasta_long(fa1, tmp_path):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fasta"
+    api.compress([fa1], str(arc),
+                 api.CompressOptions(long_mode=True, fasta_input=True,
+                                     verbose=False))
+    api.decompress(str(arc), [str(out)], verbose=False)
+    assert_same(fa1, out)
+
+
+def test_gz_input_and_output(fq1_gz, fq1, tmp_path):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fastq.gz"
+    api.compress([fq1_gz], str(arc),
+                 api.CompressOptions(long_mode=True, verbose=False))
+    api.decompress(str(arc), [str(out)], gzipped=True, verbose=False)
+    assert_same(fq1, out)
+
+
+def test_long_range_decompress(fq1, tmp_path):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fastq"
+    api.compress([fq1], str(arc),
+                 api.CompressOptions(long_mode=True, verbose=False))
+    api.decompress(str(arc), [str(out)], read_range=(9, 17), verbose=False)
+    lines = _read(fq1).splitlines()
+    want = b"\n".join(b"\n".join(lines[4 * i: 4 * i + 4]) for i in range(9, 17))
+    assert _norm(_read(out)) == _norm(want + b"\n")
+
+
+def test_no_quality_no_ids(fq1, tmp_path):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fastq"
+    api.compress([fq1], str(arc),
+                 api.CompressOptions(long_mode=True, preserve_quality=False,
+                                     preserve_id=False, verbose=False))
+    api.decompress(str(arc), [str(out)], verbose=False)
+    lines = _read(out).splitlines()
+    orig = _read(fq1).splitlines()
+    assert len(lines) == 2 * (len(orig) // 4)
+    assert lines[1::2] == orig[1::4]  # reads survive
+
+
+def test_thread_count_asymmetry(fq1, fq2, tmp_path):
+    # compress with 8 threads, decompress with 5 (reference
+    # util/test_script.sh:69-76)
+    arc = tmp_path / "a.spring"
+    o1, o2 = tmp_path / "o1.fastq", tmp_path / "o2.fastq"
+    api.compress([fq1, fq2], str(arc),
+                 api.CompressOptions(long_mode=True, num_threads=8,
+                                     verbose=False))
+    api.decompress(str(arc), [str(o1), str(o2)], num_threads=5, verbose=False)
+    assert_same(fq1, o1)
+    assert_same(fq2, o2)
+
+
+def test_cli_roundtrip(fq1, tmp_path):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fastq"
+    rc = cli.main(["-c", "-i", fq1, "-o", str(arc), "-l", "--quiet"])
+    assert rc == 0
+    rc = cli.main(["-d", "-i", str(arc), "-o", str(out), "--quiet"])
+    assert rc == 0
+    assert_same(fq1, out)
+
+
+def test_cli_range(fq1, tmp_path):
+    arc = tmp_path / "a.spring"
+    out = tmp_path / "out.fastq"
+    assert cli.main(["-c", "-i", fq1, "-o", str(arc), "-l", "--quiet"]) == 0
+    assert cli.main(["-d", "-i", str(arc), "-o", str(out),
+                     "--decompress-range", "1", "5", "--quiet"]) == 0
+    assert len(_read(out).splitlines()) == 20
+
+
+def test_cli_bad_input_errors(tmp_path):
+    assert cli.main(["-c", "-i", "/nonexistent.fastq",
+                     "-o", str(tmp_path / "x"), "-l", "--quiet"]) == 1
+
+
+def test_corrupt_archive_errors(fq1, tmp_path):
+    arc = tmp_path / "a.spring"
+    api.compress([fq1], str(arc),
+                 api.CompressOptions(long_mode=True, verbose=False))
+    data = bytearray(arc.read_bytes())
+    data[2048:2080] = b"\0" * 32  # stomp on stream data
+    (tmp_path / "bad.spring").write_bytes(bytes(data))
+    with pytest.raises(Exception):
+        api.decompress(str(tmp_path / "bad.spring"),
+                       [str(tmp_path / "out.fastq")], verbose=False)
