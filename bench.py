@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end FASTQ compression throughput (reads/s).
+
+Workload: a synthetic SRR554369-class dataset — 2 Mbp genome, 100 bp reads
+at ~20x coverage with 1% substitution noise, reverse-complemented strands,
+Illumina-like quality strings — run through the full short-read pipeline
+(parse -> pack -> batched reorder on the accelerator -> consensus/noise
+encode -> native xbc entropy coding), then round-trip verified.
+
+Baseline: CPU SPRING compresses SRR554369 (3.31M reads x 100 bp) in 22 s on
+8 threads ~= 150k reads/s (BASELINE.md). vs_baseline = our reads/s / 150k.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+N_READS = int(os.environ.get("BENCH_READS", 400_000))
+READ_LEN = 100
+GENOME = 2_000_000
+BASELINE_READS_PER_S = 150_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_dataset(path: str) -> None:
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, size=GENOME, dtype=np.int8)
+    starts = rng.integers(0, GENOME - READ_LEN, size=N_READS)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    # 1% substitution noise
+    nerr = int(0.01 * N_READS * READ_LEN)
+    er = rng.integers(0, N_READS, size=nerr)
+    ec = rng.integers(0, READ_LEN, size=nerr)
+    reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=nerr)) % 4
+    # half the reads on the reverse strand
+    rc = rng.random(N_READS) < 0.5
+    reads[rc] = 3 - reads[rc][:, ::-1]
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    chars = base[reads]
+    # Illumina-8-level-like quality values, position-correlated
+    qlevels = np.frombuffer(b"#,7<BFIJ", dtype=np.uint8)
+    qidx = np.clip(
+        rng.normal(6.0 - np.arange(READ_LEN) / 40.0, 1.2,
+                   size=(N_READS, READ_LEN)).astype(np.int32), 0, 7)
+    quals = qlevels[qidx]
+    nl = np.full((N_READS, 1), ord("\n"), np.uint8)
+    with open(path, "wb") as f:
+        block = 100_000
+        for s in range(0, N_READS, block):
+            e = min(s + block, N_READS)
+            ids = "".join(f"@SYN.{i + 1} {i + 1} length={READ_LEN}\n+\n"
+                          for i in range(s, e)).encode().split(b"+\n")
+            body = bytearray()
+            for k, i in enumerate(range(s, e)):
+                body += ids[k]
+                body += chars[i].tobytes() + b"\n+\n"
+                body += quals[i].tobytes() + b"\n"
+            f.write(bytes(body))
+
+
+def main() -> None:
+    from spring_tpu import api
+
+    tmp = tempfile.mkdtemp(prefix="spring_bench_")
+    fq = os.path.join(tmp, "bench.fastq")
+    arc = os.path.join(tmp, "bench.stpu")
+    out = os.path.join(tmp, "bench.out.fastq")
+    log(f"generating {N_READS} synthetic reads ...")
+    make_dataset(fq)
+    in_bytes = os.path.getsize(fq)
+    log(f"input {in_bytes / 1e6:.1f} MB; compressing ...")
+
+    # warm-up pass on a small prefix so XLA compiles outside the timed run
+    t0 = time.time()
+    opts = api.CompressOptions(num_threads=os.cpu_count() or 8, verbose=False)
+    api.compress([fq], arc, opts)
+    dt = time.time() - t0
+    arc_bytes = os.path.getsize(arc)
+    log(f"compressed in {dt:.2f}s -> {arc_bytes / 1e6:.2f} MB "
+        f"({arc_bytes * 8 / (N_READS * READ_LEN):.3f} bits/base overall)")
+
+    t1 = time.time()
+    api.decompress(arc, [out], verbose=False,
+                   num_threads=os.cpu_count() or 8)
+    log(f"decompressed in {time.time() - t1:.2f}s")
+    import filecmp
+    if not filecmp.cmp(fq, out, shallow=False):
+        log("ROUND TRIP FAILED")
+        print(json.dumps({"metric": "compress_reads_per_s", "value": 0.0,
+                          "unit": "reads/s", "vs_baseline": 0.0}))
+        sys.exit(1)
+
+    reads_per_s = N_READS / dt
+    print(json.dumps({
+        "metric": "compress_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Contig consensus construction and noise extraction (encoder heart).
+
+Reference analog: buildcontig — majority vote over the reads of a contig
+(src/encoder.cpp:32-74) — and writecontig which emits per-read pos / noise /
+noisepos streams against the consensus (src/encoder.cpp:76-109).
+
+Redesign: instead of walking each contig serially, all contigs are laid out
+in one concatenated coordinate space (which is also the final `seq` stream
+layout, src/encoder.cpp:111-156) and the consensus is one global scatter-add:
+   counts[global_pos, base] += 1  for every base of every read
+followed by argmax. Noise is a dense compare of every read against its
+consensus window. Both are O(total_bases) vectorized passes (numpy host now;
+the arrays are laid out so the same code can move to jnp scatter/gather).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io import packing
+
+_CHUNK = 1 << 20  # reads per vectorized pass
+
+
+@dataclass
+class ContigLayout:
+    """Concatenated-contig coordinates for the aligned (non-singleton) reads."""
+    rids: np.ndarray       # (M,) int32 read ids, contig-major order
+    gpos: np.ndarray       # (M,) int64 read start in concatenated seq coords
+    rc: np.ndarray         # (M,) uint8
+    seq_len: int           # total concatenated consensus length
+
+
+def layout_contigs(contigs: list[dict], lengths: np.ndarray,
+                   min_reads: int = 2) -> tuple[ContigLayout, np.ndarray]:
+    """Assign global coordinates to every contig with >= min_reads reads.
+
+    Returns (layout, singleton_rids). Singleton contigs do not pay for a
+    consensus copy in `seq` — their reads go to the literal stream (the
+    reference instead gives them a second-chance alignment,
+    src/encoder.h:242-351 — planned addition).
+    """
+    rids_l, gpos_l, rc_l = [], [], []
+    singles = []
+    base = 0
+    for c in contigs:
+        if len(c["rids"]) < min_reads:
+            singles.extend(c["rids"].tolist())
+            continue
+        ext = c["pos"] + lengths[c["rids"]].astype(np.int64)
+        clen = int(ext.max())
+        rids_l.append(c["rids"])
+        gpos_l.append(c["pos"] + base)
+        rc_l.append(c["rc"])
+        base += clen
+    if rids_l:
+        layout = ContigLayout(np.concatenate(rids_l),
+                              np.concatenate(gpos_l),
+                              np.concatenate(rc_l), base)
+    else:
+        layout = ContigLayout(np.empty(0, np.int32), np.empty(0, np.int64),
+                              np.empty(0, np.uint8), 0)
+    return layout, np.array(singles, dtype=np.int32)
+
+
+def _oriented_codes(codes: np.ndarray, lengths: np.ndarray,
+                    rc: np.ndarray) -> np.ndarray:
+    out = codes.copy()
+    flip = rc.astype(bool)
+    if flip.any():
+        out[flip] = packing.revcomp_codes(codes[flip], lengths[flip])
+    return out
+
+
+def build_consensus(layout: ContigLayout, codes: np.ndarray,
+                    lengths: np.ndarray) -> np.ndarray:
+    """Majority-vote consensus over the concatenated contig space.
+
+    codes: (N, L) uint8 code rows for ALL reads (indexed by rid).
+    Returns (seq_len,) uint8 consensus codes.
+    """
+    L = codes.shape[1]
+    total = layout.seq_len
+    counts = np.zeros(total * 4, dtype=np.int32)
+    for s in range(0, len(layout.rids), _CHUNK):
+        e = min(s + _CHUNK, len(layout.rids))
+        rids = layout.rids[s:e]
+        rl = lengths[rids]
+        cur = _oriented_codes(codes[rids], rl, layout.rc[s:e])
+        pos = layout.gpos[s:e, None] + np.arange(L)[None, :]
+        valid = np.arange(L)[None, :] < rl[:, None]
+        idx = (pos * 4 + cur).astype(np.int64)[valid]
+        counts += np.bincount(idx, minlength=total * 4).astype(np.int32)
+    return np.argmax(counts.reshape(total, 4), axis=1).astype(np.uint8)
+
+
+def extract_noise(layout: ContigLayout, consensus: np.ndarray,
+                  codes: np.ndarray, lengths: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-read substitution noise against the consensus.
+
+    Returns (nnoise, noisepos, noisechar):
+      nnoise:    (M,) int32 mismatch count per aligned read
+      noisepos:  (K,) int32 mismatch positions within the (oriented) read,
+                 ascending per read, reads in layout order
+      noisechar: (K,) uint8 the read's base code at each mismatch
+    """
+    L = codes.shape[1]
+    nn_l, np_l, nc_l = [], [], []
+    for s in range(0, len(layout.rids), _CHUNK):
+        e = min(s + _CHUNK, len(layout.rids))
+        rids = layout.rids[s:e]
+        rl = lengths[rids]
+        cur = _oriented_codes(codes[rids], rl, layout.rc[s:e])
+        pos = layout.gpos[s:e, None] + np.arange(L)[None, :]
+        valid = np.arange(L)[None, :] < rl[:, None]
+        cons = consensus[np.clip(pos, 0, max(len(consensus) - 1, 0))]
+        mm = (cur != cons) & valid
+        nn_l.append(mm.sum(axis=1).astype(np.int32))
+        rows, cols = np.nonzero(mm)
+        np_l.append(cols.astype(np.int32))
+        nc_l.append(cur[rows, cols])
+    cat = lambda l, d: np.concatenate(l) if l else np.empty(0, d)
+    return cat(nn_l, np.int32), cat(np_l, np.int32), cat(nc_l, np.uint8)
+
+
+def reconstruct_reads(consensus: np.ndarray, gpos: np.ndarray,
+                      lengths: np.ndarray, rc: np.ndarray,
+                      nnoise: np.ndarray, noisepos: np.ndarray,
+                      noisechar: np.ndarray) -> np.ndarray:
+    """Inverse of build/extract: code rows (M, L) for aligned reads.
+
+    Decoder analog of the read reconstruction hot loop
+    (src/decompress.cpp:230-319): seq.substr(pos, len) + noise patch + RC.
+    """
+    M = len(gpos)
+    L = int(lengths.max()) if M else 0
+    pos = gpos[:, None] + np.arange(L)[None, :]
+    valid = np.arange(L)[None, :] < lengths[:, None]
+    out = np.zeros((M, L), dtype=np.uint8)
+    if M:
+        out = consensus[np.clip(pos, 0, max(len(consensus) - 1, 0))] * valid
+    # patch noise (positions are within the oriented read)
+    row = np.repeat(np.arange(M), nnoise)
+    out[row, noisepos] = noisechar
+    # un-orient: stored orientation is read-vs-consensus; reconstruct read
+    flip = rc.astype(bool)
+    if flip.any():
+        out[flip] = packing.revcomp_codes(out[flip], lengths[flip])
+    return out

@@ -1,0 +1,284 @@
+"""Multi-chip reorder round: shard_map over a device mesh.
+
+Reference analog: none — the reference is a single-process OpenMP tool
+(SURVEY.md §2.3). This module is the TPU-native scale-out design:
+
+  * walkers are data-parallel over the mesh axis ("dp"): each device owns
+    B/n contig walkers and their consensus windows;
+  * the sorted-key dictionaries are range-sharded over the same axis (the
+    tensor-parallel analog): device d holds the d-th contiguous slice of
+    each sorted key array, so every probe is answered by whichever device
+    owns that key range — a bin straddling two shards is simply answered
+    by both, and the per-walker min-reduction merges the answers;
+  * reads (packed) are replicated for candidate verification in this
+    version; sharding reads over HBM with an all_to_all candidate exchange
+    is the planned upgrade for beyond-HBM datasets.
+
+Collectives per round: one all_gather of the walker queries/frames (dp ->
+everyone), one all_gather of per-device best candidates (the merge), after
+which claim resolution, the claimed bitmap, and the seed queue are computed
+replicated — identically on every device, so no further communication is
+needed. This mirrors how the reference's lock-striped claims serialize
+cross-thread contention (src/reorder.h:440-475) without any locks.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+from ..ops import bits
+from ..reorder import dictionary as dct
+from ..reorder import engine as eng
+
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.6
+    shard_map = jax.shard_map
+except Exception:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), axis_names=("shard",))
+
+
+@dataclass
+class DistConfig:
+    max_readlen: int
+    num_walkers: int = 4096      # global walker count (divisible by mesh size)
+    candidates: int = 16
+    thresh: int = 4
+    max_shift: int = 0
+
+    def __post_init__(self):
+        if self.max_shift == 0:
+            self.max_shift = max(self.max_readlen // 2, 1)
+
+
+def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
+                     Np: int):
+    """Returns a jitted round over the mesh.
+
+    Arguments of the returned fn (sharding in brackets):
+      state: counts/ref_len/active/shift_base [shard], claimed/queue_pos
+             [replicated], emissions are returned per round
+      packed, lengths, seed_order, n_real, maxshift [replicated]
+      dkeys, drids: lists of per-dict sorted arrays [shard axis 0]
+    """
+    n = mesh.devices.size
+    C = cfg.candidates
+    D = len(starts)
+
+    def round_fn(state, packed, lengths, dkeys, drids, seed_order,
+                 n_real, maxshift):
+        counts = state["counts"]          # (Bl, Lb, 4) local
+        ref_len = state["ref_len"]
+        active = state["active"]
+        shift_base = state["shift_base"]
+        claimed = state["claimed"]        # (Np+1,) replicated
+        Bl = counts.shape[0]
+        B = Bl * n
+        me = jax.lax.axis_index("shard")
+
+        ref_sh, rev_sh, frames, s_tot = eng.walker_frames(
+            counts, ref_len, shift_base)
+        q, v = eng.walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts)
+
+        # dp -> everyone: all walkers' probes and frames
+        gath = lambda x: jax.lax.all_gather(x, "shard", axis=0, tiled=True)
+        q_all = gath(q)                    # (B, SC, D, 2)
+        v_all = gath(v)
+        frames_all = gath(frames)          # (B, SC, 2, W)
+        s_all = gath(s_tot)                # (B, SC)
+        rl_all = gath(ref_len)             # (B,)
+        act_all = gath(active)
+
+        # probe the local slice of each dictionary for all walkers
+        hits_r, hits_v = [], []
+        for di, st in enumerate(starts):
+            rids, hit = dct.probe(
+                dct.SortedDict(dkeys[di], drids[di], st),
+                q_all[:, :, di, :], C)
+            hits_r.append(rids)
+            hits_v.append(hit & v_all[:, :, di, :, None])
+        cand = jnp.stack(hits_r, axis=2)
+        cvalid = jnp.stack(hits_v, axis=2)
+        safe = jnp.clip(cand, 0, Np - 1)
+        cvalid &= ((cand >= 0) & ~claimed[safe]
+                   & act_all[:, None, None, None, None])
+
+        ok, t, pr, clen = eng.verify_candidates(
+            frames_all, s_all, rl_all, cand, cvalid, packed, lengths,
+            cfg.thresh)
+        matched_l, rid_l, t_l, rc_l, pr_l = eng.select_best(cand, pr, t, clen)
+
+        # merge per-device bests: min over devices by priority
+        best = jnp.stack([pr_l, rid_l, t_l, rc_l], axis=-1)   # (B, 4)
+        best_all = jax.lax.all_gather(best, "shard", axis=0)  # (n, B, 4)
+        dev_sel = jnp.argmin(best_all[..., 0], axis=0)        # (B,)
+        best_g = jnp.take_along_axis(
+            best_all, dev_sel[None, :, None], axis=0)[0]      # (B, 4)
+        pr_g, rid_g = best_g[:, 0], best_g[:, 1]
+        t_g, rc_g = best_g[:, 2], best_g[:, 3]
+        matched_g = pr_g != eng._BIG
+        matched_g = eng.resolve_conflicts(matched_g, rid_g)
+        rid_g = jnp.where(matched_g, rid_g, -1)
+
+        # local slice of the global decisions
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, me * Bl, Bl, axis=0)
+        matched = sl(matched_g)
+        rid_sel, t_sel, rc_sel = sl(rid_g), sl(t_g), sl(rc_g)
+
+        counts, ref_len = eng.apply_matches(
+            counts, ref_len, matched, rid_sel, t_sel, rc_sel,
+            packed, lengths)
+        claimed = claimed.at[jnp.where(matched_g, rid_g, Np)].set(True)
+        shift_base = jnp.where(matched, 0, shift_base)
+        missed = active & ~matched
+        shift_base = jnp.where(missed, shift_base + eng.SHIFT_CHUNK,
+                               shift_base)
+        active = active & ~(missed & (shift_base > maxshift))
+
+        # seeding: computed replicated over all B walkers, applied locally
+        act_all2 = gath(active)
+        inactive_g = ~act_all2
+        rank = jnp.cumsum(inactive_g) - 1
+        qidx = state["queue_pos"] + rank
+        in_range = inactive_g & (qidx < n_real)
+        seed_rid_g = seed_order[jnp.clip(qidx, 0, Np - 1)]
+        ok_seed_g = in_range & ~claimed[jnp.where(in_range, seed_rid_g, Np)]
+        claimed = claimed.at[jnp.where(ok_seed_g, seed_rid_g, Np)].set(True)
+        queue_pos = state["queue_pos"] + jnp.sum(in_range)
+
+        ok_seed = sl(ok_seed_g)
+        seed_rid = sl(seed_rid_g)
+        seed_cnt = eng.seed_counts_for(packed, lengths, seed_rid)
+        counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
+        ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
+        shift_base = jnp.where(ok_seed, 0, shift_base)
+        active = active | ok_seed
+
+        emit_rid = jnp.where(matched, rid_sel,
+                             jnp.where(ok_seed, seed_rid, -1))
+        emit = jnp.stack([emit_rid,
+                          jnp.where(matched, 1, 0).astype(jnp.int32),
+                          jnp.where(matched, t_sel, 0).astype(jnp.int32),
+                          jnp.where(matched, rc_sel, 0).astype(jnp.int32)],
+                         axis=-1)
+
+        new_state = dict(counts=counts, ref_len=ref_len, active=active,
+                         shift_base=shift_base, claimed=claimed,
+                         queue_pos=queue_pos)
+        return new_state, emit.astype(jnp.int32)
+
+    sh = Pspec("shard")
+    rep = Pspec()
+    state_spec = dict(counts=sh, ref_len=sh, active=sh, shift_base=sh,
+                      claimed=rep, queue_pos=rep)
+    mapped = shard_map(
+        round_fn, mesh=mesh,
+        in_specs=(state_spec, rep, rep, [sh] * D, [sh] * D, rep, rep, rep),
+        out_specs=(state_spec, sh),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+class DistReorderEngine:
+    """Multi-device counterpart of ReorderEngine (walkers dp, dicts tp)."""
+
+    def __init__(self, packed: np.ndarray, lengths: np.ndarray,
+                 cfg: DistConfig, mesh: Mesh | None = None):
+        self.mesh = mesh or make_mesh()
+        n = self.mesh.devices.size
+        self.cfg = cfg
+        self.N = packed.shape[0]
+        self.W = packed.shape[1]
+        self.Lb = self.W * bits.BASES_PER_WORD
+        self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64 * n)
+        self.B = int(min(cfg.num_walkers,
+                         max(8 * n, self.Np // 64)) // n * n)
+        self.windows = dct.default_windows(cfg.max_readlen)
+        from ..io.packing import unpack_codes
+        codes_np = unpack_codes(packed, cfg.max_readlen)
+        dicts = dct.build_dicts(codes_np, lengths, self.windows,
+                                pad_to_pow2=True)
+        # pad each dict to a multiple of n for even range-sharding
+        self.dict_starts = [d.start for d in dicts]
+        self.dkeys, self.drids = [], []
+        for d in dicts:
+            k = np.asarray(d.keys)
+            r = np.asarray(d.rids)
+            m = -len(k) % n
+            if m:
+                k = np.concatenate([k, np.full(m, 0xFFFFFFFF, np.uint32)])
+                r = np.concatenate([r, np.full(m, -1, np.int32)])
+            self.dkeys.append(k)
+            self.drids.append(r)
+        packed_p = np.zeros((self.Np, self.W), np.uint32)
+        packed_p[: self.N] = packed
+        lengths_p = np.zeros(self.Np, np.int32)
+        lengths_p[: self.N] = lengths
+        self.packed = packed_p
+        self.lengths = lengths_p
+        self._round = build_dist_round(self.mesh, cfg, self.dict_starts,
+                                       self.Np)
+
+    def init_state(self):
+        claimed = np.zeros(self.Np + 1, bool)
+        claimed[self.N:] = True
+        return dict(
+            counts=jnp.zeros((self.B, self.Lb, 4), jnp.int32),
+            ref_len=jnp.zeros((self.B,), jnp.int32),
+            active=jnp.zeros((self.B,), bool),
+            shift_base=jnp.zeros((self.B,), jnp.int32),
+            claimed=jnp.asarray(claimed),
+            queue_pos=jnp.zeros((), jnp.int32),
+        )
+
+    def seed_order(self):
+        stride = max(self.N // max(self.B, 1), 1)
+        idx = np.arange(self.N, dtype=np.int32)
+        so = (np.concatenate([idx[r::stride] for r in range(stride)])
+              if self.N else idx)
+        return np.concatenate(
+            [so, np.full(self.Np - len(so), self.Np - 1, np.int32)])
+
+    def run(self, max_rounds: int | None = None,
+            progress=None) -> np.ndarray:
+        """Full distributed reorder; returns emissions (R*B, 4)."""
+        state = self.init_state()
+        seed_order = jnp.asarray(self.seed_order())
+        packed = jnp.asarray(self.packed)
+        lengths = jnp.asarray(self.lengths)
+        dkeys = [jnp.asarray(k) for k in self.dkeys]
+        drids = [jnp.asarray(r) for r in self.drids]
+        n_real = jnp.asarray(self.N, jnp.int32)
+        maxshift = jnp.asarray(self.cfg.max_shift, jnp.int32)
+        chunks = []
+        rounds = 0
+        while True:
+            emits = []
+            for _ in range(eng.FLUSH_ROUNDS):
+                state, emit = self._round(state, packed, lengths, dkeys,
+                                          drids, seed_order, n_real, maxshift)
+                emits.append(emit)
+                rounds += 1
+            buf = np.stack([np.asarray(e) for e in emits])
+            chunks.append(buf.reshape(-1, 4))
+            queue_pos = int(state["queue_pos"])
+            any_active = bool(np.asarray(state["active"]).any())
+            emitted = bool((buf[..., 0] >= 0).any())
+            if progress is not None:
+                progress(queue_pos, self.N)
+            if queue_pos >= self.N and not any_active and not emitted:
+                break
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+        return np.concatenate(chunks, axis=0)

@@ -1,0 +1,105 @@
+"""QVZ-style rate-distortion quality quantization (lossy mode ``-q qvz``).
+
+Reference analog: the embedded QVZ library (src/qvz/) — per-column
+conditional PMFs (src/qvz/src/pmf.cpp), Lloyd-Max codebooks per
+(column, previous-symbol) context (generate_codebooks,
+src/qvz/src/codebook.cpp:421), used by Spring quantize-only, in place
+(src/qvz/src/qvz.cpp:22-60); entropy coding happens downstream in the
+block codec, exactly as Spring feeds QVZ output to BSC.
+
+TPU-first redesign (not a port): the reference trains one scalar quantizer
+per (column, previous symbol) pair with a WELL-RNG hi/lo dither. Here the
+whole training pass is dense linear algebra over a (columns, contexts,
+levels) histogram tensor:
+  * conditional histograms by vectorized bincount over all reads at once;
+  * Lloyd-Max iterations as cumulative-sum centroid updates (no loops over
+    reads, only over the 64-symbol alphabet);
+  * the level budget per column follows the reference's MODE_RATIO
+    semantics: target bits ~= column entropy / ratio.
+Quantization itself is a gather: q[i, col] = codebook[col, ctx, value].
+"""
+from __future__ import annotations
+
+import numpy as np
+
+QMIN, QMAX = 33, 104          # printable Phred range
+NSYM = QMAX - QMIN + 1
+NCTX = 8                      # previous-symbol context buckets
+LLOYD_ITERS = 12
+
+
+def _entropy(p: np.ndarray) -> np.ndarray:
+    nz = p > 0
+    h = np.zeros(p.shape[:-1])
+    h = -np.sum(np.where(nz, p * np.log2(np.maximum(p, 1e-30)), 0), axis=-1)
+    return h
+
+
+def _lloyd_max(hist: np.ndarray, k: int) -> np.ndarray:
+    """1-D Lloyd-Max on a histogram over NSYM symbols -> (NSYM,) mapping
+    symbol -> reconstruction symbol, with k levels."""
+    total = hist.sum()
+    if total == 0 or k >= NSYM:
+        return np.arange(NSYM)
+    # init boundaries at quantiles
+    cdf = np.cumsum(hist) / total
+    bounds = np.searchsorted(cdf, np.arange(1, k) / k)
+    sym = np.arange(NSYM)
+    for _ in range(LLOYD_ITERS):
+        level = np.searchsorted(bounds, sym, side="right")
+        # centroids per level
+        cent = np.zeros(k)
+        for l in range(k):
+            m = level == l
+            w = hist[m]
+            cent[l] = (np.sum(w * sym[m]) / w.sum()) if w.sum() else 0
+        nb = np.round((cent[:-1] + cent[1:]) / 2).astype(np.int64)
+        if np.array_equal(nb, bounds):
+            break
+        bounds = nb
+    level = np.searchsorted(bounds, sym, side="right")
+    cent = np.zeros(k)
+    for l in range(k):
+        m = level == l
+        w = hist[m]
+        cent[l] = np.round(np.sum(w * sym[m]) / w.sum()) if w.sum() else 0
+    return cent[level].astype(np.int64)
+
+
+def quantize_block(quals: list[bytes], ratio: float) -> list[bytes]:
+    """Quantize quality strings in place (returns new list).
+
+    Keeps read lengths; empty strings pass through.
+    """
+    if not quals:
+        return quals
+    L = max(len(q) for q in quals)
+    if L == 0:
+        return quals
+    n = len(quals)
+    # pad into a dense matrix; 255 = absent
+    mat = np.full((n, L), 255, np.uint8)
+    for i, q in enumerate(quals):
+        mat[i, : len(q)] = np.frombuffer(q, np.uint8)
+    valid = mat != 255
+    sym = np.where(valid, np.clip(mat.astype(np.int32) - QMIN, 0, NSYM - 1), 0)
+
+    # context: previous column's quantized value bucketed into NCTX
+    out = np.zeros_like(sym)
+    ctx = np.zeros(n, np.int32)
+    for col in range(L):
+        v = valid[:, col]
+        # conditional histogram per context
+        idx = ctx * NSYM + sym[:, col]
+        hist = np.bincount(idx[v], minlength=NCTX * NSYM).reshape(NCTX, NSYM)
+        p = hist / np.maximum(hist.sum(axis=1, keepdims=True), 1)
+        h = _entropy(p)                      # (NCTX,)
+        maps = np.empty((NCTX, NSYM), np.int64)
+        for c in range(NCTX):
+            k = int(np.clip(np.round(2 ** (h[c] / max(ratio, 1.0) * 1.0)),
+                            1, NSYM))
+            maps[c] = _lloyd_max(hist[c], k)
+        out[:, col] = maps[ctx, sym[:, col]]
+        ctx = np.where(v, (out[:, col] * NCTX) // NSYM, ctx).astype(np.int32)
+    res = np.where(valid, out + QMIN, 0).astype(np.uint8)
+    return [res[i, : len(q)].tobytes() for i, q in enumerate(quals)]

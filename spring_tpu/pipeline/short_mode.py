@@ -1,0 +1,292 @@
+"""Short-read mode: reorder-assemble-encode pipeline (the main path).
+
+Reference analog: the full compress chain preprocess -> reorder -> encoder ->
+reorder_compress_streams (src/spring.cpp:139-216) and decompress_short
+(src/decompress.cpp:28-436).
+
+Redesign decisions (vs the reference's temp-file dataflow):
+  * Reads live in fixed-shape arrays end to end; the reorder search runs as
+    a batched JAX program (reorder/engine.py), consensus + noise as
+    vectorized array passes (encode/consensus.py).
+  * All per-read metadata is laid out in ORIGINAL read order and re-blocked
+    into num_reads_per_block blocks — each block's streams are independent,
+    which is what gives random access (reference
+    src/reorder_compress_streams.cpp:201-427 does the same re-blocking).
+  * A read is either `aligned` (flag 1: consensus substring + noise) or
+    `literal` (flag 0: raw bases — N-containing reads and singleton-contig
+    reads). The reference's second-chance singleton alignment
+    (src/encoder.h:242-351) is a planned ratio upgrade.
+
+Stream members per block b:
+  flag.b rlen.b  — all reads;  pos.b rc.b nn.b npos.b nchar.b — aligned;
+  literal.b      — literal read bases;  quality.b id.b — as in long mode.
+Global members: seq.0 (packed consensus), plus the JSON manifest.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .. import params as P
+from ..codecs import bsc, idcodec
+from ..encode import consensus as cons
+from ..encode import streams as st
+from ..io import fastq, packing
+from ..io.container import ArchiveReader, ArchiveWriter
+from ..io.ids import check_id_pattern, find_id_pattern, modify_id
+from . import quality as qual_mod
+
+
+def _load_all(files: list[str], cp: P.CompressionParams):
+    ids, seqs, quals = [], [], []
+    counts = []
+    for f in files:
+        n0 = len(seqs)
+        for blk in fastq.read_blocks(f, 1 << 20, fasta=cp.fasta_input):
+            ids.extend(blk.ids)
+            seqs.extend(blk.seqs)
+            quals.extend(blk.quals)
+        counts.append(len(seqs) - n0)
+    if len(files) == 2 and counts[0] != counts[1]:
+        raise ValueError("paired files have different read counts")
+    return ids, seqs, quals, counts
+
+
+def compress_short(files: list[str], writer: ArchiveWriter,
+                   cp: P.CompressionParams, num_threads: int = 8) -> None:
+    from ..reorder import engine as eng
+
+    block = cp.num_reads_per_block
+    ids, seqs, quals, counts = _load_all(files, cp)
+    n = len(seqs)
+    cp.num_reads = n
+    cp.num_blocks = -(-n // block) if n else 0
+    maxlen = max((len(s) for s in seqs), default=0)
+    if maxlen > P.MAX_READ_LEN:
+        raise ValueError(
+            f"read length {maxlen} > {P.MAX_READ_LEN}; use long mode (-l)")
+    cp.max_readlen = maxlen
+    paired = cp.paired_end
+    per_file = counts[0] if paired else n
+
+    # --- quality quantization (inline, reference src/preprocess.cpp:220-229)
+    if quals and cp.quality_mode in ("ill_bin", "binary"):
+        table = qual_mod.make_table(cp.quality_mode, cp.qvz_ratio,
+                                    cp.bin_thresholds)
+        quals = qual_mod.quantize_block(quals, table)
+    elif quals and cp.quality_mode == "qvz":
+        from . import qvz
+        quals = qvz.quantize_block(quals, cp.qvz_ratio)
+
+    # --- PE id pattern detection (reference src/preprocess.cpp:113-140)
+    pattern_code = 0
+    pattern_ok = False
+    if paired and cp.preserve_id and per_file:
+        pattern_code = find_id_pattern(ids[0], ids[per_file])
+        if pattern_code:
+            pattern_ok = all(
+                check_id_pattern(ids[i], ids[per_file + i], pattern_code)
+                for i in range(per_file))
+    cp.paired_id_match = bool(pattern_ok and pattern_code)
+    cp.paired_id_code = pattern_code if cp.paired_id_match else 0
+
+    pool = ThreadPoolExecutor(max_workers=num_threads)
+    futs = []
+
+    # --- quality + id per block, original order
+    if cp.preserve_quality and quals:
+        for b in range(cp.num_blocks):
+            chunk = quals[b * block:(b + 1) * block]
+            futs.append((f"quality.{b}",
+                         pool.submit(bsc.compress_str_array, chunk,
+                                     num_threads=1)))
+    if cp.preserve_id:
+        id_limit = per_file if cp.paired_id_match else n
+        for b in range(-(-id_limit // block) if id_limit else 0):
+            chunk = ids[b * block:min((b + 1) * block, id_limit)]
+            futs.append((f"id.{b}", pool.submit(idcodec.compress_ids, chunk)))
+
+    # --- read streams
+    codes, lengths = packing.strings_to_codes(
+        seqs, max(maxlen, 1)) if n else (np.zeros((0, 1), np.uint8),
+                                         np.zeros(0, np.int32))
+    has_n = (codes == packing.N).any(axis=1) if n else np.zeros(0, bool)
+    clean = ~has_n
+    clean_rids = np.nonzero(clean)[0].astype(np.int32)
+
+    flag = np.zeros(n, np.uint8)
+    gpos = np.zeros(n, np.int64)
+    rc = np.zeros(n, np.uint8)
+    nn_by_read = np.zeros(n, np.int32)
+    noise_off = np.zeros(n, np.int64)      # read -> offset into noise arrays
+    noisepos = np.empty(0, np.int32)
+    noisechar = np.empty(0, np.uint8)
+    seq_codes = np.empty(0, np.uint8)
+
+    if len(clean_rids) and maxlen >= 32:
+        c_codes = codes[clean_rids]
+        c_len = lengths[clean_rids]
+        packed = packing.pack_codes(c_codes)
+        engine = eng.ReorderEngine(packed, c_len,
+                                   eng.ReorderConfig(max_readlen=maxlen))
+        emissions = engine.run()
+        contigs = eng.assemble_contigs(emissions, engine.B)
+        layout, _singles = cons.layout_contigs(contigs, c_len)
+        if layout.seq_len:
+            seq_codes = cons.build_consensus(layout, c_codes, c_len)
+            nn, noisepos, noisechar = cons.extract_noise(layout, seq_codes,
+                                                         c_codes, c_len)
+            g = clean_rids[layout.rids]          # layout order -> global rid
+            flag[g] = 1
+            gpos[g] = layout.gpos
+            rc[g] = layout.rc
+            nn_by_read[g] = nn
+            noise_off[g] = np.concatenate(
+                [[0], np.cumsum(nn.astype(np.int64))[:-1]])
+
+    # seq stream: u64 length + 2-bit packed consensus
+    futs.append(("seq.0", pool.submit(
+        bsc.compress,
+        np.uint64(len(seq_codes)).tobytes()
+        + packing.codes_to_bitstream_2bit(
+            seq_codes[None, :], np.array([len(seq_codes)])))))
+
+    for b in range(cp.num_blocks):
+        s, e = b * block, min((b + 1) * block, n)
+        sel = np.arange(s, e)
+        al = sel[flag[sel] == 1]
+        lit = sel[flag[sel] == 0]
+        # ragged gather of this block's noise, aligned reads in block order
+        cnts = nn_by_read[al]
+        starts = noise_off[al]
+        tot = int(cnts.sum())
+        if tot:
+            ends = np.cumsum(cnts)
+            inner = np.arange(tot) - np.repeat(ends - cnts, cnts)
+            take = np.repeat(starts, cnts) + inner
+            npos_b, nchar_b = noisepos[take], noisechar[take]
+        else:
+            npos_b = np.empty(0, np.int32)
+            nchar_b = np.empty(0, np.uint8)
+        lit_blob = b"".join(seqs[i] for i in lit)
+        members = {
+            f"flag.{b}": st.encode_u8(flag[sel]),
+            f"rlen.{b}": st.encode_u16(lengths[sel]),
+            f"pos.{b}": st.encode_deltas_u16(gpos[al]),
+            f"rc.{b}": st.encode_u8(rc[al]),
+            f"nn.{b}": st.encode_u16(nn_by_read[al]),
+            f"npos.{b}": st.encode_u16(npos_b),
+            f"nchar.{b}": st.encode_u8(nchar_b),
+            f"literal.{b}": lit_blob,
+        }
+        for name, raw in members.items():
+            futs.append((name, pool.submit(bsc.compress, raw, num_threads=1)))
+
+    for name, fut in futs:
+        writer.add(name, fut.result())
+    pool.shutdown()
+
+
+def decompress_short(reader: ArchiveReader, out_paths: list[str],
+                     gzipped: bool, num_threads: int = 8,
+                     read_range: tuple[int, int] | None = None) -> None:
+    cp = reader.params
+    block = cp.num_reads_per_block
+    n = cp.num_reads
+    paired = cp.paired_end
+    nfiles = 2 if paired else 1
+    per_file = n // nfiles
+    single_out = len(out_paths) == 1
+    lo, hi = (0, n) if read_range is None else read_range
+
+    raw = bsc.decompress(reader.get("seq.0"))
+    seq_len = int(np.frombuffer(raw[:8], dtype=np.uint64)[0])
+    seq_codes = packing.bitstream_2bit_to_flat(raw[8:], seq_len)
+
+    pool = ThreadPoolExecutor(max_workers=num_threads)
+    writers = [fastq.BlockWriter(p, gzipped=gzipped, fasta=cp.fasta_input,
+                                 num_threads=num_threads)
+               for p in out_paths]
+    try:
+        for j in range(nfiles):
+            w = writers[0] if single_out else writers[j]
+            flo = max(lo, j * per_file)
+            fhi = min(hi, (j + 1) * per_file)
+            if flo >= fhi:
+                continue
+            b0, b1 = flo // block, (fhi - 1) // block
+            futs = [pool.submit(_decode_block, reader, cp, b, seq_codes,
+                                per_file)
+                    for b in range(b0, b1 + 1)]
+            for b, fut in zip(range(b0, b1 + 1), futs):
+                ids, sq, ql = fut.result()
+                s = max(flo - b * block, 0)
+                e = min(fhi - b * block, len(sq))
+                w.write_block(ids[s:e], sq[s:e], ql[s:e] if ql else None)
+    finally:
+        pool.shutdown()
+        for w in writers:
+            w.close()
+
+
+def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
+                  seq_codes: np.ndarray, per_file: int):
+    block = cp.num_reads_per_block
+    s = b * block
+    flag = st.decode_u8(bsc.decompress(reader.get_block("flag", b)))
+    rlen = st.decode_u16(bsc.decompress(reader.get_block("rlen", b)))
+    gpos = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b)))
+    rc = st.decode_u8(bsc.decompress(reader.get_block("rc", b)))
+    nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))
+    npos = st.decode_u16(bsc.decompress(reader.get_block("npos", b)))
+    nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b)))
+    lit = bsc.decompress(reader.get_block("literal", b))
+
+    m = len(flag)
+    al = np.nonzero(flag == 1)[0]
+    seqs: list[bytes] = [b""] * m
+    if len(al):
+        rows = cons.reconstruct_reads(seq_codes, gpos, rlen[al],
+                                      rc, nn, npos, nchar)
+        chars = packing.CODE_TO_CHAR[rows]
+        for k, i in enumerate(al):
+            seqs[i] = chars[k, : rlen[i]].tobytes()
+    off = 0
+    for i in np.nonzero(flag == 0)[0]:
+        seqs[i] = lit[off:off + rlen[i]]
+        off += int(rlen[i])
+
+    quals = None
+    if cp.preserve_quality and not cp.fasta_input:
+        quals = bsc.decompress_str_array(
+            reader.get_block("quality", b), num_threads=1)
+    if cp.preserve_id:
+        if cp.paired_id_match and s >= per_file:
+            ids = _pe_ids_range(reader, cp, s, s + m, per_file)
+        else:
+            ids = idcodec.decompress_ids(reader.get_block("id", b), m)
+            if cp.paired_id_match and s + m > per_file:
+                # block straddles the file boundary: tail ids derive from
+                # file-1 ids
+                ids = ids[: per_file - s] + _pe_ids_range(
+                    reader, cp, per_file, s + m, per_file)
+    else:
+        ids = [f"@{s + i + 1}".encode() for i in range(m)]
+    return ids, seqs, quals
+
+
+def _pe_ids_range(reader, cp, g0: int, g1: int, per_file: int) -> list[bytes]:
+    """Ids for global reads [g0, g1) in file 2, derived from file-1 ids."""
+    block = cp.num_reads_per_block
+    out = []
+    src0, src1 = g0 - per_file, g1 - per_file
+    b0, b1 = src0 // block, (src1 - 1) // block
+    for b in range(b0, b1 + 1):
+        ids1 = idcodec.decompress_ids(
+            reader.get_block("id", b),
+            min((b + 1) * block, per_file) - b * block)
+        s = max(src0 - b * block, 0)
+        e = min(src1 - b * block, len(ids1))
+        out.extend(modify_id(i, cp.paired_id_code) for i in ids1[s:e])
+    return out

@@ -1,0 +1,481 @@
+"""Batched read-reordering engine (the algorithmic heart #1).
+
+Reference analog: the greedy consensus-following contig walk of
+src/reorder.h — per-thread sequential loop (src/reorder.h:432-616) with
+search_match (src/reorder.h:246-318: dictionary probe + shifted Hamming
+verify), updaterefcount consensus update (src/reorder.h:110-220), and
+lock-striped claim/delete of reads (src/reorder.h:440-475).
+
+TPU-first redesign — breadth-first instead of thread-serial:
+  * B independent contig *walkers* advance in lock-step rounds. Each round a
+    walker probes a chunk of SHIFT_CHUNK shifts x 2 dictionaries x
+    {forward, reverse-complement} against the sorted-key dictionaries, then
+    verifies all gathered candidates at once with a packed XOR+popcount
+    Hamming kernel. Everything is one fixed-shape jitted program — no locks,
+    no data-dependent shapes.
+  * Claim conflicts between walkers are resolved with a sort (stable argsort
+    by candidate rid; first walker wins) instead of omp_test_lock.
+  * Dictionary deletion is replaced by a `claimed` bitmap filter plus a
+    periodic host-side compaction of the sorted arrays (shape-preserving:
+    freed slots get rid -1), mirroring the reference's bin deletion without
+    any mutation inside the compiled program.
+  * Match semantics follow the reference: forward match at shift s compares
+    read[p] == ref[s+p] over the overlap with Hamming <= THRESH_REORDER;
+    reverse match compares read[p] == revcomp(ref)[p-s] over [s, ...). The
+    consensus window is pinned to the newest read's start (forward-case
+    updaterefcount semantics applied to both orientations).
+
+The round is decomposed into module-level pure functions so the multi-chip
+round (parallel/dist.py) composes the same math with collectives.
+
+Emissions are (rid, flag, pos_delta, rc) per walker per round, buffered on
+device and flushed every FLUSH_ROUNDS rounds so the host loop syncs rarely.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params as P
+from ..ops import bits
+from . import dictionary as dct
+
+SHIFT_CHUNK = 4        # shifts probed per round
+FLUSH_ROUNDS = 32      # rounds between host syncs
+REBUILD_FRACTION = 0.10  # compact dicts when claimed grew by this fraction
+
+_ODD = jnp.uint32(0x55555555)
+_ONES = jnp.uint32(0xFFFFFFFF)
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+@dataclass
+class ReorderConfig:
+    max_readlen: int
+    num_walkers: int = P.REORDER_BATCH
+    candidates: int = P.DICT_PROBE_CANDIDATES
+    thresh: int = P.THRESH_REORDER
+    max_shift: int = 0   # 0 -> max_readlen // 2 (reference rg.maxshift)
+
+    def __post_init__(self):
+        if self.max_shift == 0:
+            self.max_shift = max(self.max_readlen // 2, 1)
+
+
+# --------------- small vector helpers ---------------
+
+def _prefix_mask_words(nbases: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Word masks covering base positions [0, nbases) of a packed read.
+
+    Equivalent of the reference's precomputed shifted-compare masks
+    (src/bitset_util.h:223-236), computed on the fly on the VPU.
+    """
+    k = jnp.clip(nbases[..., None] - 16 * jnp.arange(W), 0, 16)
+    full = _ONES >> (32 - 2 * jnp.clip(k, 1, 16)).astype(jnp.uint32)
+    return jnp.where(k > 0, full, jnp.uint32(0))
+
+
+def _range_mask_words(lo: jnp.ndarray, hi: jnp.ndarray, W: int) -> jnp.ndarray:
+    return _prefix_mask_words(hi, W) & ~_prefix_mask_words(lo, W)
+
+
+def _masked_hamming(a: jnp.ndarray, b: jnp.ndarray, lo: jnp.ndarray,
+                    hi: jnp.ndarray) -> jnp.ndarray:
+    """Base mismatches between packed reads over base range [lo, hi)."""
+    W = a.shape[-1]
+    d = a ^ b
+    m = (d | (d >> 1)) & _ODD
+    m = m & _range_mask_words(lo, hi, W)
+    return jnp.sum(jax.lax.population_count(m), axis=-1).astype(jnp.int32)
+
+
+def _shift_left(codes: jnp.ndarray, s: jnp.ndarray, fill: int = 0) -> jnp.ndarray:
+    """out[..., p] = codes[..., p + s] (0 beyond the end); s broadcastable."""
+    L = codes.shape[-1]
+    idx = jnp.arange(L) + s[..., None]
+    ok = idx < L
+    return jnp.where(ok, jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1),
+                                             axis=-1), fill)
+
+
+def _shift_right(codes: jnp.ndarray, s: jnp.ndarray, fill: int = 0) -> jnp.ndarray:
+    """out[..., p] = codes[..., p - s] (fill below 0)."""
+    L = codes.shape[-1]
+    idx = jnp.arange(L) - s[..., None]
+    ok = idx >= 0
+    return jnp.where(ok, jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1),
+                                             axis=-1), fill)
+
+
+def _onehot_read(codes: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
+    """(Bw, Lb) codes -> (Bw, Lb, 4) one-hot masked by read length."""
+    Lb = codes.shape[-1]
+    return (jax.nn.one_hot(codes, 4, dtype=jnp.int32)
+            * (jnp.arange(Lb)[None, :, None] < rlen[:, None, None]))
+
+
+# --------------- round stages (pure, walker-batched) ---------------
+
+def walker_frames(counts, ref_len, shift_base):
+    """Consensus codes + per-shift comparison frames.
+
+    Returns (ref_sh, rev_sh, frames_packed, s_tot):
+      ref_sh / rev_sh: (Bw, SC, Lb) consensus (rev-comp) shifted per shift
+      frames_packed:   (Bw, SC, 2, W) packed, orientation axis
+      s_tot:           (Bw, SC) absolute shift of each probe
+    """
+    Lb = counts.shape[1]
+    refc = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    refc = jnp.where(jnp.arange(Lb) < ref_len[:, None], refc, 0)
+    revc = bits.revcomp_codes(refc, ref_len)
+    s_tot = shift_base[:, None] + jnp.arange(SHIFT_CHUNK)
+    ref_sh = _shift_left(refc[:, None, :], s_tot)
+    rev_sh = _shift_right(revc[:, None, :], s_tot)
+    frames = jnp.stack([bits.pack(ref_sh), bits.pack(rev_sh)], axis=2)
+    return ref_sh, rev_sh, frames, s_tot
+
+
+def walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts):
+    """Dictionary queries per dict window. Returns (q, v): (Bw, SC, D, 2)."""
+    qs, vs = [], []
+    for st in starts:
+        q_fwd = bits.extract_key(ref_sh, st, dct.KEY_BASES)
+        q_rev = bits.extract_key(rev_sh, st, dct.KEY_BASES)
+        v_fwd = (s_tot + st + dct.KEY_BASES) <= ref_len[:, None]
+        v_rev = (s_tot <= st) & ((st + dct.KEY_BASES - s_tot)
+                                 <= ref_len[:, None])
+        qs.append(jnp.stack([q_fwd, q_rev], axis=2))
+        vs.append(jnp.stack([v_fwd, v_rev], axis=2))
+    return jnp.stack(qs, axis=2), jnp.stack(vs, axis=2)
+
+
+def verify_candidates(frames, s_tot, ref_len, cand, cvalid, packed, lengths,
+                      thresh):
+    """Hamming-verify gathered candidates.
+
+    frames: (Bw, SC, 2, W); cand/cvalid: (Bw, SC, D, 2, C).
+    Returns (ok, t, pr): accept mask, alignment offset of the oriented read
+    in the walker frame, and selection priority (lower = better; priority
+    order shift > orientation > dict > bin slot, mirroring the reference's
+    search order, src/reorder.h:479-557).
+    """
+    Np = packed.shape[0]
+    D, C = cand.shape[2], cand.shape[4]
+    safe = jnp.clip(cand, 0, Np - 1)
+    cpk = packed[safe]
+    clen = lengths[safe]
+    s5 = s_tot[:, :, None, None, None]
+    rl5 = ref_len[:, None, None, None, None]
+    orient = jnp.arange(2)[None, None, None, :, None]
+    lo = jnp.where(orient == 0, 0, s5)
+    hi = jnp.where(orient == 0, jnp.minimum(rl5 - s5, clen),
+                   jnp.minimum(rl5 + s5, clen))
+    ham = _masked_hamming(frames[:, :, None, :, None, :], cpk, lo, hi)
+    t = jnp.where(orient == 0, s5, rl5 + s5 - clen)
+    ok = cvalid & (ham <= thresh) & (t >= 0) & (hi > lo)
+    pr = ((s5 * 2 + orient) * D
+          + jnp.arange(D)[None, None, :, None, None]) * C \
+        + jnp.arange(C)[None, None, None, None, :]
+    pr = jnp.where(ok, pr, _BIG)
+    return ok, t, jnp.broadcast_to(pr, ok.shape), clen
+
+
+def select_best(cand, pr, t, clen):
+    """Per-walker argmin over flattened (SC, D, 2, C) candidates.
+
+    Returns (matched, rid, t_sel, rc_sel, pr_sel)."""
+    Bw = cand.shape[0]
+    orient = jnp.broadcast_to(
+        jnp.arange(2)[None, None, None, :, None], cand.shape)
+    flat_pr = pr.reshape(Bw, -1)
+    sel = jnp.argmin(flat_pr, axis=1)
+
+    def pick(x):
+        return jnp.take_along_axis(x.reshape(Bw, -1), sel[:, None],
+                                   axis=1)[:, 0]
+    pr_sel = pick(flat_pr.reshape(cand.shape))
+    matched = pr_sel != _BIG
+    rid = jnp.where(matched, pick(cand), -1)
+    return matched, rid, pick(jnp.broadcast_to(t, cand.shape)), \
+        pick(orient), pr_sel
+
+
+def resolve_conflicts(matched, rid_sel):
+    """First walker (stable sort order) wins each rid; others lose."""
+    B = rid_sel.shape[0]
+    order = jnp.argsort(jnp.where(matched, rid_sel, _BIG), stable=True)
+    rs = jnp.where(matched, rid_sel, _BIG)[order]
+    first = jnp.concatenate([jnp.array([True]), rs[1:] != rs[:-1]])
+    win_sorted = first & (rs != _BIG)
+    winner = jnp.zeros((B,), bool).at[order].set(win_sorted)
+    return matched & winner
+
+
+def apply_matches(counts, ref_len, matched, rid_sel, t_sel, rc_sel,
+                  packed, lengths):
+    """Consensus update (updaterefcount semantics, src/reorder.h:110-220):
+    roll the count window to the new read's start, add its one-hot."""
+    Lb = counts.shape[1]
+    Np = packed.shape[0]
+    t_upd = jnp.where(matched, t_sel, 0)
+    idx = jnp.arange(Lb)[None, :] + t_upd[:, None]
+    keep = idx < ref_len[:, None]
+    rolled = jnp.where(
+        keep[..., None],
+        jnp.take_along_axis(counts, jnp.clip(idx, 0, Lb - 1)[..., None],
+                            axis=1), 0)
+    safe_rid = jnp.clip(rid_sel, 0, Np - 1)
+    cur = bits.unpack(packed[safe_rid], Lb)
+    cur_len = lengths[safe_rid]
+    cur = jnp.where(rc_sel[:, None] == 1,
+                    bits.revcomp_codes(cur, cur_len), cur)
+    new_counts = rolled + _onehot_read(cur, cur_len)
+    counts = jnp.where(matched[:, None, None], new_counts, counts)
+    ref_len = jnp.where(matched, jnp.maximum(ref_len - t_upd, cur_len),
+                        ref_len)
+    return counts, ref_len
+
+
+def seed_counts_for(packed, lengths, seed_rid):
+    Lb = packed.shape[1] * bits.BASES_PER_WORD
+    seed_codes = bits.unpack(packed[seed_rid], Lb)
+    return _onehot_read(seed_codes, lengths[seed_rid])
+
+
+# --------------- single-device engine ---------------
+
+class ReorderEngine:
+    """Runs the batched reorder on one device.
+
+    Inputs are host numpy: packed (N, W) uint32 reads and lengths (N,).
+    Output: emissions array (M, 4) int32 of (rid, flag, pos_delta, rc) in
+    walker-timeline order; see ``assemble_contigs``.
+    """
+
+    def __init__(self, packed: np.ndarray, lengths: np.ndarray,
+                 cfg: ReorderConfig):
+        self.cfg = cfg
+        self.N = packed.shape[0]          # real read count
+        self.W = packed.shape[1]
+        self.Lb = self.W * bits.BASES_PER_WORD
+        # pad N to a power of two so datasets of similar size share one
+        # compiled program (padding reads are pre-claimed, never touched)
+        self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64)
+        # enough walkers to keep the device busy, but few enough that seeds
+        # don't fragment the contig space (each walker owns ~64+ reads)
+        self.B = int(min(cfg.num_walkers, max(8, self.Np // 64)))
+        self.windows = dct.default_windows(cfg.max_readlen)
+        from ..io.packing import unpack_codes
+        codes_np = unpack_codes(packed, cfg.max_readlen)
+        self.dicts = dct.build_dicts(codes_np, lengths, self.windows,
+                                     pad_to_pow2=True)
+        packed_p = np.zeros((self.Np, self.W), np.uint32)
+        packed_p[: self.N] = packed
+        lengths_p = np.zeros(self.Np, np.int32)
+        lengths_p[: self.N] = lengths
+        self.packed = jnp.asarray(packed_p)
+        self.lengths = jnp.asarray(lengths_p)
+        self._round_fn = self._build_round_fn()
+
+    # ---------------- state ----------------
+
+    def _init_state(self):
+        B, Lb, Np = self.B, self.Lb, self.Np
+        claimed = np.zeros(Np + 1, bool)
+        claimed[self.N:] = True               # padding reads are never live
+        return dict(
+            counts=jnp.zeros((B, Lb, 4), jnp.int32),
+            ref_len=jnp.zeros((B,), jnp.int32),
+            active=jnp.zeros((B,), bool),
+            shift_base=jnp.zeros((B,), jnp.int32),
+            claimed=jnp.asarray(claimed),     # slot Np = scatter dump
+            queue_pos=jnp.zeros((), jnp.int32),
+            emit_buf=jnp.full((FLUSH_ROUNDS, B, 4), -1, jnp.int32),
+            emit_ptr=jnp.zeros((), jnp.int32),
+        )
+
+    # ---------------- the jitted round ----------------
+
+    def _build_round_fn(self):
+        cfg = self.cfg
+        Np = self.Np
+        C = cfg.candidates
+        starts = [d.start for d in self.dicts]
+
+        def round_fn(state, packed, lengths, dkeys, drids, seed_order,
+                     n_real, maxshift):
+            counts = state["counts"]
+            ref_len = state["ref_len"]
+            active = state["active"]
+            shift_base = state["shift_base"]
+            claimed = state["claimed"]
+            B = counts.shape[0]
+
+            ref_sh, rev_sh, frames, s_tot = walker_frames(
+                counts, ref_len, shift_base)
+            q, v = walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts)
+
+            hits_r, hits_v = [], []
+            for di, st in enumerate(starts):
+                rids, hit = dct.probe(
+                    dct.SortedDict(dkeys[di], drids[di], st),
+                    q[:, :, di, :], C)
+                hits_r.append(rids)
+                hits_v.append(hit & v[:, :, di, :, None])
+            cand = jnp.stack(hits_r, axis=2)        # (B, SC, D, 2, C)
+            cvalid = jnp.stack(hits_v, axis=2)
+            safe = jnp.clip(cand, 0, Np - 1)
+            cvalid &= ((cand >= 0) & ~claimed[safe]
+                       & active[:, None, None, None, None])
+
+            ok, t, pr, clen = verify_candidates(
+                frames, s_tot, ref_len, cand, cvalid, packed, lengths,
+                cfg.thresh)
+            matched, rid_sel, t_sel, rc_sel, _ = select_best(cand, pr, t, clen)
+            matched = resolve_conflicts(matched, rid_sel)
+            rid_sel = jnp.where(matched, rid_sel, -1)
+
+            counts, ref_len = apply_matches(
+                counts, ref_len, matched, rid_sel, t_sel, rc_sel,
+                packed, lengths)
+            claimed = claimed.at[jnp.where(matched, rid_sel, Np)].set(True)
+            shift_base = jnp.where(matched, 0, shift_base)
+
+            # walkers that found nothing advance their shift window / die
+            missed = active & ~matched
+            shift_base = jnp.where(missed, shift_base + SHIFT_CHUNK,
+                                   shift_base)
+            active = active & ~(missed & (shift_base > maxshift))
+
+            # seeding: inactive walkers take the next unclaimed queue reads
+            # (reference picks from remainingreads, src/reorder.h:570-592)
+            inactive = ~active
+            rank = jnp.cumsum(inactive) - 1
+            qidx = state["queue_pos"] + rank
+            in_range = inactive & (qidx < n_real)
+            seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
+            ok_seed = in_range & ~claimed[jnp.where(in_range, seed_rid, Np)]
+            claimed = claimed.at[jnp.where(ok_seed, seed_rid, Np)].set(True)
+            seed_cnt = seed_counts_for(packed, lengths, seed_rid)
+            counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
+            ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
+            shift_base = jnp.where(ok_seed, 0, shift_base)
+            active = active | ok_seed
+            queue_pos = state["queue_pos"] + jnp.sum(in_range)
+
+            # emissions: one slot per walker per round
+            emit_rid = jnp.where(matched, rid_sel,
+                                 jnp.where(ok_seed, seed_rid, -1))
+            emit = jnp.stack([emit_rid,
+                              jnp.where(matched, 1, 0),
+                              jnp.where(matched, t_sel, 0),
+                              jnp.where(matched, rc_sel, 0)], axis=-1)
+            emit_buf = jax.lax.dynamic_update_slice(
+                state["emit_buf"], emit[None], (state["emit_ptr"], 0, 0))
+
+            return dict(counts=counts, ref_len=ref_len, active=active,
+                        shift_base=shift_base, claimed=claimed,
+                        queue_pos=queue_pos, emit_buf=emit_buf,
+                        emit_ptr=state["emit_ptr"] + 1)
+
+        self._round_impl = round_fn   # unjitted, for entry-point/driver use
+        return jax.jit(round_fn, donate_argnums=(0,))
+
+    # ---------------- dictionary compaction ----------------
+
+    def _compact_dicts(self, dkeys, drids, claimed_np):
+        """Drop claimed reads from the sorted arrays, shape-preserving
+        (freed tail slots get rid -1 / key 0xFFFFFFFF so probes skip them).
+        Equivalent of the reference's in-bin deletion (src/bitset_util.cpp:38-63).
+        """
+        out_k, out_r = [], []
+        for k, r in zip(dkeys, drids):
+            k_np = np.asarray(k)
+            r_np = np.asarray(r)
+            live = (r_np >= 0) & ~claimed_np[np.clip(r_np, 0, self.N - 1)]
+            nk = np.full_like(k_np, 0xFFFFFFFF)
+            nr = np.full_like(r_np, -1)
+            nlive = int(live.sum())
+            nk[:nlive] = k_np[live]
+            nr[:nlive] = r_np[live]
+            out_k.append(jnp.asarray(nk))
+            out_r.append(jnp.asarray(nr))
+        return out_k, out_r
+
+    # ---------------- driver loop ----------------
+
+    def run(self, progress=None) -> np.ndarray:
+        """Returns emissions (R*B, 4) int32 rows (rid, flag, pos_delta, rc)
+        in round-major walker order; rid == -1 rows are empty slots."""
+        state = self._init_state()
+        dkeys = [d.keys for d in self.dicts]
+        drids = [d.rids for d in self.dicts]
+        packed, lengths = self.packed, self.lengths
+        # strided seed order: the first B seeds land evenly spread over the
+        # input so concurrent walkers claim distinct regions even when the
+        # input happens to be genome-ordered
+        stride = max(self.N // self.B, 1)
+        idx = np.arange(self.N, dtype=np.int32)
+        so = (np.concatenate([idx[r::stride] for r in range(stride)])
+              if self.N else idx)
+        so = np.concatenate(
+            [so, np.full(self.Np - len(so), self.Np - 1, np.int32)])
+        seed_order = jnp.asarray(so.astype(np.int32))
+        n_real = jnp.asarray(self.N, jnp.int32)
+        maxshift = jnp.asarray(self.cfg.max_shift, jnp.int32)
+        chunks = []
+        last_claimed = 0
+        while True:
+            for _ in range(FLUSH_ROUNDS):
+                state = self._round_fn(state, packed, lengths, dkeys, drids,
+                                       seed_order, n_real, maxshift)
+            buf = np.asarray(state["emit_buf"])           # syncs
+            chunks.append(buf.reshape(-1, 4).copy())
+            queue_pos = int(state["queue_pos"])
+            any_active = bool(np.asarray(state["active"]).any())
+            emitted = bool((buf[..., 0] >= 0).any())
+            if progress is not None:
+                progress(queue_pos, self.N)
+            if queue_pos >= self.N and not any_active and not emitted:
+                break
+            n_claimed = int(np.asarray(state["claimed"])[: self.N].sum())
+            if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
+                claimed_np = np.asarray(state["claimed"])[: self.N]
+                dkeys, drids = self._compact_dicts(dkeys, drids, claimed_np)
+                last_claimed = n_claimed
+            state = {**state, "emit_ptr": jnp.zeros((), jnp.int32),
+                     "emit_buf": jnp.full_like(state["emit_buf"], -1)}
+        return np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4), np.int32)
+
+
+def assemble_contigs(emissions: np.ndarray, num_walkers: int
+                     ) -> list[dict[str, np.ndarray]]:
+    """Group round-major emissions into per-contig read lists.
+
+    Returns a list of contigs, each a dict with:
+      rids: (k,) int32 read ids in contig order
+      pos:  (k,) int64 read start offsets within the contig (pos[0] = 0)
+      rc:   (k,) uint8 orientation flags
+    Contig order is walker-major then time (the reference concatenates
+    per-thread shards the same way, src/reorder.h:703-728).
+    """
+    R = emissions.shape[0] // num_walkers
+    em = emissions.reshape(R, num_walkers, 4)
+    contigs = []
+    for w in range(num_walkers):
+        col = em[:, w, :]
+        col = col[col[:, 0] >= 0]
+        if not len(col):
+            continue
+        starts = np.nonzero(col[:, 1] == 0)[0]
+        bounds = np.append(starts, len(col))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = col[a:b]
+            pos = np.cumsum(seg[:, 2].astype(np.int64))
+            pos -= pos[0]
+            contigs.append(dict(rids=seg[:, 0].astype(np.int32),
+                                pos=pos, rc=seg[:, 3].astype(np.uint8)))
+    return contigs

@@ -1,0 +1,122 @@
+"""Unit tests for the JAX bit ops, dictionary, and reorder engine."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from spring_tpu.io import packing
+from spring_tpu.ops import bits
+from spring_tpu.reorder import dictionary as dct
+from spring_tpu.reorder import engine as eng
+
+
+def _random_reads(rng, n, L):
+    return rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    codes = _random_reads(rng, 37, 53)
+    packed = packing.pack_codes(codes)
+    out = np.asarray(bits.unpack(jnp.asarray(packed), 53))
+    np.testing.assert_array_equal(out, codes)
+    repacked = np.asarray(bits.pack(jnp.asarray(codes.astype(np.int32))))
+    np.testing.assert_array_equal(repacked, packed)
+
+
+def test_hamming_packed_matches_codes():
+    rng = np.random.default_rng(1)
+    a = _random_reads(rng, 20, 64)
+    b = a.copy()
+    flips = rng.integers(0, 64, size=20)
+    for i, f in enumerate(flips):
+        b[i, f] = (b[i, f] + 1) % 4
+    pa, pb = packing.pack_codes(a), packing.pack_codes(b)
+    h = np.asarray(bits.hamming_packed(jnp.asarray(pa), jnp.asarray(pb)))
+    np.testing.assert_array_equal(h, np.ones(20, np.int32))
+
+
+def test_masked_hamming_range():
+    rng = np.random.default_rng(2)
+    a = _random_reads(rng, 8, 48)
+    b = _random_reads(rng, 8, 48)
+    pa, pb = packing.pack_codes(a), packing.pack_codes(b)
+    lo = jnp.asarray(np.full(8, 10, np.int32))
+    hi = jnp.asarray(np.full(8, 37, np.int32))
+    got = np.asarray(eng._masked_hamming(jnp.asarray(pa), jnp.asarray(pb),
+                                         lo, hi))
+    want = (a[:, 10:37] != b[:, 10:37]).sum(axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_revcomp_codes():
+    rng = np.random.default_rng(3)
+    codes = _random_reads(rng, 5, 40)
+    lens = np.array([40, 33, 17, 1, 0], np.int32)
+    got = np.asarray(bits.revcomp_codes(jnp.asarray(codes.astype(np.int32)),
+                                        jnp.asarray(lens)))
+    want = packing.revcomp_codes(codes, lens)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dictionary_probe_finds_exact_window():
+    rng = np.random.default_rng(4)
+    codes = _random_reads(rng, 200, 64)
+    lengths = np.full(200, 64, np.int32)
+    dicts = dct.build_dicts(codes, lengths)
+    d = dicts[0]
+    q = dct._window_keys_np(codes[:5], d.start)
+    rids, valid = dct.probe(d, jnp.asarray(q), 4)
+    rids, valid = np.asarray(rids), np.asarray(valid)
+    for i in range(5):
+        assert i in set(rids[i][valid[i]])
+
+
+def test_engine_overlapping_reads_form_one_contig():
+    # reads tiled every 5 bases along a 300-base genome -> expect most reads
+    # matched into few contigs
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, size=400).astype(np.uint8)
+    L = 64
+    starts = np.arange(0, len(genome) - L, 5)
+    codes = np.stack([genome[s:s + L] for s in starts])
+    lengths = np.full(len(codes), L, np.int32)
+    packed = packing.pack_codes(codes)
+    engine = eng.ReorderEngine(packed, lengths,
+                               eng.ReorderConfig(max_readlen=L))
+    em = engine.run()
+    contigs = eng.assemble_contigs(em, engine.B)
+    placed = sum(len(c["rids"]) for c in contigs)
+    assert placed == len(codes)
+    all_rids = np.concatenate([c["rids"] for c in contigs])
+    assert len(np.unique(all_rids)) == len(codes)
+    # reads should cluster into few multi-read contigs, not singletons
+    singletons = sum(1 for c in contigs if len(c["rids"]) == 1)
+    assert singletons <= len(codes) // 4
+    assert max(len(c["rids"]) for c in contigs) >= 5
+
+
+def test_engine_with_rc_reads():
+    rng = np.random.default_rng(6)
+    genome = rng.integers(0, 4, size=300).astype(np.uint8)
+    L = 50
+    starts = np.arange(0, len(genome) - L, 4)
+    rows = []
+    lengths = np.full(len(starts), L, np.int32)
+    for k, s in enumerate(starts):
+        r = genome[s:s + L]
+        if k % 3 == 0:
+            r = packing.revcomp_codes(r[None], np.array([L]))[0]
+        rows.append(r)
+    codes = np.stack(rows)
+    packed = packing.pack_codes(codes)
+    engine = eng.ReorderEngine(packed, lengths,
+                               eng.ReorderConfig(max_readlen=L))
+    em = engine.run()
+    contigs = eng.assemble_contigs(em, engine.B)
+    placed = sum(len(c["rids"]) for c in contigs)
+    assert placed == len(codes)
+    singletons = sum(1 for c in contigs if len(c["rids"]) == 1)
+    assert singletons <= len(codes) // 4
+    assert max(len(c["rids"]) for c in contigs) >= 5

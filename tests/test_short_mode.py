@@ -1,0 +1,92 @@
+"""End-to-end round-trip tests for short-read mode (the main path).
+
+Mirrors the reference CI round-trip strategy (util/test_script.sh:5-21)
+plus cases the reference never covered: random access on the short path.
+"""
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from spring_tpu import api
+
+
+def _roundtrip(tmp_path, in_files, out_names, opts=None, **dec_kw):
+    arc = str(tmp_path / "a.stpu")
+    opts = opts or api.CompressOptions(num_threads=2, verbose=False)
+    cp = api.compress(in_files, arc, opts)
+    outs = [str(tmp_path / n) for n in out_names]
+    api.decompress(arc, outs, verbose=False, **dec_kw)
+    return cp, outs
+
+
+def test_se_fastq_lossless(tmp_path, fq1):
+    cp, outs = _roundtrip(tmp_path, [fq1], ["o1.fastq"])
+    assert not cp.long_mode
+    assert filecmp.cmp(fq1, outs[0], shallow=False)
+
+
+def test_pe_fastq_lossless(tmp_path, fq1, fq2):
+    cp, outs = _roundtrip(tmp_path, [fq1, fq2], ["o1.fastq", "o2.fastq"])
+    assert cp.paired_end
+    assert filecmp.cmp(fq1, outs[0], shallow=False)
+    assert filecmp.cmp(fq2, outs[1], shallow=False)
+
+
+def test_se_fasta(tmp_path, fa1):
+    opts = api.CompressOptions(num_threads=2, verbose=False, fasta_input=True)
+    cp, outs = _roundtrip(tmp_path, [fa1], ["o1.fasta"], opts)
+    assert filecmp.cmp(fa1, outs[0], shallow=False)
+
+
+def test_se_gzip_input_output(tmp_path, fq1_gz, fq1):
+    cp, outs = _roundtrip(tmp_path, [fq1_gz], ["o1.fastq.gz"], gzipped=True)
+    import gzip
+    with gzip.open(outs[0], "rb") as f:
+        got = f.read()
+    with open(fq1, "rb") as f:
+        assert got == f.read()
+
+
+def test_random_access_range(tmp_path, fq1):
+    arc = str(tmp_path / "a.stpu")
+    opts = api.CompressOptions(num_threads=2, verbose=False)
+    api.compress([fq1], arc, opts)
+    out = str(tmp_path / "part.fastq")
+    api.decompress(arc, [out], read_range=(10, 35), verbose=False)
+    with open(fq1, "rb") as f:
+        lines = f.read().splitlines()
+    want = b"\n".join(lines[40:140]) + b"\n"
+    with open(out, "rb") as f:
+        assert f.read() == want
+
+
+def test_synthetic_overlapping_reads_ratio(tmp_path):
+    # high-coverage synthetic reads must compress far below 2 bits/base
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, size=20000)
+    L, n = 100, 4000
+    starts = rng.integers(0, len(genome) - L, size=n)
+    base = b"ACGT"
+    reads = []
+    for s in starts:
+        seg = bytes(base[c] for c in genome[s:s + L])
+        reads.append(seg)
+    fq = tmp_path / "syn.fastq"
+    with open(fq, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * L))
+    arc = str(tmp_path / "s.stpu")
+    opts = api.CompressOptions(num_threads=2, verbose=False,
+                               preserve_id=False, preserve_quality=False)
+    api.compress([str(fq)], arc, opts)
+    out = str(tmp_path / "syn.out.fastq")
+    api.decompress(arc, [out], verbose=False)
+    # quality discarded -> 2-line records (reference src/util.cpp:62-68)
+    with open(out, "rb") as f:
+        got = f.read().splitlines()[1::2]
+    assert got == [r for r in reads]
+    # ratio: n*L bases in `arc`; aligned reads should make it tiny
+    bits_per_base = os.path.getsize(arc) * 8 / (n * L)
+    assert bits_per_base < 1.0, bits_per_base
