@@ -62,7 +62,7 @@ class DistConfig:
 
 
 def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
-                     Np: int):
+                     Np: int, scan_rounds: int = 0):
     """Returns a jitted round over the mesh.
 
     Arguments of the returned fn (sharding in brackets):
@@ -177,14 +177,27 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
                          queue_pos=queue_pos)
         return new_state, emit.astype(jnp.int32)
 
+    if scan_rounds:
+        def stepped(state, packed, lengths, dkeys, drids, seed_order,
+                    n_real, maxshift):
+            def body(st, _):
+                return round_fn(st, packed, lengths, dkeys, drids,
+                                seed_order, n_real, maxshift)
+            return jax.lax.scan(body, state, None, length=scan_rounds)
+        fn = stepped
+        emit_spec = Pspec(None, "shard")      # (rounds, B, 4)
+    else:
+        fn = round_fn
+        emit_spec = Pspec("shard")
+
     sh = Pspec("shard")
     rep = Pspec()
     state_spec = dict(counts=sh, ref_len=sh, active=sh, shift_base=sh,
                       claimed=rep, queue_pos=rep)
     mapped = shard_map(
-        round_fn, mesh=mesh,
+        fn, mesh=mesh,
         in_specs=(state_spec, rep, rep, [sh] * D, [sh] * D, rep, rep, rep),
-        out_specs=(state_spec, sh),
+        out_specs=(state_spec, emit_spec),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
@@ -229,6 +242,8 @@ class DistReorderEngine:
         self.lengths = lengths_p
         self._round = build_dist_round(self.mesh, cfg, self.dict_starts,
                                        self.Np)
+        self._flush = build_dist_round(self.mesh, cfg, self.dict_starts,
+                                       self.Np, scan_rounds=eng.FLUSH_ROUNDS)
 
     def init_state(self):
         claimed = np.zeros(self.Np + 1, bool)
@@ -264,13 +279,10 @@ class DistReorderEngine:
         chunks = []
         rounds = 0
         while True:
-            emits = []
-            for _ in range(eng.FLUSH_ROUNDS):
-                state, emit = self._round(state, packed, lengths, dkeys,
-                                          drids, seed_order, n_real, maxshift)
-                emits.append(emit)
-                rounds += 1
-            buf = np.stack([np.asarray(e) for e in emits])
+            state, emit = self._flush(state, packed, lengths, dkeys,
+                                      drids, seed_order, n_real, maxshift)
+            rounds += eng.FLUSH_ROUNDS
+            buf = np.asarray(emit)            # (rounds, B, 4)
             chunks.append(buf.reshape(-1, 4))
             queue_pos = int(state["queue_pos"])
             any_active = bool(np.asarray(state["active"]).any())

@@ -47,6 +47,9 @@ def compress_long(files: list[str], writer: ArchiveWriter,
         for j, blk in enumerate(blocks):
             if blk is None:
                 continue
+            if not cp.fasta_input:
+                from .short_mode import check_quality_lengths
+                check_quality_lengths(blk, files[j])
             counts[j] += len(blk)
             nblocks[j] = bidx + 1
             quals = blk.quals

@@ -44,6 +44,8 @@ def _load_all(files: list[str], cp: P.CompressionParams):
     for f in files:
         n0 = len(seqs)
         for blk in fastq.read_blocks(f, 1 << 20, fasta=cp.fasta_input):
+            if not cp.fasta_input:
+                check_quality_lengths(blk, f)
             ids.extend(blk.ids)
             seqs.extend(blk.seqs)
             quals.extend(blk.quals)
@@ -51,6 +53,16 @@ def _load_all(files: list[str], cp: P.CompressionParams):
     if len(files) == 2 and counts[0] != counts[1]:
         raise ValueError("paired files have different read counts")
     return ids, seqs, quals, counts
+
+
+def check_quality_lengths(blk, path: str) -> None:
+    """Reference guard src/preprocess.cpp:200-202: quality and read length
+    must match per record (also catches FASTA fed without --fasta-input)."""
+    for s, q in zip(blk.seqs, blk.quals):
+        if len(s) != len(q):
+            raise ValueError(
+                f"{path}: quality length != read length "
+                "(FASTA input needs --fasta-input)")
 
 
 def compress_short(files: list[str], writer: ArchiveWriter,
@@ -94,19 +106,6 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     pool = ThreadPoolExecutor(max_workers=num_threads)
     futs = []
 
-    # --- quality + id per block, original order
-    if cp.preserve_quality and quals:
-        for b in range(cp.num_blocks):
-            chunk = quals[b * block:(b + 1) * block]
-            futs.append((f"quality.{b}",
-                         pool.submit(bsc.compress_str_array, chunk,
-                                     num_threads=1)))
-    if cp.preserve_id:
-        id_limit = per_file if cp.paired_id_match else n
-        for b in range(-(-id_limit // block) if id_limit else 0):
-            chunk = ids[b * block:min((b + 1) * block, id_limit)]
-            futs.append((f"id.{b}", pool.submit(idcodec.compress_ids, chunk)))
-
     # --- read streams
     codes, lengths = packing.strings_to_codes(
         seqs, max(maxlen, 1)) if n else (np.zeros((0, 1), np.uint8),
@@ -120,6 +119,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     rc = np.zeros(n, np.uint8)
     nn_by_read = np.zeros(n, np.int32)
     noise_off = np.zeros(n, np.int64)      # read -> offset into noise arrays
+    lay_rank = np.full(n, -1, np.int64)    # read -> rank in layout order
     noisepos = np.empty(0, np.int32)
     noisechar = np.empty(0, np.uint8)
     seq_codes = np.empty(0, np.uint8)
@@ -144,6 +144,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             nn_by_read[g] = nn
             noise_off[g] = np.concatenate(
                 [[0], np.cumsum(nn.astype(np.int64))[:-1]])
+            lay_rank[g] = np.arange(len(g))
 
     # seq stream: u64 length + 2-bit packed consensus
     futs.append(("seq.0", pool.submit(
@@ -152,9 +153,42 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         + packing.codes_to_bitstream_2bit(
             seq_codes[None, :], np.array([len(seq_codes)])))))
 
+    # --- output order (-r): re-block by the internal reorder instead of the
+    # original order. PE keeps pairing implicit by position: output k pairs
+    # with output k + n/2 (pe_encode invariant, src/pe_encode.cpp:41-69).
+    if cp.preserve_order:
+        order_out = np.arange(n, dtype=np.int64)
+    else:
+        # aligned reads take their layout (contig-walk) rank; literal reads
+        # (N / singleton) follow in original order
+        seq_rank = lay_rank.copy()
+        rest = np.nonzero(seq_rank < 0)[0]
+        n_aligned = int((lay_rank >= 0).sum())
+        seq_rank[rest] = n_aligned + np.arange(len(rest))
+        if paired:
+            rank1 = np.argsort(seq_rank[:per_file], kind="stable")
+            order_out = np.concatenate([rank1, rank1 + per_file])
+        else:
+            order_out = np.argsort(seq_rank, kind="stable")
+
+    # --- quality + id per block, output order
+    if cp.preserve_quality and quals:
+        for b in range(cp.num_blocks):
+            chunk = [quals[i] for i in order_out[b * block:(b + 1) * block]]
+            futs.append((f"quality.{b}",
+                         pool.submit(bsc.compress_str_array, chunk,
+                                     num_threads=1)))
+    if cp.preserve_id:
+        id_limit = per_file if cp.paired_id_match else n
+        for b in range(-(-id_limit // block) if id_limit else 0):
+            chunk = [ids[i]
+                     for i in order_out[b * block:min((b + 1) * block,
+                                                      id_limit)]]
+            futs.append((f"id.{b}", pool.submit(idcodec.compress_ids, chunk)))
+
     for b in range(cp.num_blocks):
         s, e = b * block, min((b + 1) * block, n)
-        sel = np.arange(s, e)
+        sel = order_out[s:e]
         al = sel[flag[sel] == 1]
         lit = sel[flag[sel] == 0]
         # ragged gather of this block's noise, aligned reads in block order

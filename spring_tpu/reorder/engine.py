@@ -293,8 +293,6 @@ class ReorderEngine:
             shift_base=jnp.zeros((B,), jnp.int32),
             claimed=jnp.asarray(claimed),     # slot Np = scatter dump
             queue_pos=jnp.zeros((), jnp.int32),
-            emit_buf=jnp.full((FLUSH_ROUNDS, B, 4), -1, jnp.int32),
-            emit_ptr=jnp.zeros((), jnp.int32),
         )
 
     # ---------------- the jitted round ----------------
@@ -373,16 +371,23 @@ class ReorderEngine:
                               jnp.where(matched, 1, 0),
                               jnp.where(matched, t_sel, 0),
                               jnp.where(matched, rc_sel, 0)], axis=-1)
-            emit_buf = jax.lax.dynamic_update_slice(
-                state["emit_buf"], emit[None], (state["emit_ptr"], 0, 0))
 
-            return dict(counts=counts, ref_len=ref_len, active=active,
-                        shift_base=shift_base, claimed=claimed,
-                        queue_pos=queue_pos, emit_buf=emit_buf,
-                        emit_ptr=state["emit_ptr"] + 1)
+            new_state = dict(counts=counts, ref_len=ref_len, active=active,
+                             shift_base=shift_base, claimed=claimed,
+                             queue_pos=queue_pos)
+            return new_state, emit.astype(jnp.int32)
+
+        def flush_fn(state, packed, lengths, dkeys, drids, seed_order,
+                     n_real, maxshift):
+            # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
+            # and especially the TPU tunnel) would otherwise dominate
+            def body(st, _):
+                return round_fn(st, packed, lengths, dkeys, drids,
+                                seed_order, n_real, maxshift)
+            return jax.lax.scan(body, state, None, length=FLUSH_ROUNDS)
 
         self._round_impl = round_fn   # unjitted, for entry-point/driver use
-        return jax.jit(round_fn, donate_argnums=(0,))
+        return jax.jit(flush_fn, donate_argnums=(0,))
 
     # ---------------- dictionary compaction ----------------
 
@@ -429,11 +434,10 @@ class ReorderEngine:
         chunks = []
         last_claimed = 0
         while True:
-            for _ in range(FLUSH_ROUNDS):
-                state = self._round_fn(state, packed, lengths, dkeys, drids,
-                                       seed_order, n_real, maxshift)
-            buf = np.asarray(state["emit_buf"])           # syncs
-            chunks.append(buf.reshape(-1, 4).copy())
+            state, emit = self._round_fn(state, packed, lengths, dkeys,
+                                         drids, seed_order, n_real, maxshift)
+            buf = np.asarray(emit)                        # syncs
+            chunks.append(buf.reshape(-1, 4))
             queue_pos = int(state["queue_pos"])
             any_active = bool(np.asarray(state["active"]).any())
             emitted = bool((buf[..., 0] >= 0).any())
@@ -446,8 +450,6 @@ class ReorderEngine:
                 claimed_np = np.asarray(state["claimed"])[: self.N]
                 dkeys, drids = self._compact_dicts(dkeys, drids, claimed_np)
                 last_claimed = n_claimed
-            state = {**state, "emit_ptr": jnp.zeros((), jnp.int32),
-                     "emit_buf": jnp.full_like(state["emit_buf"], -1)}
         return np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4), np.int32)
 
 

@@ -62,6 +62,53 @@ def test_random_access_range(tmp_path, fq1):
         assert f.read() == want
 
 
+def _records(path):
+    with open(path, "rb") as f:
+        lines = f.read().splitlines()
+    return list(zip(lines[0::4], lines[1::4], lines[3::4]))
+
+
+def test_se_reorder_mode_multiset(tmp_path, fq1):
+    opts = api.CompressOptions(num_threads=2, verbose=False, reorder=True)
+    cp, outs = _roundtrip(tmp_path, [fq1], ["o1.fastq"], opts)
+    assert not cp.preserve_order
+    # order-insensitive equality (reference util/test_script.sh:79-92)
+    assert sorted(_records(fq1)) == sorted(_records(outs[0]))
+
+
+def test_pe_reorder_mode_pairing(tmp_path, fq1, fq2):
+    opts = api.CompressOptions(num_threads=2, verbose=False, reorder=True)
+    cp, outs = _roundtrip(tmp_path, [fq1, fq2],
+                          ["o1.fastq", "o2.fastq"], opts)
+    # the PAIR multiset must survive (pe_encode invariant,
+    # src/pe_encode.cpp:41-69): line i of file 1 pairs line i of file 2
+    orig = sorted(zip(_records(fq1), _records(fq2)))
+    got = sorted(zip(_records(outs[0]), _records(outs[1])))
+    assert orig == got
+
+
+@pytest.mark.parametrize("qmode,kw", [
+    ("ill_bin", {}),
+    ("binary", {"bin_thresholds": (53, 73, 35)}),
+    ("qvz", {"qvz_ratio": 4.0}),
+])
+def test_lossy_quality_modes(tmp_path, fq1, qmode, kw):
+    opts = api.CompressOptions(num_threads=2, verbose=False,
+                               quality_mode=qmode, **kw)
+    cp, outs = _roundtrip(tmp_path, [fq1], ["o1.fastq"], opts)
+    orig, got = _records(fq1), _records(outs[0])
+    # ids and reads survive exactly; qualities keep lengths but are binned
+    assert [r[:2] for r in orig] == [r[:2] for r in got]
+    assert all(len(a[2]) == len(b[2]) for a, b in zip(orig, got))
+    def entropy(bs):
+        c = np.bincount(np.frombuffer(bs, np.uint8), minlength=256)
+        p = c[c > 0] / c.sum()
+        return float(-(p * np.log2(p)).sum())
+    # quantization must reduce the symbol entropy of the quality stream
+    assert entropy(b"".join(r[2] for r in got)) \
+        <= entropy(b"".join(r[2] for r in orig)) + 1e-9
+
+
 def test_synthetic_overlapping_reads_ratio(tmp_path):
     # high-coverage synthetic reads must compress far below 2 bits/base
     rng = np.random.default_rng(7)
