@@ -84,22 +84,25 @@ def quantize_block(quals: list[bytes], ratio: float) -> list[bytes]:
     valid = mat != 255
     sym = np.where(valid, np.clip(mat.astype(np.int32) - QMIN, 0, NSYM - 1), 0)
 
-    # context: previous column's quantized value bucketed into NCTX
+    # context: previous column's quantized value bucketed into NCTX; with
+    # few reads the conditional histograms are too noisy, so pool contexts
+    nctx = NCTX if n >= NCTX * 64 else 1
+
     out = np.zeros_like(sym)
     ctx = np.zeros(n, np.int32)
     for col in range(L):
         v = valid[:, col]
         # conditional histogram per context
         idx = ctx * NSYM + sym[:, col]
-        hist = np.bincount(idx[v], minlength=NCTX * NSYM).reshape(NCTX, NSYM)
+        hist = np.bincount(idx[v], minlength=nctx * NSYM).reshape(nctx, NSYM)
         p = hist / np.maximum(hist.sum(axis=1, keepdims=True), 1)
-        h = _entropy(p)                      # (NCTX,)
-        maps = np.empty((NCTX, NSYM), np.int64)
-        for c in range(NCTX):
+        h = _entropy(p)                      # (nctx,)
+        maps = np.empty((nctx, NSYM), np.int64)
+        for c in range(nctx):
             k = int(np.clip(np.round(2 ** (h[c] / max(ratio, 1.0) * 1.0)),
                             1, NSYM))
             maps[c] = _lloyd_max(hist[c], k)
         out[:, col] = maps[ctx, sym[:, col]]
-        ctx = np.where(v, (out[:, col] * NCTX) // NSYM, ctx).astype(np.int32)
+        ctx = np.where(v, (out[:, col] * nctx) // NSYM, ctx).astype(np.int32)
     res = np.where(valid, out + QMIN, 0).astype(np.uint8)
     return [res[i, : len(q)].tobytes() for i, q in enumerate(quals)]

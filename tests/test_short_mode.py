@@ -109,6 +109,24 @@ def test_lossy_quality_modes(tmp_path, fq1, qmode, kw):
         <= entropy(b"".join(r[2] for r in orig)) + 1e-9
 
 
+def test_qvz_reduces_entropy_with_enough_data():
+    from spring_tpu.pipeline import qvz
+    rng = np.random.default_rng(9)
+    n, L = 2000, 60
+    sym = np.clip(rng.normal(35, 6, size=(n, L)), 0, 40).astype(np.uint8)
+    quals = [(sym[i] + 33).tobytes() for i in range(n)]
+    out = qvz.quantize_block(quals, ratio=4.0)
+
+    def entropy(bs):
+        c = np.bincount(np.frombuffer(bs, np.uint8), minlength=256)
+        p = c[c > 0] / c.sum()
+        return float(-(p * np.log2(p)).sum())
+    h0 = entropy(b"".join(quals))
+    h1 = entropy(b"".join(out))
+    assert h1 < h0 * 0.6, (h0, h1)
+    assert all(len(a) == len(b) for a, b in zip(quals, out))
+
+
 def test_synthetic_overlapping_reads_ratio(tmp_path):
     # high-coverage synthetic reads must compress far below 2 bits/base
     rng = np.random.default_rng(7)
