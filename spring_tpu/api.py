@@ -75,6 +75,20 @@ def compress(files: list[str], output: str,
         writer.finish(cp)
     _log(opts, f"compressed {cp.num_reads} reads -> "
                f"{os.path.getsize(output)} bytes in {time.time()-t0:.2f}s")
+    if opts.verbose:
+        # per-stream compressed size report (reference src/spring.cpp:228-248)
+        with ArchiveReader(output) as r:
+            sizes = r.size_by_prefix()
+        total = sum(sizes.values())
+        groups = {"reads": ("seq", "pos", "rc", "flag", "rlen", "nn", "npos",
+                            "nchar", "literal", "read1", "read2"),
+                  "quality": ("quality", "quality1", "quality2"),
+                  "id": ("id", "id1", "id2")}
+        for gname, members in groups.items():
+            sz = sum(sizes.get(m, 0) for m in members)
+            if sz:
+                _log(opts, f"  {gname} stream: {sz} bytes")
+        _log(opts, f"  total (incl. container): {total} bytes")
     return cp
 
 

@@ -78,6 +78,18 @@ def decompress_str_array(data: bytes, **kw) -> list[bytes]:
     return out
 
 
+def compress_rows(mat: np.ndarray, lens: np.ndarray, **kw) -> bytes:
+    """compress_str_array over rows of a padded (n, L) byte matrix —
+    vectorized blob construction, no per-row Python objects. Decodes with
+    decompress_str_array."""
+    lens = np.asarray(lens, dtype=np.uint32)
+    L = mat.shape[1] if mat.ndim == 2 else 0
+    valid = np.arange(L)[None, :] < lens[:, None]
+    blob = mat[valid].tobytes()
+    header = np.uint64(len(lens)).tobytes() + lens.tobytes()
+    return compress(header + blob, **kw)
+
+
 def compress_array(arr: np.ndarray, **kw) -> bytes:
     """Compress a numpy array's raw bytes (dtype/shape must be known to the
     caller at decode time)."""

@@ -13,16 +13,26 @@ from . import native
 
 
 def compress_ids(ids: list[bytes]) -> bytes:
-    lib = native.load()
     blob = b"".join(ids)
     lens = np.fromiter((len(s) for s in ids), dtype=np.uint32, count=len(ids))
-    n = len(blob)
-    src = (ctypes.c_uint8 * max(n, 1)).from_buffer_copy(blob or b"\0")
+    return compress_ids_raw(np.frombuffer(blob, np.uint8), lens)
+
+
+def compress_ids_raw(idbuf: np.ndarray, lens: np.ndarray) -> bytes:
+    """Compress ids given as a concatenated uint8 buffer + uint32 lengths
+    (zero-copy path from the native FASTQ parser)."""
+    lib = native.load()
+    idbuf = np.ascontiguousarray(idbuf, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.uint32)
+    n = int(idbuf.size)
+    srcp = (idbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if n
+            else ctypes.cast(ctypes.create_string_buffer(1),
+                             ctypes.POINTER(ctypes.c_uint8)))
     lens_c = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
-    cap = n + 16 * len(ids) + 1024
+    cap = n + 16 * len(lens) + 1024
     dst = ctypes.create_string_buffer(cap)
     got = lib.stpu_id_compress(
-        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), lens_c, len(ids),
+        srcp, lens_c, len(lens),
         ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap)
     if got < 0:
         raise RuntimeError(f"id_compress failed ({got})")

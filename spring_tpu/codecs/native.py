@@ -64,6 +64,28 @@ def load() -> ctypes.CDLL:
         lib.stpu_id_decompress.argtypes = [c_u8p, ctypes.c_int64, c_u8p,
                                            ctypes.c_int64, c_u32p,
                                            ctypes.c_int64, c_u32p]
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.stpu_fastq_ckpt_stride.restype = ctypes.c_int64
+        lib.stpu_fastq_ckpt_stride.argtypes = []
+        lib.stpu_fastq_scan.restype = ctypes.c_int64
+        lib.stpu_fastq_scan.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_int,
+                                        c_i64p, c_i64p, c_i64p, c_i64p,
+                                        c_i64p, c_i64p]
+        lib.stpu_fastq_parse.restype = ctypes.c_int64
+        lib.stpu_fastq_parse.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_int,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         c_u8p, c_i32p, c_u8p, ctypes.c_int,
+                                         c_u8p, c_u32p, c_i64p, c_i64p,
+                                         ctypes.c_int]
+        lib.stpu_pack_2bit.restype = None
+        lib.stpu_pack_2bit.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_uint32),
+                                       ctypes.c_int]
+        lib.stpu_fastq_format.restype = ctypes.c_int64
+        lib.stpu_fastq_format.argtypes = [c_u8p, c_i32p, c_u8p, c_u8p,
+                                          c_u32p, ctypes.c_int64,
+                                          ctypes.c_int64, c_u8p]
         _lib = lib
         return _lib
 

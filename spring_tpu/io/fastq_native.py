@@ -1,0 +1,126 @@
+"""Native (C++) FASTQ/FASTA loading into dense arrays.
+
+Reference analog: the block reader src/util.cpp:31-54, but instead of
+string vectors the whole file lands in fixed-shape arrays ready for the
+device: codes (n, maxlen) uint8, lengths, quality matrix, id blob+lengths.
+This is the short-read-mode fast path; the streaming Python reader
+(io/fastq.py) remains for long mode where maxlen is unbounded.
+"""
+from __future__ import annotations
+
+import ctypes
+import gzip
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codecs import native
+
+
+@dataclass
+class FastqArrays:
+    codes: np.ndarray      # (n, maxlen) uint8, 0..4
+    lengths: np.ndarray    # (n,) int32
+    quals: np.ndarray | None   # (n, maxlen) uint8 raw bytes, 0-padded
+    idbuf: np.ndarray      # concatenated id bytes (uint8)
+    idlens: np.ndarray     # (n,) uint32
+    n: int
+    maxlen: int
+
+    def id_at(self, i: int) -> bytes:
+        off = int(self.idlens[:i].sum())
+        return self.idbuf[off:off + int(self.idlens[i])].tobytes()
+
+    def ids_list(self) -> list[bytes]:
+        offs = np.concatenate([[0], np.cumsum(self.idlens)]).astype(np.int64)
+        buf = self.idbuf.tobytes()
+        return [buf[offs[i]:offs[i + 1]] for i in range(self.n)]
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def load_file(path: str, fasta: bool = False,
+              want_quals: bool = True) -> FastqArrays:
+    with open(path, "rb") as f:
+        magic = f.read(2)
+        f.seek(0)
+        raw = f.read()
+    if magic == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    lib = native.load()
+    stride = lib.stpu_fastq_ckpt_stride()
+    # generous checkpoint capacity: records <= size/2 lines
+    cap = len(buf) // (2 * stride) + 2
+    ckpt_b = np.zeros(cap, np.int64)
+    ckpt_i = np.zeros(cap, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = ctypes.c_int64()
+    maxlen = ctypes.c_int64()
+    idbytes = ctypes.c_int64()
+    qmis = ctypes.c_int64()
+    rc = lib.stpu_fastq_scan(_u8p(buf), len(buf), int(fasta),
+                             ctypes.byref(n), ctypes.byref(maxlen),
+                             ctypes.byref(idbytes), ctypes.byref(qmis),
+                             ckpt_b.ctypes.data_as(i64p),
+                             ckpt_i.ctypes.data_as(i64p))
+    if rc != 0:
+        raise ValueError(f"{path}: truncated FASTQ record")
+    if not fasta and qmis.value:
+        raise ValueError(f"{path}: quality length != read length "
+                         "(FASTA input needs --fasta-input)")
+    n_v, ml = n.value, max(maxlen.value, 1)
+    codes = np.empty((n_v, ml), np.uint8)
+    lengths = np.empty(n_v, np.int32)
+    quals = (np.empty((n_v, ml), np.uint8)
+             if (want_quals and not fasta) else None)
+    idbuf = np.empty(max(idbytes.value, 1), np.uint8)
+    idlens = np.empty(max(n_v, 1), np.uint32)
+    rc = lib.stpu_fastq_parse(
+        _u8p(buf), len(buf), int(fasta), n_v, ml, _u8p(codes),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8p(quals) if quals is not None else _u8p(np.empty(1, np.uint8)),
+        int(quals is not None), _u8p(idbuf),
+        idlens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ckpt_b.ctypes.data_as(i64p), ckpt_i.ctypes.data_as(i64p), 0)
+    if rc != 0:
+        raise ValueError(
+            f"{path}: read {-rc} contains a non-ACGTN character")
+    return FastqArrays(codes=codes, lengths=lengths, quals=quals,
+                       idbuf=idbuf, idlens=idlens, n=n_v, maxlen=maxlen.value)
+
+
+def pack_2bit(codes: np.ndarray, num_threads: int = 0) -> np.ndarray:
+    """C-parallel equivalent of packing.pack_codes (same layout)."""
+    n, L = codes.shape
+    W = -(-L // 16)
+    out = np.empty((n, W), np.uint32)
+    codes = np.ascontiguousarray(codes)
+    native.load().stpu_pack_2bit(
+        _u8p(codes), n, L, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        num_threads)
+    return out
+
+
+def format_records(chars: np.ndarray, lens: np.ndarray,
+                   quals: np.ndarray | None, idbuf: np.ndarray,
+                   idlens: np.ndarray) -> bytes:
+    """Render FASTQ (4-line) or FASTA-style (2-line) records to bytes."""
+    n, L = chars.shape
+    bound = (int(idlens.sum()) + int(lens.sum()) * (2 if quals is not None
+                                                    else 1)
+             + n * (4 + (2 if quals is not None else 0)) + 16)
+    dst = np.empty(bound, np.uint8)
+    lib = native.load()
+    w = lib.stpu_fastq_format(
+        _u8p(np.ascontiguousarray(chars)),
+        np.ascontiguousarray(lens.astype(np.int32)).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        _u8p(np.ascontiguousarray(quals)) if quals is not None else None,
+        _u8p(np.ascontiguousarray(idbuf)),
+        np.ascontiguousarray(idlens.astype(np.uint32)).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32)),
+        n, L, _u8p(dst))
+    return dst[:w].tobytes()

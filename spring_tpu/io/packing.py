@@ -63,11 +63,15 @@ def codes_to_strings(codes: np.ndarray, lengths: np.ndarray) -> list[bytes]:
 
 
 def pack_codes(codes: np.ndarray) -> np.ndarray:
-    """(n, L) uint8 ACGT codes -> (n, ceil(L/16)) uint32, 2 bits/base."""
+    """(n, L) uint8 ACGT codes -> (n, ceil(L/16)) uint32, 2 bits/base.
+
+    Codes are masked to 2 bits (an N packs as A; callers keep N-containing
+    reads out of the packed path, reference src/preprocess.cpp:293-304).
+    """
     n, L = codes.shape
     W = words_per_read(L)
     padded = np.zeros((n, W * BASES_PER_WORD), dtype=np.uint32)
-    padded[:, :L] = codes
+    padded[:, :L] = codes & 3
     padded = padded.reshape(n, W, BASES_PER_WORD)
     shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, None, :]
     return np.bitwise_or.reduce(padded << shifts, axis=2).astype(np.uint32)

@@ -74,6 +74,7 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
     n = mesh.devices.size
     C = cfg.candidates
     D = len(starts)
+    lay = eng.ProbeLayout(D, C)
 
     def round_fn(state, packed, lengths, dkeys, drids, seed_order,
                  n_real, maxshift):
@@ -107,16 +108,17 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
                 q_all[:, :, di, :], C)
             hits_r.append(rids)
             hits_v.append(hit & v_all[:, :, di, :, None])
-        cand = jnp.stack(hits_r, axis=2)
-        cvalid = jnp.stack(hits_v, axis=2)
+        B_all = q_all.shape[0]
+        cand = jnp.stack(hits_r, axis=2).reshape(B_all, lay.K)
+        cvalid = jnp.stack(hits_v, axis=2).reshape(B_all, lay.K)
         safe = jnp.clip(cand, 0, Np - 1)
-        cvalid &= ((cand >= 0) & ~claimed[safe]
-                   & act_all[:, None, None, None, None])
+        cvalid &= (cand >= 0) & ~claimed[safe] & act_all[:, None]
 
         ok, t, pr, clen = eng.verify_candidates(
             frames_all, s_all, rl_all, cand, cvalid, packed, lengths,
-            cfg.thresh)
-        matched_l, rid_l, t_l, rc_l, pr_l = eng.select_best(cand, pr, t, clen)
+            cfg.thresh, lay)
+        matched_l, rid_l, t_l, rc_l, pr_l = eng.select_best(
+            cand, pr, t, clen, lay)
 
         # merge per-device bests: min over devices by priority
         best = jnp.stack([pr_l, rid_l, t_l, rc_l], axis=-1)   # (B, 4)
@@ -249,7 +251,7 @@ class DistReorderEngine:
         claimed = np.zeros(self.Np + 1, bool)
         claimed[self.N:] = True
         return dict(
-            counts=jnp.zeros((self.B, self.Lb, 4), jnp.int32),
+            counts=jnp.zeros((self.B, 4, self.Lb), jnp.int32),
             ref_len=jnp.zeros((self.B,), jnp.int32),
             active=jnp.zeros((self.B,), bool),
             shift_base=jnp.zeros((self.B,), jnp.int32),

@@ -41,6 +41,15 @@ def quantize_block(quals: list[bytes], table: np.ndarray) -> list[bytes]:
     return out
 
 
+def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
+                    table: np.ndarray) -> np.ndarray:
+    """Vectorized table binning over a padded (n, L) quality matrix;
+    padding bytes (beyond each row's length) stay 0."""
+    L = mat.shape[1]
+    valid = np.arange(L)[None, :] < lengths[:, None]
+    return np.where(valid, table[mat], 0).astype(np.uint8)
+
+
 def make_table(mode: str, qvz_ratio: float = 8.0,
                bin_thresholds: tuple = ()) -> np.ndarray | None:
     if mode == "lossless" or mode == "qvz":

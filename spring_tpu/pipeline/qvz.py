@@ -77,11 +77,21 @@ def quantize_block(quals: list[bytes], ratio: float) -> list[bytes]:
     if L == 0:
         return quals
     n = len(quals)
-    # pad into a dense matrix; 255 = absent
     mat = np.full((n, L), 255, np.uint8)
     for i, q in enumerate(quals):
         mat[i, : len(q)] = np.frombuffer(q, np.uint8)
-    valid = mat != 255
+    lens = np.fromiter((len(q) for q in quals), np.int64, n)
+    res = quantize_matrix(mat, lens, ratio)
+    return [res[i, : len(q)].tobytes() for i, q in enumerate(quals)]
+
+
+def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
+                    ratio: float) -> np.ndarray:
+    """Quantize a padded (n, L) quality matrix; padding stays 0."""
+    n, L = mat.shape
+    if n == 0 or L == 0:
+        return mat
+    valid = np.arange(L)[None, :] < np.asarray(lengths)[:, None]
     sym = np.where(valid, np.clip(mat.astype(np.int32) - QMIN, 0, NSYM - 1), 0)
 
     # context: previous column's quantized value bucketed into NCTX; with
@@ -104,5 +114,4 @@ def quantize_block(quals: list[bytes], ratio: float) -> list[bytes]:
             maps[c] = _lloyd_max(hist[c], k)
         out[:, col] = maps[ctx, sym[:, col]]
         ctx = np.where(v, (out[:, col] * nctx) // NSYM, ctx).astype(np.int32)
-    res = np.where(valid, out + QMIN, 0).astype(np.uint8)
-    return [res[i, : len(q)].tobytes() for i, q in enumerate(quals)]
+    return np.where(valid, out + QMIN, 0).astype(np.uint8)

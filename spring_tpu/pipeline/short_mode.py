@@ -24,6 +24,8 @@ Global members: seq.0 (packed consensus), plus the JSON manifest.
 """
 from __future__ import annotations
 
+import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -32,27 +34,23 @@ from .. import params as P
 from ..codecs import bsc, idcodec
 from ..encode import consensus as cons
 from ..encode import streams as st
-from ..io import fastq, packing
+from ..io import fastq, fastq_native, packing
 from ..io.container import ArchiveReader, ArchiveWriter
 from ..io.ids import check_id_pattern, find_id_pattern, modify_id
 from . import quality as qual_mod
 
 
-def _load_all(files: list[str], cp: P.CompressionParams):
-    ids, seqs, quals = [], [], []
-    counts = []
-    for f in files:
-        n0 = len(seqs)
-        for blk in fastq.read_blocks(f, 1 << 20, fasta=cp.fasta_input):
-            if not cp.fasta_input:
-                check_quality_lengths(blk, f)
-            ids.extend(blk.ids)
-            seqs.extend(blk.seqs)
-            quals.extend(blk.quals)
-        counts.append(len(seqs) - n0)
-    if len(files) == 2 and counts[0] != counts[1]:
-        raise ValueError("paired files have different read counts")
-    return ids, seqs, quals, counts
+def _gather_ids(idbuf: np.ndarray, idoffs: np.ndarray, idlens: np.ndarray,
+                sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged gather of ids for the reads in ``sel`` (vectorized)."""
+    cnts = idlens[sel].astype(np.int64)
+    starts = idoffs[sel]
+    tot = int(cnts.sum())
+    if not tot:
+        return np.empty(0, np.uint8), idlens[sel]
+    ends = np.cumsum(cnts)
+    inner = np.arange(tot) - np.repeat(ends - cnts, cnts)
+    return idbuf[np.repeat(starts, cnts) + inner], idlens[sel]
 
 
 def check_quality_lengths(blk, path: str) -> None:
@@ -69,12 +67,28 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                    cp: P.CompressionParams, num_threads: int = 8) -> None:
     from ..reorder import engine as eng
 
+    trace = os.environ.get("SPRING_TPU_TRACE")
+    _t = time.time()
+
+    def mark(stage):
+        nonlocal _t
+        if trace:
+            now = time.time()
+            print(f"[trace] {stage}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     block = cp.num_reads_per_block
-    ids, seqs, quals, counts = _load_all(files, cp)
-    n = len(seqs)
+    want_q = cp.preserve_quality and not cp.fasta_input
+    arrs = [fastq_native.load_file(f, fasta=cp.fasta_input,
+                                   want_quals=want_q) for f in files]
+    counts = [a.n for a in arrs]
+    if len(files) == 2 and counts[0] != counts[1]:
+        raise ValueError("paired files have different read counts")
+    mark("load+parse")
+    n = sum(counts)
     cp.num_reads = n
     cp.num_blocks = -(-n // block) if n else 0
-    maxlen = max((len(s) for s in seqs), default=0)
+    maxlen = max((a.maxlen for a in arrs), default=0)
     if maxlen > P.MAX_READ_LEN:
         raise ValueError(
             f"read length {maxlen} > {P.MAX_READ_LEN}; use long mode (-l)")
@@ -82,23 +96,46 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     paired = cp.paired_end
     per_file = counts[0] if paired else n
 
+    # concatenate files into one index space (file 1 then file 2, reference
+    # src/preprocess.cpp merges the same way), padded to the common maxlen
+    ml = max(maxlen, 1)
+    codes = np.zeros((n, ml), np.uint8)
+    lengths = np.empty(n, np.int32)
+    quals = np.zeros((n, ml), np.uint8) if want_q else None
+    off = 0
+    for a in arrs:
+        codes[off:off + a.n, : a.codes.shape[1]] = a.codes
+        lengths[off:off + a.n] = a.lengths
+        if quals is not None and a.quals is not None:
+            quals[off:off + a.n, : a.quals.shape[1]] = a.quals
+        off += a.n
+    idbuf = np.concatenate([a.idbuf[: int(a.idlens.sum())] for a in arrs]) \
+        if n else np.empty(0, np.uint8)
+    idlens = (np.concatenate([a.idlens[: a.n] for a in arrs]).astype(np.uint32)
+              if n else np.empty(0, np.uint32))
+    idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
+    del arrs
+    mark("concat")
+
     # --- quality quantization (inline, reference src/preprocess.cpp:220-229)
-    if quals and cp.quality_mode in ("ill_bin", "binary"):
+    if quals is not None and cp.quality_mode in ("ill_bin", "binary"):
         table = qual_mod.make_table(cp.quality_mode, cp.qvz_ratio,
                                     cp.bin_thresholds)
-        quals = qual_mod.quantize_block(quals, table)
-    elif quals and cp.quality_mode == "qvz":
+        quals = qual_mod.quantize_matrix(quals, lengths, table)
+    elif quals is not None and cp.quality_mode == "qvz":
         from . import qvz
-        quals = qvz.quantize_block(quals, cp.qvz_ratio)
+        quals = qvz.quantize_matrix(quals, lengths, cp.qvz_ratio)
 
     # --- PE id pattern detection (reference src/preprocess.cpp:113-140)
     pattern_code = 0
     pattern_ok = False
     if paired and cp.preserve_id and per_file:
-        pattern_code = find_id_pattern(ids[0], ids[per_file])
+        def _id(i):
+            return idbuf[idoffs[i]:idoffs[i + 1]].tobytes()
+        pattern_code = find_id_pattern(_id(0), _id(per_file))
         if pattern_code:
             pattern_ok = all(
-                check_id_pattern(ids[i], ids[per_file + i], pattern_code)
+                check_id_pattern(_id(i), _id(per_file + i), pattern_code)
                 for i in range(per_file))
     cp.paired_id_match = bool(pattern_ok and pattern_code)
     cp.paired_id_code = pattern_code if cp.paired_id_match else 0
@@ -106,10 +143,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     pool = ThreadPoolExecutor(max_workers=num_threads)
     futs = []
 
-    # --- read streams
-    codes, lengths = packing.strings_to_codes(
-        seqs, max(maxlen, 1)) if n else (np.zeros((0, 1), np.uint8),
-                                         np.zeros(0, np.int32))
+    mark("quantize+idcheck")
     has_n = (codes == packing.N).any(axis=1) if n else np.zeros(0, bool)
     clean = ~has_n
     clean_rids = np.nonzero(clean)[0].astype(np.int32)
@@ -127,16 +161,22 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     if len(clean_rids) and maxlen >= 32:
         c_codes = codes[clean_rids]
         c_len = lengths[clean_rids]
-        packed = packing.pack_codes(c_codes)
+        packed = fastq_native.pack_2bit(c_codes, num_threads)
+        mark("pack")
         engine = eng.ReorderEngine(packed, c_len,
                                    eng.ReorderConfig(max_readlen=maxlen))
+        mark("dict_build")
         emissions = engine.run()
+        mark("reorder_run")
         contigs = eng.assemble_contigs(emissions, engine.B)
         layout, _singles = cons.layout_contigs(contigs, c_len)
+        mark("assemble_contigs")
         if layout.seq_len:
             seq_codes = cons.build_consensus(layout, c_codes, c_len)
+            mark("consensus")
             nn, noisepos, noisechar = cons.extract_noise(layout, seq_codes,
                                                          c_codes, c_len)
+            mark("noise")
             g = clean_rids[layout.rids]          # layout order -> global rid
             flag[g] = 1
             gpos[g] = layout.gpos
@@ -172,19 +212,19 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             order_out = np.argsort(seq_rank, kind="stable")
 
     # --- quality + id per block, output order
-    if cp.preserve_quality and quals:
+    if quals is not None:
         for b in range(cp.num_blocks):
-            chunk = [quals[i] for i in order_out[b * block:(b + 1) * block]]
+            sel = order_out[b * block:(b + 1) * block]
             futs.append((f"quality.{b}",
-                         pool.submit(bsc.compress_str_array, chunk,
-                                     num_threads=1)))
+                         pool.submit(bsc.compress_rows, quals[sel],
+                                     lengths[sel], num_threads=1)))
     if cp.preserve_id:
         id_limit = per_file if cp.paired_id_match else n
         for b in range(-(-id_limit // block) if id_limit else 0):
-            chunk = [ids[i]
-                     for i in order_out[b * block:min((b + 1) * block,
-                                                      id_limit)]]
-            futs.append((f"id.{b}", pool.submit(idcodec.compress_ids, chunk)))
+            sel = order_out[b * block:min((b + 1) * block, id_limit)]
+            ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, sel)
+            futs.append((f"id.{b}",
+                         pool.submit(idcodec.compress_ids_raw, ibuf, ilens)))
 
     for b in range(cp.num_blocks):
         s, e = b * block, min((b + 1) * block, n)
@@ -203,7 +243,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         else:
             npos_b = np.empty(0, np.int32)
             nchar_b = np.empty(0, np.uint8)
-        lit_blob = b"".join(seqs[i] for i in lit)
+        lit_chars = packing.CODE_TO_CHAR[codes[lit]]
+        lit_valid = np.arange(ml)[None, :] < lengths[lit, None]
+        lit_blob = lit_chars[lit_valid].tobytes()
         members = {
             f"flag.{b}": st.encode_u8(flag[sel]),
             f"rlen.{b}": st.encode_u16(lengths[sel]),
@@ -217,9 +259,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         for name, raw in members.items():
             futs.append((name, pool.submit(bsc.compress, raw, num_threads=1)))
 
+    mark("block_streams_submit")
     for name, fut in futs:
         writer.add(name, fut.result())
     pool.shutdown()
+    mark("codec+write")
 
 
 def decompress_short(reader: ArchiveReader, out_paths: list[str],

@@ -111,24 +111,53 @@ def _shift_right(codes: jnp.ndarray, s: jnp.ndarray, fill: int = 0) -> jnp.ndarr
 
 
 def _onehot_read(codes: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
-    """(Bw, Lb) codes -> (Bw, Lb, 4) one-hot masked by read length."""
+    """(Bw, Lb) codes -> (Bw, 4, Lb) one-hot masked by read length."""
     Lb = codes.shape[-1]
-    return (jax.nn.one_hot(codes, 4, dtype=jnp.int32)
-            * (jnp.arange(Lb)[None, :, None] < rlen[:, None, None]))
+    oh = (codes[:, None, :] == jnp.arange(4)[None, :, None])
+    valid = (jnp.arange(Lb)[None, None, :] < rlen[:, None, None])
+    return (oh & valid).astype(jnp.int32)
 
 
 # --------------- round stages (pure, walker-batched) ---------------
+#
+# TPU layout rule applied throughout: keep the LARGE axis (walkers x probe
+# slots) in the minor-most dimension and loop over the 7-word packed axis in
+# Python — 6-D arrays with a 7-wide minor dim waste 94% of every 128-lane
+# VPU tile (measured 10x on v5e).
+
+
+class ProbeLayout:
+    """Static decomposition of the flattened probe axis K = SC*D*2*C.
+
+    k = ((s * D + d) * 2 + o) * C + c. All index arrays are host numpy,
+    baked into the program as constants.
+    """
+
+    def __init__(self, D: int, C: int):
+        self.D, self.C = D, C
+        self.K = SHIFT_CHUNK * D * 2 * C
+        k = np.arange(self.K)
+        self.k_c = k % C
+        self.k_o = (k // C) % 2
+        self.k_d = (k // (C * 2)) % D
+        self.k_s = k // (C * 2 * D)
+        self.k_frame = self.k_s * 2 + self.k_o      # index into SC*2 frames
+        # priority: shift > orientation > dict > bin slot (reference search
+        # order, src/reorder.h:479-557)
+        self.pr_static = (((self.k_s * 2 + self.k_o) * D + self.k_d) * C
+                          + self.k_c).astype(np.int32)
+
 
 def walker_frames(counts, ref_len, shift_base):
     """Consensus codes + per-shift comparison frames.
 
-    Returns (ref_sh, rev_sh, frames_packed, s_tot):
+    counts: (Bw, 4, Lb). Returns (ref_sh, rev_sh, frames_packed, s_tot):
       ref_sh / rev_sh: (Bw, SC, Lb) consensus (rev-comp) shifted per shift
       frames_packed:   (Bw, SC, 2, W) packed, orientation axis
       s_tot:           (Bw, SC) absolute shift of each probe
     """
-    Lb = counts.shape[1]
-    refc = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    Lb = counts.shape[2]
+    refc = jnp.argmax(counts, axis=1).astype(jnp.int32)
     refc = jnp.where(jnp.arange(Lb) < ref_len[:, None], refc, 0)
     revc = bits.revcomp_codes(refc, ref_len)
     s_tot = shift_base[:, None] + jnp.arange(SHIFT_CHUNK)
@@ -152,55 +181,66 @@ def walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts):
     return jnp.stack(qs, axis=2), jnp.stack(vs, axis=2)
 
 
+def _prefix_word(nb: jnp.ndarray) -> jnp.ndarray:
+    """uint32 mask covering the first nb (clipped 0..16) 2-bit lanes."""
+    full = _ONES >> (32 - 2 * jnp.clip(nb, 1, 16)).astype(jnp.uint32)
+    return jnp.where(nb > 0, full, jnp.uint32(0))
+
+
 def verify_candidates(frames, s_tot, ref_len, cand, cvalid, packed, lengths,
-                      thresh):
-    """Hamming-verify gathered candidates.
+                      thresh, lay: ProbeLayout):
+    """Hamming-verify gathered candidates, flat layout.
 
-    frames: (Bw, SC, 2, W); cand/cvalid: (Bw, SC, D, 2, C).
-    Returns (ok, t, pr): accept mask, alignment offset of the oriented read
-    in the walker frame, and selection priority (lower = better; priority
-    order shift > orientation > dict > bin slot, mirroring the reference's
-    search order, src/reorder.h:479-557).
+    frames: (Bw, SC, 2, W); cand/cvalid: (Bw, K) with K = lay.K.
+    Returns (ok, t, pr, clen), all (Bw, K): accept mask, alignment offset of
+    the oriented read in the walker frame, selection priority (lower =
+    better), candidate lengths. The W packed words are a Python loop so
+    every array op runs at (Bw, K) — full 128-lane tiles.
     """
-    Np = packed.shape[0]
-    D, C = cand.shape[2], cand.shape[4]
+    Np, W = packed.shape
+    Bw = cand.shape[0]
     safe = jnp.clip(cand, 0, Np - 1)
-    cpk = packed[safe]
     clen = lengths[safe]
-    s5 = s_tot[:, :, None, None, None]
-    rl5 = ref_len[:, None, None, None, None]
-    orient = jnp.arange(2)[None, None, None, :, None]
-    lo = jnp.where(orient == 0, 0, s5)
-    hi = jnp.where(orient == 0, jnp.minimum(rl5 - s5, clen),
-                   jnp.minimum(rl5 + s5, clen))
-    ham = _masked_hamming(frames[:, :, None, :, None, :], cpk, lo, hi)
-    t = jnp.where(orient == 0, s5, rl5 + s5 - clen)
+    k_o = jnp.asarray(lay.k_o)
+    k_frame = jnp.asarray(lay.k_frame)
+    s_k = jnp.take(s_tot, jnp.asarray(lay.k_s), axis=1)      # (Bw, K)
+    rl = ref_len[:, None]
+    lo = jnp.where(k_o == 0, 0, s_k)
+    hi = jnp.where(k_o == 0, jnp.minimum(rl - s_k, clen),
+                   jnp.minimum(rl + s_k, clen))
+    t = jnp.where(k_o == 0, s_k, rl + s_k - clen)
+
+    fr2 = frames.reshape(Bw, 2 * SHIFT_CHUNK, W)
+    ham = jnp.zeros(cand.shape, jnp.int32)
+    for w in range(W):
+        fw = jnp.take(fr2[:, :, w], k_frame, axis=1)         # (Bw, K)
+        cw = jnp.take(packed[:, w], safe.reshape(-1),
+                      axis=0).reshape(Bw, -1)
+        d = fw ^ cw
+        m = (d | (d >> 1)) & _ODD
+        mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
+            & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
+        ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
+
     ok = cvalid & (ham <= thresh) & (t >= 0) & (hi > lo)
-    pr = ((s5 * 2 + orient) * D
-          + jnp.arange(D)[None, None, :, None, None]) * C \
-        + jnp.arange(C)[None, None, None, None, :]
-    pr = jnp.where(ok, pr, _BIG)
-    return ok, t, jnp.broadcast_to(pr, ok.shape), clen
+    pr = jnp.where(ok, jnp.asarray(lay.pr_static)[None, :], _BIG)
+    return ok, t, pr, clen
 
 
-def select_best(cand, pr, t, clen):
-    """Per-walker argmin over flattened (SC, D, 2, C) candidates.
+def select_best(cand, pr, t, clen, lay: ProbeLayout):
+    """Per-walker argmin over the flat probe axis.
 
     Returns (matched, rid, t_sel, rc_sel, pr_sel)."""
     Bw = cand.shape[0]
-    orient = jnp.broadcast_to(
-        jnp.arange(2)[None, None, None, :, None], cand.shape)
-    flat_pr = pr.reshape(Bw, -1)
-    sel = jnp.argmin(flat_pr, axis=1)
+    sel = jnp.argmin(pr, axis=1)
 
     def pick(x):
-        return jnp.take_along_axis(x.reshape(Bw, -1), sel[:, None],
-                                   axis=1)[:, 0]
-    pr_sel = pick(flat_pr.reshape(cand.shape))
+        return jnp.take_along_axis(x, sel[:, None], axis=1)[:, 0]
+    pr_sel = pick(pr)
     matched = pr_sel != _BIG
     rid = jnp.where(matched, pick(cand), -1)
-    return matched, rid, pick(jnp.broadcast_to(t, cand.shape)), \
-        pick(orient), pr_sel
+    rc_sel = jnp.take(jnp.asarray(lay.k_o), sel)
+    return matched, rid, pick(t), rc_sel, pr_sel
 
 
 def resolve_conflicts(matched, rid_sel):
@@ -217,16 +257,20 @@ def resolve_conflicts(matched, rid_sel):
 def apply_matches(counts, ref_len, matched, rid_sel, t_sel, rc_sel,
                   packed, lengths):
     """Consensus update (updaterefcount semantics, src/reorder.h:110-220):
-    roll the count window to the new read's start, add its one-hot."""
-    Lb = counts.shape[1]
+    roll the count window to the new read's start, add its one-hot.
+
+    counts layout (Bw, 4, Lb) — base plane as the middle axis keeps the
+    112-wide position axis minor for full VPU tiles.
+    """
+    Lb = counts.shape[2]
     Np = packed.shape[0]
     t_upd = jnp.where(matched, t_sel, 0)
-    idx = jnp.arange(Lb)[None, :] + t_upd[:, None]
+    idx = jnp.arange(Lb)[None, :] + t_upd[:, None]           # (Bw, Lb)
     keep = idx < ref_len[:, None]
     rolled = jnp.where(
-        keep[..., None],
-        jnp.take_along_axis(counts, jnp.clip(idx, 0, Lb - 1)[..., None],
-                            axis=1), 0)
+        keep[:, None, :],
+        jnp.take_along_axis(counts, jnp.clip(idx, 0, Lb - 1)[:, None, :],
+                            axis=2), 0)
     safe_rid = jnp.clip(rid_sel, 0, Np - 1)
     cur = bits.unpack(packed[safe_rid], Lb)
     cur_len = lengths[safe_rid]
@@ -287,7 +331,7 @@ class ReorderEngine:
         claimed = np.zeros(Np + 1, bool)
         claimed[self.N:] = True               # padding reads are never live
         return dict(
-            counts=jnp.zeros((B, Lb, 4), jnp.int32),
+            counts=jnp.zeros((B, 4, Lb), jnp.int32),
             ref_len=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             shift_base=jnp.zeros((B,), jnp.int32),
@@ -302,6 +346,7 @@ class ReorderEngine:
         Np = self.Np
         C = cfg.candidates
         starts = [d.start for d in self.dicts]
+        lay = ProbeLayout(len(starts), C)
 
         def round_fn(state, packed, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
@@ -323,16 +368,17 @@ class ReorderEngine:
                     q[:, :, di, :], C)
                 hits_r.append(rids)
                 hits_v.append(hit & v[:, :, di, :, None])
-            cand = jnp.stack(hits_r, axis=2)        # (B, SC, D, 2, C)
-            cvalid = jnp.stack(hits_v, axis=2)
+            # flatten (SC, D, 2, C) -> K in the ProbeLayout order
+            cand = jnp.stack(hits_r, axis=2).reshape(B, lay.K)
+            cvalid = jnp.stack(hits_v, axis=2).reshape(B, lay.K)
             safe = jnp.clip(cand, 0, Np - 1)
-            cvalid &= ((cand >= 0) & ~claimed[safe]
-                       & active[:, None, None, None, None])
+            cvalid &= (cand >= 0) & ~claimed[safe] & active[:, None]
 
             ok, t, pr, clen = verify_candidates(
                 frames, s_tot, ref_len, cand, cvalid, packed, lengths,
-                cfg.thresh)
-            matched, rid_sel, t_sel, rc_sel, _ = select_best(cand, pr, t, clen)
+                cfg.thresh, lay)
+            matched, rid_sel, t_sel, rc_sel, _ = select_best(
+                cand, pr, t, clen, lay)
             matched = resolve_conflicts(matched, rid_sel)
             rid_sel = jnp.where(matched, rid_sel, -1)
 
