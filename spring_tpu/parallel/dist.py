@@ -115,7 +115,7 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         cvalid &= (cand >= 0) & ~claimed[safe] & act_all[:, None]
 
         ok, t, pr, clen = eng.verify_candidates(
-            frames_all, s_all, rl_all, cand, cvalid, packed, lengths,
+            frames_all, s_all, rl_all, cand, cvalid, packed,
             cfg.thresh, lay)
         matched_l, rid_l, t_l, rc_l, pr_l = eng.select_best(
             cand, pr, t, clen, lay)
@@ -160,7 +160,8 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
 
         ok_seed = sl(ok_seed_g)
         seed_rid = sl(seed_rid_g)
-        seed_cnt = eng.seed_counts_for(packed, lengths, seed_rid)
+        seed_cnt = eng.seed_counts_for(packed, lengths, seed_rid,
+                                       counts.shape[2])
         counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
         ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
         shift_base = jnp.where(ok_seed, 0, shift_base)
@@ -236,10 +237,11 @@ class DistReorderEngine:
                 r = np.concatenate([r, np.full(m, -1, np.int32)])
             self.dkeys.append(k)
             self.drids.append(r)
-        packed_p = np.zeros((self.Np, self.W), np.uint32)
-        packed_p[: self.N] = packed
+        packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
+        packed_p[: self.N, : self.W] = packed
         lengths_p = np.zeros(self.Np, np.int32)
         lengths_p[: self.N] = lengths
+        packed_p[:, self.W] = lengths_p.view(np.uint32)
         self.packed = packed_p
         self.lengths = lengths_p
         self._round = build_dist_round(self.mesh, cfg, self.dict_starts,
