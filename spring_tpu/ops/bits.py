@@ -100,3 +100,112 @@ def pack_np(codes: np.ndarray) -> np.ndarray:
     """Host-side pack, same layout (delegates to io.packing)."""
     from ..io.packing import pack_codes
     return pack_codes(codes)
+
+
+# ---------- packed-domain bit arithmetic (no gathers, pure VPU) ----------
+#
+# Dynamic per-row base shifts via word-select + funnel shifts: a traced
+# shift s decomposes as s = 16*q + r; the word part is a select over the
+# (small, static) range of q, the bit part is an elementwise variable
+# shift. This replaces take_along_axis gathers, which lower to scattered
+# per-element loads on TPU (~20x slower than these register ops).
+
+def _word_shift_left(pk: jnp.ndarray, q: int) -> jnp.ndarray:
+    """out[w] = pk[w+q] (zeros beyond) — static word shift."""
+    if q == 0:
+        return pk
+    z = jnp.zeros((*pk.shape[:-1], q), pk.dtype)
+    return jnp.concatenate([pk[..., q:], z], axis=-1)
+
+
+def _word_shift_right(pk: jnp.ndarray, q: int) -> jnp.ndarray:
+    if q == 0:
+        return pk
+    z = jnp.zeros((*pk.shape[:-1], q), pk.dtype)
+    return jnp.concatenate([z, pk[..., :-q]], axis=-1)
+
+
+def shift_bases_left(pk: jnp.ndarray, s: jnp.ndarray,
+                     max_shift: int) -> jnp.ndarray:
+    """Packed equivalent of codes[..., p] = codes[..., p + s] (zero fill).
+
+    pk: (..., W) uint32; s: (...,) traced base shift in [0, max_shift].
+    """
+    q = s // BASES_PER_WORD
+    r = s % BASES_PER_WORD
+    out = _word_shift_left(pk, 0)
+    for qq in range(1, max_shift // BASES_PER_WORD + 1):
+        out = jnp.where((q == qq)[..., None], _word_shift_left(pk, qq), out)
+    hi = _word_shift_left(out, 1)
+    r2 = (2 * r)[..., None].astype(jnp.uint32)
+    shifted = (out >> r2) | jnp.where(r2 > 0, hi << (32 - r2), 0)
+    return jnp.where(r2 > 0, shifted, out)
+
+
+def shift_bases_right(pk: jnp.ndarray, s: jnp.ndarray,
+                      max_shift: int) -> jnp.ndarray:
+    """Packed equivalent of out[..., p] = codes[..., p - s] (zero fill)."""
+    q = s // BASES_PER_WORD
+    r = s % BASES_PER_WORD
+    out = _word_shift_right(pk, 0)
+    for qq in range(1, max_shift // BASES_PER_WORD + 1):
+        out = jnp.where((q == qq)[..., None], _word_shift_right(pk, qq), out)
+    lo = _word_shift_right(out, 1)
+    r2 = (2 * r)[..., None].astype(jnp.uint32)
+    shifted = (out << r2) | jnp.where(r2 > 0, lo >> (32 - r2), 0)
+    return jnp.where(r2 > 0, shifted, out)
+
+
+def _reverse_lanes(pk: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit lanes within each uint32."""
+    x = pk
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    return x
+
+
+def revcomp_packed(pk: jnp.ndarray, nbases: jnp.ndarray,
+                   max_shift_unused: int = 0) -> jnp.ndarray:
+    """Packed reverse complement within each row's own length.
+
+    pk: (..., W); nbases: (...,). Bits beyond nbases must be zero on input;
+    output also has zeros beyond nbases.
+    """
+    W = pk.shape[-1]
+    full = _reverse_lanes(~pk)[..., ::-1]       # reverse of full W*16 window
+    # the reversed read sits at the top; slide it down by W*16 - nbases.
+    # padding lanes of ~pk are 0b11 (T) — the left shift drops exactly those.
+    return shift_bases_left(full, W * BASES_PER_WORD - nbases,
+                            W * BASES_PER_WORD)
+
+
+def shift_bases_left_static(pk: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Static-shift variant of shift_bases_left (constant funnel)."""
+    a, b = divmod(s, BASES_PER_WORD)
+    out = _word_shift_left(pk, a)
+    if b == 0:
+        return out
+    hi = _word_shift_left(out, 1)
+    return (out >> (2 * b)) | (hi << (32 - 2 * b))
+
+
+def shift_bases_right_static(pk: jnp.ndarray, s: int) -> jnp.ndarray:
+    a, b = divmod(s, BASES_PER_WORD)
+    out = _word_shift_right(pk, a)
+    if b == 0:
+        return out
+    lo = _word_shift_right(out, 1)
+    return (out << (2 * b)) | (lo >> (32 - 2 * b))
+
+
+def extract_key_packed(pk: jnp.ndarray, start: int) -> jnp.ndarray:
+    """16-base key at static base offset ``start`` from packed rows."""
+    a, b = divmod(start, BASES_PER_WORD)
+    lo = pk[..., a]
+    if b == 0:
+        return lo
+    W = pk.shape[-1]
+    hi = pk[..., a + 1] if a + 1 < W else jnp.zeros_like(lo)
+    return (lo >> (2 * b)) | (hi << (32 - 2 * b))

@@ -87,9 +87,8 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         B = Bl * n
         me = jax.lax.axis_index("shard")
 
-        ref_sh, rev_sh, frames, s_tot = eng.walker_frames(
-            counts, ref_len, shift_base)
-        q, v = eng.walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts)
+        frames, s_tot = eng.walker_frames(counts, ref_len, shift_base)
+        q, v = eng.walker_queries(frames, s_tot, ref_len, starts)
 
         # dp -> everyone: all walkers' probes and frames
         gath = lambda x: jax.lax.all_gather(x, "shard", axis=0, tiled=True)

@@ -39,7 +39,7 @@ NUM_READS_PER_BLOCK_LONG = 10000    # long mode block
 CODEC_BLOCK_SIZE = 64 * 1024 * 1024
 
 # --- TPU batch geometry (no reference analog; ours) ---
-REORDER_BATCH = 4096          # parallel contig walkers per device
+REORDER_BATCH = 16384         # max parallel contig walkers per device
 DICT_PROBE_CANDIDATES = 16    # candidates gathered per dictionary probe
 
 QUALITY_MODES = ("lossless", "qvz", "ill_bin", "binary")

@@ -143,3 +143,136 @@ def probe(d: SortedDict, queries: jnp.ndarray, max_candidates: int
     rids = jnp.take(d.rids, safe, axis=0)
     shape = (*queries.shape, max_candidates)
     return rids.reshape(shape), valid.reshape(shape)
+
+
+# ---------------- bucketed hash dictionary (single-device fast path) ------
+#
+# The binary-search probe costs log2(n) sequential scattered gathers; a
+# bucketed open hash answers in 1-2 contiguous row gathers. Each bucket
+# holds SLOTS (key, start, count) entries; an overflowing key goes to the
+# next bucket; keys that overflow both are dropped (load factor <= 0.5
+# makes this < 1e-4 — those reads just stay singletons, matching is a
+# heuristic). Reference analog: the BooPHF mphf + CSR bins
+# (src/bitset_util.h:74-221), redesigned for vector probing.
+
+SLOTS = 4
+_HASH_MULT = np.uint32(0x9E3779B1)
+
+
+@dataclass
+class HashDict:
+    bkey: jnp.ndarray      # (S, SLOTS) uint32
+    bstart: jnp.ndarray    # (S, SLOTS) int32 — offset into rids
+    bcount: jnp.ndarray    # (S, SLOTS) int32
+    rids: jnp.ndarray      # (n,) int32, key-sorted bins (CSR payload)
+    start: int             # window start
+    keys_sorted: object = None   # host np array, for in-bin compaction
+
+    @property
+    def nbuckets(self) -> int:
+        return int(self.bkey.shape[0])
+
+
+def build_hash_dicts(codes: np.ndarray, lengths: np.ndarray,
+                     windows: list[DictSpec] | None = None,
+                     pad_to_pow2: bool = True) -> list[HashDict]:
+    if windows is None:
+        windows = default_windows(codes.shape[1])
+    out = []
+    for spec in windows:
+        ok = lengths >= spec.end
+        rids = np.nonzero(ok)[0].astype(np.int32)
+        keys = _window_keys_np(codes[ok], spec.start)
+        order = np.argsort(keys, kind="stable")
+        keys, rids = keys[order], rids[order]
+        if pad_to_pow2:
+            n = max(1 << max(len(keys) - 1, 1).bit_length(), 64)
+            keys = np.concatenate(
+                [keys, np.full(n - len(keys), 0xFFFFFFFF, np.uint32)])
+            rids = np.concatenate(
+                [rids, np.full(n - len(rids), -1, np.int32)])
+        uk, starts, counts = np.unique(keys, return_index=True,
+                                       return_counts=True)
+        # drop the sentinel bin (rid -1 padding)
+        if len(uk) and uk[-1] == 0xFFFFFFFF and rids[starts[-1]] == -1:
+            uk, starts, counts = uk[:-1], starts[:-1], counts[:-1]
+        S = max(1 << int(max(2 * len(uk) // SLOTS, 1) - 1).bit_length(), 64)
+        shift = 32 - int(np.log2(S))
+        bkey = np.zeros((S, SLOTS), np.uint32)
+        bstart = np.zeros((S, SLOTS), np.int32)
+        bcount = np.zeros((S, SLOTS), np.int32)
+        h = ((uk * _HASH_MULT) >> np.uint32(shift)).astype(np.int64)
+        placed = np.zeros(len(uk), bool)
+        dropped = 0
+        for attempt in range(2):               # home bucket, then next
+            b = (h + attempt) % S
+            todo = np.nonzero(~placed)[0]
+            if not len(todo):
+                break
+            # rank of each key within its target bucket this round
+            order2 = np.argsort(b[todo], kind="stable")
+            tb = b[todo][order2]
+            first = np.concatenate([[True], tb[1:] != tb[:-1]])
+            grp = np.cumsum(first) - 1
+            first_idx = np.nonzero(first)[0]
+            rank = np.arange(len(tb)) - first_idx[grp]
+            free_base = (bcount[tb, :] > 0).sum(axis=1)
+            slot = free_base + rank
+            fits = slot < SLOTS
+            ki = todo[order2[fits]]
+            bi, si = tb[fits], slot[fits]
+            bkey[bi, si] = uk[ki]
+            bstart[bi, si] = starts[ki]
+            bcount[bi, si] = counts[ki]
+            placed[ki] = True
+        dropped = int((~placed).sum())
+        if dropped:
+            import sys
+            print(f"[dict] {dropped}/{len(uk)} keys overflowed the hash "
+                  "table and were dropped", file=sys.stderr)
+        out.append(HashDict(
+            bkey=jnp.asarray(bkey), bstart=jnp.asarray(bstart),
+            bcount=jnp.asarray(bcount), rids=jnp.asarray(rids),
+            start=spec.start, keys_sorted=keys))
+    return out
+
+
+def probe_hash(bkey, bstart, bcount, rids, queries: jnp.ndarray,
+               max_candidates: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hash-probe a batch of uint32 keys. Same contract as ``probe``."""
+    S = bkey.shape[0]
+    shift = 32 - int(np.log2(S))
+    flat = queries.reshape(-1)
+    h = (flat * jnp.uint32(_HASH_MULT)) >> shift
+    start = jnp.zeros(flat.shape, jnp.int32)
+    count = jnp.zeros(flat.shape, jnp.int32)
+    for attempt in range(2):
+        b = (h + attempt) & (S - 1)
+        krow = bkey[b]                      # (Q, SLOTS) row gather
+        srow = bstart[b]
+        crow = bcount[b]
+        hit = (krow == flat[:, None]) & (crow > 0)
+        any_hit = hit.any(axis=1)
+        slot = jnp.argmax(hit, axis=1)
+        take = any_hit & (count == 0)
+        start = jnp.where(take, jnp.take_along_axis(
+            srow, slot[:, None], axis=1)[:, 0], start)
+        count = jnp.where(take, jnp.take_along_axis(
+            crow, slot[:, None], axis=1)[:, 0], count)
+    offs = jnp.arange(max_candidates, dtype=jnp.int32)
+    idx = start[:, None] + offs[None, :]
+    n = rids.shape[0]
+    valid = offs[None, :] < jnp.minimum(count, max_candidates)[:, None]
+    cand = jnp.take(rids, jnp.minimum(idx, n - 1), axis=0)
+    shape = (*queries.shape, max_candidates)
+    return cand.reshape(shape), valid.reshape(shape)
+
+
+def compact_bins(rids_np, keys_np, claimed_np):
+    """In-bin compaction: move live entries to each bin's front without
+    changing bin starts/counts (stable sort by (key, dead))."""
+    dead = (rids_np < 0) | claimed_np[np.clip(rids_np, 0, len(claimed_np) - 1)]
+    order = np.lexsort((dead, keys_np))
+    new_rids = rids_np[order].copy()
+    new_rids[dead[order]] = -1
+    return new_rids

@@ -149,34 +149,42 @@ class ProbeLayout:
 
 
 def walker_frames(counts, ref_len, shift_base):
-    """Consensus codes + per-shift comparison frames.
+    """Consensus comparison frames, computed entirely in the packed bit
+    domain (funnel shifts, no gathers — take_along_axis-style shifts lower
+    to scattered loads on TPU and dominated the round).
 
-    counts: (Bw, 4, Lb). Returns (ref_sh, rev_sh, frames_packed, s_tot):
-      ref_sh / rev_sh: (Bw, SC, Lb) consensus (rev-comp) shifted per shift
-      frames_packed:   (Bw, SC, 2, W) packed, orientation axis
-      s_tot:           (Bw, SC) absolute shift of each probe
+    counts: (Bw, 4, Lb). Returns (frames, s_tot):
+      frames: (Bw, SC, 2, W) packed consensus windows — orientation axis is
+              {forward shifted left by s, revcomp shifted right by s}
+      s_tot:  (Bw, SC) absolute shift of each probe
     """
     Lb = counts.shape[2]
     refc = jnp.argmax(counts, axis=1).astype(jnp.int32)
     refc = jnp.where(jnp.arange(Lb) < ref_len[:, None], refc, 0)
-    revc = bits.revcomp_codes(refc, ref_len)
+    ref_pk = bits.pack(refc)                         # (Bw, W)
+    rev_pk = bits.revcomp_packed(ref_pk, ref_len)
+    base_ref = bits.shift_bases_left(ref_pk, shift_base, Lb)
+    base_rev = bits.shift_bases_right(rev_pk, shift_base, Lb)
+    ref_i = [bits.shift_bases_left_static(base_ref, i)
+             for i in range(SHIFT_CHUNK)]
+    rev_i = [bits.shift_bases_right_static(base_rev, i)
+             for i in range(SHIFT_CHUNK)]
+    frames = jnp.stack([jnp.stack(ref_i, axis=1),
+                        jnp.stack(rev_i, axis=1)], axis=2)
     s_tot = shift_base[:, None] + jnp.arange(SHIFT_CHUNK)
-    ref_sh = _shift_left(refc[:, None, :], s_tot)
-    rev_sh = _shift_right(revc[:, None, :], s_tot)
-    frames = jnp.stack([bits.pack(ref_sh), bits.pack(rev_sh)], axis=2)
-    return ref_sh, rev_sh, frames, s_tot
+    return frames, s_tot
 
 
-def walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts):
-    """Dictionary queries per dict window. Returns (q, v): (Bw, SC, D, 2)."""
+def walker_queries(frames, s_tot, ref_len, starts):
+    """Dictionary queries from the packed frames. Returns (q, v):
+    (Bw, SC, D, 2)."""
     qs, vs = [], []
     for st in starts:
-        q_fwd = bits.extract_key(ref_sh, st, dct.KEY_BASES)
-        q_rev = bits.extract_key(rev_sh, st, dct.KEY_BASES)
+        k = bits.extract_key_packed(frames, st)      # (Bw, SC, 2)
         v_fwd = (s_tot + st + dct.KEY_BASES) <= ref_len[:, None]
         v_rev = (s_tot <= st) & ((st + dct.KEY_BASES - s_tot)
                                  <= ref_len[:, None])
-        qs.append(jnp.stack([q_fwd, q_rev], axis=2))
+        qs.append(k)
         vs.append(jnp.stack([v_fwd, v_rev], axis=2))
     return jnp.stack(qs, axis=2), jnp.stack(vs, axis=2)
 
@@ -312,13 +320,13 @@ class ReorderEngine:
         # compiled program (padding reads are pre-claimed, never touched)
         self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64)
         # enough walkers to keep the device busy, but few enough that seeds
-        # don't fragment the contig space (each walker owns ~64+ reads)
-        self.B = int(min(cfg.num_walkers, max(8, self.Np // 64)))
+        # don't fragment the contig space (each walker owns ~32+ reads)
+        self.B = int(min(cfg.num_walkers, max(8, self.Np // 32)))
         self.windows = dct.default_windows(cfg.max_readlen)
         from ..io.packing import unpack_codes
         codes_np = unpack_codes(packed, cfg.max_readlen)
-        self.dicts = dct.build_dicts(codes_np, lengths, self.windows,
-                                     pad_to_pow2=True)
+        self.dicts = dct.build_hash_dicts(codes_np, lengths, self.windows,
+                                          pad_to_pow2=True)
         # packed rows carry the read length as a trailing word so candidate
         # verification needs a single row gather (see verify_candidates)
         packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
@@ -334,14 +342,21 @@ class ReorderEngine:
 
     def _init_state(self):
         B, Lb, Np = self.B, self.Lb, self.Np
-        claimed = np.zeros(Np + 1, bool)
-        claimed[self.N:] = True               # padding reads are never live
+        # claimed set as a bitmap: gathers hit a table 32x smaller (cache-
+        # resident), scatters become distinct-bit adds. Last word is a
+        # scatter dump for inactive lanes.
+        nwords = Np // 32 + 2
+        claimed = np.zeros(nwords, np.uint32)
+        pad = np.zeros(Np, bool)
+        pad[self.N:] = True                   # padding reads are never live
+        claimed[: Np // 32] = np.packbits(
+            pad, bitorder="little").view(np.uint32)
         return dict(
             counts=jnp.zeros((B, 4, Lb), jnp.int32),
             ref_len=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             shift_base=jnp.zeros((B,), jnp.int32),
-            claimed=jnp.asarray(claimed),     # slot Np = scatter dump
+            claimed=jnp.asarray(claimed),
             queue_pos=jnp.zeros((), jnp.int32),
         )
 
@@ -363,22 +378,34 @@ class ReorderEngine:
             claimed = state["claimed"]
             B = counts.shape[0]
 
-            ref_sh, rev_sh, frames, s_tot = walker_frames(
-                counts, ref_len, shift_base)
-            q, v = walker_queries(ref_sh, rev_sh, s_tot, ref_len, starts)
+            frames, s_tot = walker_frames(counts, ref_len, shift_base)
+            q, v = walker_queries(frames, s_tot, ref_len, starts)
 
             hits_r, hits_v = [], []
-            for di, st in enumerate(starts):
-                rids, hit = dct.probe(
-                    dct.SortedDict(dkeys[di], drids[di], st),
-                    q[:, :, di, :], C)
+            for di in range(len(starts)):
+                bkey, bstart, bcount = dkeys[di]
+                rids, hit = dct.probe_hash(bkey, bstart, bcount, drids[di],
+                                           q[:, :, di, :], C)
                 hits_r.append(rids)
                 hits_v.append(hit & v[:, :, di, :, None])
             # flatten (SC, D, 2, C) -> K in the ProbeLayout order
+            nwords = Np // 32 + 2
+
+            def claimed_bit(idx):
+                w = claimed[idx >> 5]
+                return ((w >> (idx & 31).astype(jnp.uint32)) & 1) == 1
+
+            def claim(cond, idx):
+                word = jnp.where(cond, idx >> 5, nwords - 1)
+                bit = jnp.where(
+                    cond, jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
+                    jnp.uint32(0))
+                return claimed.at[word].add(bit)
+
             cand = jnp.stack(hits_r, axis=2).reshape(B, lay.K)
             cvalid = jnp.stack(hits_v, axis=2).reshape(B, lay.K)
             safe = jnp.clip(cand, 0, Np - 1)
-            cvalid &= (cand >= 0) & ~claimed[safe] & active[:, None]
+            cvalid &= (cand >= 0) & ~claimed_bit(safe) & active[:, None]
 
             ok, t, pr, clen = verify_candidates(
                 frames, s_tot, ref_len, cand, cvalid, packed,
@@ -391,7 +418,7 @@ class ReorderEngine:
             counts, ref_len = apply_matches(
                 counts, ref_len, matched, rid_sel, t_sel, rc_sel,
                 packed, lengths)
-            claimed = claimed.at[jnp.where(matched, rid_sel, Np)].set(True)
+            claimed = claim(matched, jnp.clip(rid_sel, 0, Np - 1))
             shift_base = jnp.where(matched, 0, shift_base)
 
             # walkers that found nothing advance their shift window / die
@@ -407,8 +434,8 @@ class ReorderEngine:
             qidx = state["queue_pos"] + rank
             in_range = inactive & (qidx < n_real)
             seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
-            ok_seed = in_range & ~claimed[jnp.where(in_range, seed_rid, Np)]
-            claimed = claimed.at[jnp.where(ok_seed, seed_rid, Np)].set(True)
+            ok_seed = in_range & ~claimed_bit(seed_rid)
+            claimed = claim(ok_seed, seed_rid)
             seed_cnt = seed_counts_for(packed, lengths, seed_rid,
                                        counts.shape[2])
             counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
@@ -444,24 +471,16 @@ class ReorderEngine:
 
     # ---------------- dictionary compaction ----------------
 
-    def _compact_dicts(self, dkeys, drids, claimed_np):
-        """Drop claimed reads from the sorted arrays, shape-preserving
-        (freed tail slots get rid -1 / key 0xFFFFFFFF so probes skip them).
-        Equivalent of the reference's in-bin deletion (src/bitset_util.cpp:38-63).
-        """
-        out_k, out_r = [], []
-        for k, r in zip(dkeys, drids):
-            k_np = np.asarray(k)
+    def _compact_dicts(self, drids, claimed_np):
+        """Move live entries to the front of every bin (bin starts/counts
+        unchanged). Equivalent of the reference's in-bin deletion
+        (src/bitset_util.cpp:38-63)."""
+        out_r = []
+        for d, r in zip(self.dicts, drids):
             r_np = np.asarray(r)
-            live = (r_np >= 0) & ~claimed_np[np.clip(r_np, 0, self.N - 1)]
-            nk = np.full_like(k_np, 0xFFFFFFFF)
-            nr = np.full_like(r_np, -1)
-            nlive = int(live.sum())
-            nk[:nlive] = k_np[live]
-            nr[:nlive] = r_np[live]
-            out_k.append(jnp.asarray(nk))
-            out_r.append(jnp.asarray(nr))
-        return out_k, out_r
+            out_r.append(jnp.asarray(
+                dct.compact_bins(r_np, d.keys_sorted, claimed_np)))
+        return out_r
 
     # ---------------- driver loop ----------------
 
@@ -469,7 +488,7 @@ class ReorderEngine:
         """Returns emissions (R*B, 4) int32 rows (rid, flag, pos_delta, rc)
         in round-major walker order; rid == -1 rows are empty slots."""
         state = self._init_state()
-        dkeys = [d.keys for d in self.dicts]
+        dkeys = [(d.bkey, d.bstart, d.bcount) for d in self.dicts]
         drids = [d.rids for d in self.dicts]
         packed, lengths = self.packed, self.lengths
         # strided seed order: the first B seeds land evenly spread over the
@@ -498,10 +517,12 @@ class ReorderEngine:
                 progress(queue_pos, self.N)
             if queue_pos >= self.N and not any_active and not emitted:
                 break
-            n_claimed = int(np.asarray(state["claimed"])[: self.N].sum())
+            claimed_np = np.unpackbits(
+                np.asarray(state["claimed"])[: self.Np // 32].view(np.uint8),
+                bitorder="little")[: self.N].astype(bool)
+            n_claimed = int(claimed_np.sum())
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
-                claimed_np = np.asarray(state["claimed"])[: self.N]
-                dkeys, drids = self._compact_dicts(dkeys, drids, claimed_np)
+                drids = self._compact_dicts(drids, claimed_np)
                 last_claimed = n_claimed
         return np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4), np.int32)
 
