@@ -90,6 +90,23 @@ def compress_rows(mat: np.ndarray, lens: np.ndarray, **kw) -> bytes:
     return compress(header + blob, **kw)
 
 
+def decompress_rows(data: bytes, max_len: int | None = None,
+                    **kw) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of compress_rows / compress_str_array into a padded matrix.
+
+    Returns (mat (n, L) uint8 zero-padded, lens (n,) int32).
+    """
+    raw = decompress(data, **kw)
+    count = int(np.frombuffer(raw[:8], dtype=np.uint64)[0])
+    lens = np.frombuffer(raw[8:8 + 4 * count], dtype=np.uint32).astype(np.int32)
+    blob = np.frombuffer(raw[8 + 4 * count:], dtype=np.uint8)
+    L = max_len if max_len is not None else (int(lens.max()) if count else 0)
+    mat = np.zeros((count, max(L, 1)), np.uint8)
+    valid = np.arange(max(L, 1))[None, :] < lens[:, None]
+    mat[valid] = blob
+    return mat, lens
+
+
 def compress_array(arr: np.ndarray, **kw) -> bytes:
     """Compress a numpy array's raw bytes (dtype/shape must be known to the
     caller at decode time)."""

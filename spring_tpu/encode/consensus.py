@@ -79,20 +79,40 @@ def build_consensus(layout: ContigLayout, codes: np.ndarray,
 
     codes: (N, L) uint8 code rows for ALL reads (indexed by rid).
     Returns (seq_len,) uint8 consensus codes.
+
+    layout.gpos is nondecreasing (contig-major, cumulative in-contig
+    offsets), so each read chunk touches one contiguous window — the
+    bincount temporaries stay chunk-sized instead of seq-sized (large fresh
+    allocations fault at ~30 MB/s on this host).
     """
     L = codes.shape[1]
     total = layout.seq_len
-    counts = np.zeros(total * 4, dtype=np.int32)
-    for s in range(0, len(layout.rids), _CHUNK):
-        e = min(s + _CHUNK, len(layout.rids))
+    out = np.empty(total, dtype=np.uint8)
+    M = len(layout.rids)
+    carry = np.zeros((0, 4), np.int64)
+    carry_lo = 0
+    for s in range(0, M, _CHUNK):
+        e = min(s + _CHUNK, M)
         rids = layout.rids[s:e]
         rl = lengths[rids]
         cur = _oriented_codes(codes[rids], rl, layout.rc[s:e])
-        pos = layout.gpos[s:e, None] + np.arange(L)[None, :]
+        lo = min(int(layout.gpos[s]), carry_lo)
+        hi = max(int((layout.gpos[s:e] + rl).max()),
+                 carry_lo + len(carry))
+        pos = (layout.gpos[s:e, None] - lo) + np.arange(L)[None, :]
         valid = np.arange(L)[None, :] < rl[:, None]
         idx = (pos * 4 + cur).astype(np.int64)[valid]
-        counts += np.bincount(idx, minlength=total * 4).astype(np.int32)
-    return np.argmax(counts.reshape(total, 4), axis=1).astype(np.uint8)
+        counts = np.bincount(idx, minlength=(hi - lo) * 4).reshape(-1, 4)
+        if len(carry):
+            counts[carry_lo - lo: carry_lo - lo + len(carry)] += carry
+        # positions below the next chunk's first read start are final
+        fin = (int(layout.gpos[e]) if e < M else hi) - lo
+        out[lo:lo + fin] = np.argmax(counts[:fin], axis=1)
+        carry = counts[fin:]
+        carry_lo = lo + fin
+    if len(carry):
+        out[carry_lo: carry_lo + len(carry)] = np.argmax(carry, axis=1)
+    return out
 
 
 def extract_noise(layout: ContigLayout, consensus: np.ndarray,

@@ -153,6 +153,17 @@ class BlockWriter:
             for t in texts:
                 self._f.write(t)
 
+    def write_bytes(self, blob: bytes) -> None:
+        """Write pre-formatted record text (from the native formatter),
+        gzipping in parallel chunks when requested."""
+        if not self.gzipped:
+            self._f.write(blob)
+            return
+        chunk = 4 << 20
+        pieces = [blob[i:i + chunk] for i in range(0, len(blob), chunk)]
+        for out in self._pool.map(_gzip_member, pieces):
+            self._f.write(out)
+
     def close(self) -> None:
         if self._pool:
             self._pool.shutdown()

@@ -298,10 +298,16 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
                                 per_file)
                     for b in range(b0, b1 + 1)]
             for b, fut in zip(range(b0, b1 + 1), futs):
-                ids, sq, ql = fut.result()
+                idbuf, idlens, chars, rlen, qmat = fut.result()
                 s = max(flo - b * block, 0)
-                e = min(fhi - b * block, len(sq))
-                w.write_block(ids[s:e], sq[s:e], ql[s:e] if ql else None)
+                e = min(fhi - b * block, len(rlen))
+                idoffs = np.concatenate(
+                    [[0], np.cumsum(idlens.astype(np.int64))])
+                blob = fastq_native.format_records(
+                    chars[s:e], rlen[s:e],
+                    qmat[s:e] if qmat is not None else None,
+                    idbuf[idoffs[s]:idoffs[e]], idlens[s:e])
+                w.write_bytes(blob)
     finally:
         pool.shutdown()
         for w in writers:
@@ -319,26 +325,31 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))
     npos = st.decode_u16(bsc.decompress(reader.get_block("npos", b)))
     nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b)))
-    lit = bsc.decompress(reader.get_block("literal", b))
+    lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b)),
+                        np.uint8)
 
     m = len(flag)
+    L = max(int(rlen.max()) if m else 0, 1)
     al = np.nonzero(flag == 1)[0]
-    seqs: list[bytes] = [b""] * m
+    codes = np.zeros((m, L), np.uint8)
     if len(al):
         rows = cons.reconstruct_reads(seq_codes, gpos, rlen[al],
                                       rc, nn, npos, nchar)
-        chars = packing.CODE_TO_CHAR[rows]
-        for k, i in enumerate(al):
-            seqs[i] = chars[k, : rlen[i]].tobytes()
-    off = 0
-    for i in np.nonzero(flag == 0)[0]:
-        seqs[i] = lit[off:off + rlen[i]]
-        off += int(rlen[i])
+        codes[al, : rows.shape[1]] = rows
+    chars = packing.CODE_TO_CHAR[codes]
+    li = np.nonzero(flag == 0)[0]
+    if len(li):
+        lvalid = np.arange(L)[None, :] < rlen[li, None]
+        lrows = np.zeros((len(li), L), np.uint8)
+        lrows[lvalid] = lit
+        chars[li] = np.where(lvalid, lrows, 0)
+    valid = np.arange(L)[None, :] < rlen[:, None]
+    chars = np.where(valid, chars, 0).astype(np.uint8)
 
-    quals = None
+    qmat = None
     if cp.preserve_quality and not cp.fasta_input:
-        quals = bsc.decompress_str_array(
-            reader.get_block("quality", b), num_threads=1)
+        qmat, _qlens = bsc.decompress_rows(
+            reader.get_block("quality", b), max_len=L, num_threads=1)
     if cp.preserve_id:
         if cp.paired_id_match and s >= per_file:
             ids = _pe_ids_range(reader, cp, s, s + m, per_file)
@@ -349,9 +360,13 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
                 # file-1 ids
                 ids = ids[: per_file - s] + _pe_ids_range(
                     reader, cp, per_file, s + m, per_file)
+        idbuf = np.frombuffer(b"".join(ids), np.uint8)
+        idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
     else:
         ids = [f"@{s + i + 1}".encode() for i in range(m)]
-    return ids, seqs, quals
+        idbuf = np.frombuffer(b"".join(ids), np.uint8)
+        idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
+    return idbuf, idlens, chars, rlen.astype(np.int32), qmat
 
 
 def _pe_ids_range(reader, cp, g0: int, g1: int, per_file: int) -> list[bytes]:
