@@ -92,6 +92,12 @@ def main() -> None:
     log(f"compressed in {dt:.2f}s -> {arc_bytes / 1e6:.2f} MB "
         f"({arc_bytes * 8 / (N_READS * READ_LEN):.3f} bits/base overall)")
 
+    from spring_tpu.io.container import ArchiveReader
+    with ArchiveReader(arc) as r:
+        sizes = r.size_by_prefix()
+    for k in sorted(sizes, key=lambda k: -sizes[k]):
+        log(f"  stream {k}: {sizes[k]} B")
+
     t1 = time.time()
     api.decompress(arc, [out], verbose=False,
                    num_threads=os.cpu_count() or 8)

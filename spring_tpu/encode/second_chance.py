@@ -1,0 +1,159 @@
+"""Second-chance alignment: place leftover reads against the consensus.
+
+Reference analog: the encoder's singleton re-alignment — dictionaries are
+built over the unplaced reads (singletons + N-containing reads, 3-bit
+bitsets so N never matches) and every contig position probes them, accepting
+Hamming <= THRESH_ENCODER=24 (src/encoder.h:242-351, dicts at
+src/encoder.h:610-624).
+
+TPU-first design: the roles make this embarrassingly parallel — every
+consensus position p extracts a 16-mer key (funnel shift from the packed
+sequence), probes hash dicts built over two windows of the oriented reads
+(bases [0,16) and [16,32) — an error in one window still matches via the
+other), and verifies all candidates in one fixed-shape jitted pass over
+position chunks. N bases ride along as a second 2-bit plane that forces a
+mismatch. Multiple positions matching the same read are resolved on the
+host (lowest position wins). No iteration, no locks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params as P
+from ..io import packing
+from ..ops import bits
+from ..reorder import dictionary as dct
+
+_ODD = jnp.uint32(0x55555555)
+_BIG = jnp.iinfo(jnp.int32).max
+CHUNK = 1 << 20      # consensus positions per device pass
+CANDS = 8
+WINDOWS = (0, 16)    # read-local key windows (reference uses 0-20 / 21-41)
+
+
+def _pack_with_nmask(codes: np.ndarray) -> np.ndarray:
+    """(n, L) codes (0..4) -> (n, 2W+1) uint32: 2-bit packed (N as A),
+    N-mask plane (lane 1 where N), plus a length slot."""
+    n, L = codes.shape
+    W = bits.words_per_read(L)
+    pk = packing.pack_codes(codes)                   # masks to 2 bits
+    nm = packing.pack_codes((codes == packing.N).astype(np.uint8))
+    out = np.zeros((n, 2 * W + 1), np.uint32)
+    out[:, :W] = pk
+    out[:, W:2 * W] = nm
+    return out
+
+
+def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
+                    lengths: np.ndarray, thresh: int = P.THRESH_ENCODER
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Try to place each read (rows of codes/lengths) on the consensus.
+
+    Returns (gpos, rc, placed) per input read; gpos is the start of the
+    oriented read in seq coordinates, -1 if unplaced.
+    """
+    n = len(codes)
+    out_pos = np.full(n, -1, np.int64)
+    out_rc = np.zeros(n, np.uint8)
+    total = len(seq_codes)
+    if n == 0 or total < dct.KEY_BASES:
+        return out_pos, out_rc, out_pos >= 0
+
+    # both orientations; dict rid = 2*read + orientation
+    rcods = packing.revcomp_codes(codes, lengths)
+    both = np.concatenate([codes, rcods], axis=0)
+    lens2 = np.concatenate([lengths, lengths])
+    dicts = dct.build_hash_dicts(both, lens2,
+                                 [dct.DictSpec(st) for st in WINDOWS],
+                                 pad_to_pow2=True)
+    enc = []
+    for d in dicts:
+        r = np.asarray(d.rids)
+        enc.append(jnp.asarray(np.where(
+            r < 0, -1, np.where(r < n, 2 * r, 2 * (r - n) + 1)
+        ).astype(np.int32)))
+
+    L = codes.shape[1]
+    W = bits.words_per_read(L)
+    rows = _pack_with_nmask(both)
+    rows[:, 2 * W] = lens2.astype(np.uint32)
+    rows_j = jnp.asarray(rows)
+
+    # packed consensus, padded by a word on each side for window reads
+    pad = 16
+    seq_pk = packing.pack_codes(np.concatenate(
+        [np.zeros(pad, np.uint8), seq_codes,
+         np.zeros((W + 2) * 16, np.uint8)])[None, :])[0]
+    seq_j = jnp.asarray(seq_pk)
+
+    darrs = [(d.bkey, d.bstart, d.bcount, enc[i], WINDOWS[i])
+             for i, d in enumerate(dicts)]
+
+    @jax.jit
+    def chunk_match(p0):
+        p = p0 + jnp.arange(CHUNK)
+        pv = p < total - dct.KEY_BASES + 1
+        wi = (p >> 4) + (pad // 16)          # word index of p in padded seq
+        r2 = (2 * (p & 15)).astype(jnp.uint32)
+
+        def win_word(off):   # seq word at base position p + 16*off
+            lo = seq_j[wi + off]
+            hi = seq_j[wi + off + 1]
+            return jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
+
+        fw = {off: win_word(off) for off in range(-1, W)}
+        key = fw[0]
+
+        best_pr = jnp.full((CHUNK,), _BIG, jnp.int32)
+        best_rid = jnp.full((CHUNK,), -1, jnp.int32)
+        best_p = jnp.zeros((CHUNK,), jnp.int32)
+        for bkey, bstart, bcount, drids, st in darrs:
+            woff = st // 16
+            cand, hit = dct.probe_hash(bkey, bstart, bcount, drids, key,
+                                       CANDS)
+            ok0 = hit & (cand >= 0) & pv[:, None] & (p >= st)[:, None]
+            safe = jnp.clip(cand, 0, rows_j.shape[0] - 1)
+            crows = rows_j[safe]                    # (P, C, 2W+1)
+            clen = crows[..., 2 * W].astype(jnp.int32)
+            ham = jnp.zeros(cand.shape, jnp.int32)
+            for w in range(W):
+                dd = fw[w - woff][:, None] ^ crows[..., w]
+                m = ((dd | (dd >> 1)) | crows[..., W + w]) & _ODD
+                k = jnp.clip(clen - 16 * w, 0, 16)
+                full = jnp.uint32(0xFFFFFFFF) >> (
+                    32 - 2 * jnp.clip(k, 1, 16)).astype(jnp.uint32)
+                mw = jnp.where(k > 0, full, jnp.uint32(0))
+                ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
+            p_al = (p - st)[:, None]
+            fits = (p_al >= 0) & ((p_al + clen) <= total)
+            ok = ok0 & fits & (ham <= thresh)
+            pr = jnp.where(ok, ham, _BIG)
+            sel = jnp.argmin(pr, axis=1)
+            prs = jnp.take_along_axis(pr, sel[:, None], axis=1)[:, 0]
+            rids = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
+            better = prs < best_pr
+            best_pr = jnp.where(better, prs, best_pr)
+            best_rid = jnp.where(better, rids, best_rid)
+            best_p = jnp.where(better, (p - st).astype(jnp.int32), best_p)
+        return best_rid, best_p
+
+    match_r, match_p = [], []
+    for p0 in range(0, max(total - dct.KEY_BASES + 1, 1), CHUNK):
+        rid, pal = chunk_match(jnp.asarray(p0, jnp.int32))
+        rid_np = np.asarray(rid)
+        sel = rid_np >= 0
+        if sel.any():
+            match_r.append(rid_np[sel])
+            match_p.append(np.asarray(pal)[sel])
+    if not match_r:
+        return out_pos, out_rc, out_pos >= 0
+    rids_all = np.concatenate(match_r)
+    pos_all = np.concatenate(match_p)
+    read_idx = rids_all >> 1
+    rc_all = (rids_all & 1).astype(np.uint8)
+    uniq, first = np.unique(read_idx, return_index=True)
+    out_pos[uniq] = pos_all[first]
+    out_rc[uniq] = rc_all[first]
+    return out_pos, out_rc, out_pos >= 0

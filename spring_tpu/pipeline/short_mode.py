@@ -186,6 +186,33 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 [[0], np.cumsum(nn.astype(np.int64))[:-1]])
             lay_rank[g] = np.arange(len(g))
 
+    # second chance: align N-reads and singleton-contig reads against the
+    # consensus (reference src/encoder.h:242-351)
+    leftover = np.nonzero(flag == 0)[0]
+    if len(leftover) and len(seq_codes) >= 16 and maxlen >= 32:
+        from ..encode import second_chance as sc
+        g2pos, g2rc, placed = sc.align_leftovers(
+            seq_codes, codes[leftover], lengths[leftover])
+        g2 = leftover[placed]
+        if len(g2):
+            order2 = np.argsort(g2pos[placed], kind="stable")
+            g2 = g2[order2]
+            flag[g2] = 1
+            gpos[g2] = g2pos[placed][order2]
+            rc[g2] = g2rc[placed][order2]
+            lay2 = cons.ContigLayout(rids=g2.astype(np.int32),
+                                     gpos=gpos[g2], rc=rc[g2],
+                                     seq_len=len(seq_codes))
+            nn2, npos2, nchar2 = cons.extract_noise(lay2, seq_codes,
+                                                    codes, lengths)
+            nn_by_read[g2] = nn2
+            noise_off[g2] = len(noisepos) + np.concatenate(
+                [[0], np.cumsum(nn2.astype(np.int64))[:-1]])
+            noisepos = np.concatenate([noisepos, npos2])
+            noisechar = np.concatenate([noisechar, nchar2])
+            lay_rank[g2] = int((lay_rank >= 0).sum()) + np.arange(len(g2))
+        mark("second_chance")
+
     # seq stream: u64 length + 2-bit packed consensus
     futs.append(("seq.0", pool.submit(
         bsc.compress,
