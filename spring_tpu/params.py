@@ -40,7 +40,8 @@ CODEC_BLOCK_SIZE = 64 * 1024 * 1024
 
 # --- TPU batch geometry (no reference analog; ours) ---
 REORDER_BATCH = 16384         # max parallel contig walkers per device
-DICT_PROBE_CANDIDATES = 16    # candidates gathered per dictionary probe
+DICT_PROBE_CANDIDATES = 8     # candidates gathered per dictionary probe
+                              # (bin scan cap; compaction refreshes bins)
 
 QUALITY_MODES = ("lossless", "qvz", "ill_bin", "binary")
 

@@ -260,10 +260,24 @@ def probe_hash(bkey, bstart, bcount, rids, queries: jnp.ndarray,
         count = jnp.where(take, jnp.take_along_axis(
             crow, slot[:, None], axis=1)[:, 0], count)
     offs = jnp.arange(max_candidates, dtype=jnp.int32)
-    idx = start[:, None] + offs[None, :]
     n = rids.shape[0]
     valid = offs[None, :] < jnp.minimum(count, max_candidates)[:, None]
-    cand = jnp.take(rids, jnp.minimum(idx, n - 1), axis=0)
+    if max_candidates <= 8 and n % 8 == 0:
+        # two contiguous 8-wide row gathers + an offset select chain —
+        # ~10x cheaper than per-element gathers on TPU
+        r2d = rids.reshape(-1, 8)
+        nrows = r2d.shape[0]
+        b0 = jnp.clip(start >> 3, 0, nrows - 1)
+        both = jnp.concatenate(
+            [r2d[b0], r2d[jnp.minimum(b0 + 1, nrows - 1)]], axis=-1)
+        off = start & 7
+        cand = both[:, :max_candidates]
+        for o in range(1, 8):
+            cand = jnp.where((off == o)[:, None],
+                             both[:, o:o + max_candidates], cand)
+    else:
+        idx = start[:, None] + offs[None, :]
+        cand = jnp.take(rids, jnp.minimum(idx, n - 1), axis=0)
     shape = (*queries.shape, max_candidates)
     return cand.reshape(shape), valid.reshape(shape)
 

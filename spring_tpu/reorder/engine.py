@@ -213,7 +213,11 @@ def verify_candidates(frames, s_tot, ref_len, cand, cvalid, packed_ext,
     safe = jnp.clip(cand, 0, Np - 1)
     rows = packed_ext[safe]                  # (Bw, K, W+1) single gather
     rowsT = jnp.moveaxis(rows, -1, 0)        # (W+1, Bw, K)
-    clen = rowsT[W].astype(jnp.int32)
+    # length word carries the claimed flag in bit 31 (set by the round's
+    # claim scatter) — claimed state rides the row gather for free
+    lw = rowsT[W]
+    claimed_row = (lw >> 31) == 1
+    clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     k_o = jnp.asarray(lay.k_o)
     k_frame = jnp.asarray(lay.k_frame)
     s_k = jnp.take(s_tot, jnp.asarray(lay.k_s), axis=1)      # (Bw, K)
@@ -234,7 +238,7 @@ def verify_candidates(frames, s_tot, ref_len, cand, cvalid, packed_ext,
             & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
         ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
 
-    ok = cvalid & (ham <= thresh) & (t >= 0) & (hi > lo)
+    ok = cvalid & ~claimed_row & (ham <= thresh) & (t >= 0) & (hi > lo)
     pr = jnp.where(ok, jnp.asarray(lay.pr_static)[None, :], _BIG)
     return ok, t, pr, clen
 
@@ -266,28 +270,52 @@ def resolve_conflicts(matched, rid_sel):
     return matched & winner
 
 
+def _shift_last_static(x, s: int):
+    """x[..., p] = x[..., p + s], zero fill (static s)."""
+    if s == 0:
+        return x
+    z = jnp.zeros((*x.shape[:-1], s), x.dtype)
+    return jnp.concatenate([x[..., s:], z], axis=-1)
+
+
+def _roll_counts(x, t):
+    """Dynamic per-row left roll of (Bw, 4, Lb) along positions via two
+    static select chains (t = 8q + r) — gather-free."""
+    Lb = x.shape[-1]
+    q, r = t // 8, t % 8
+    out = x
+    for qq in range(1, Lb // 8 + 1):
+        out = jnp.where((q == qq)[:, None, None],
+                        _shift_last_static(x, 8 * qq), out)
+    base = out
+    for rr in range(1, 8):
+        out = jnp.where((r == rr)[:, None, None],
+                        _shift_last_static(base, rr), out)
+    return out
+
+
 def apply_matches(counts, ref_len, matched, rid_sel, t_sel, rc_sel,
                   packed, lengths):
     """Consensus update (updaterefcount semantics, src/reorder.h:110-220):
     roll the count window to the new read's start, add its one-hot.
 
     counts layout (Bw, 4, Lb) — base plane as the middle axis keeps the
-    112-wide position axis minor for full VPU tiles.
+    112-wide position axis minor for full VPU tiles. The roll and the
+    reverse complement are select chains / packed funnels: no gathers
+    except the Bw-row fetch of the matched reads.
     """
     Lb = counts.shape[2]
     Np = packed.shape[0]
+    W = packed.shape[1] - 1
     t_upd = jnp.where(matched, t_sel, 0)
-    idx = jnp.arange(Lb)[None, :] + t_upd[:, None]           # (Bw, Lb)
-    keep = idx < ref_len[:, None]
-    rolled = jnp.where(
-        keep[:, None, :],
-        jnp.take_along_axis(counts, jnp.clip(idx, 0, Lb - 1)[:, None, :],
-                            axis=2), 0)
-    safe_rid = jnp.clip(rid_sel, 0, Np - 1)
-    cur = bits.unpack(packed[safe_rid], Lb)
-    cur_len = lengths[safe_rid]
-    cur = jnp.where(rc_sel[:, None] == 1,
-                    bits.revcomp_codes(cur, cur_len), cur)
+    live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
+    rolled = _roll_counts(counts * live, t_upd)
+    rows = packed[jnp.clip(rid_sel, 0, Np - 1)]              # (Bw, W+1)
+    cur_len = (rows[:, W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    pk = rows[:, :W]
+    pk = jnp.where(rc_sel[:, None] == 1,
+                   bits.revcomp_packed(pk, cur_len), pk)
+    cur = bits.unpack(pk, Lb)
     new_counts = rolled + _onehot_read(cur, cur_len)
     counts = jnp.where(matched[:, None, None], new_counts, counts)
     ref_len = jnp.where(matched, jnp.maximum(ref_len - t_upd, cur_len),
@@ -328,13 +356,15 @@ class ReorderEngine:
         self.dicts = dct.build_hash_dicts(codes_np, lengths, self.windows,
                                           pad_to_pow2=True)
         # packed rows carry the read length as a trailing word so candidate
-        # verification needs a single row gather (see verify_candidates)
+        # verification needs a single row gather (see verify_candidates);
+        # bit 31 of that word is the claimed flag (set for padding rows)
         packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
         packed_p[: self.N, : self.W] = packed
         lengths_p = np.zeros(self.Np, np.int32)
         lengths_p[: self.N] = lengths
         packed_p[:, self.W] = lengths_p.view(np.uint32)
-        self.packed = jnp.asarray(packed_p)
+        packed_p[self.N:, self.W] |= np.uint32(1 << 31)
+        self.packed = jnp.asarray(packed_p)   # initial rows (state carries)
         self.lengths = jnp.asarray(lengths_p)
         self._round_fn = self._build_round_fn()
 
@@ -358,6 +388,7 @@ class ReorderEngine:
             shift_base=jnp.zeros((B,), jnp.int32),
             claimed=jnp.asarray(claimed),
             queue_pos=jnp.zeros((), jnp.int32),
+            rows=self.packed,                 # mutable: claim flags bit 31
         )
 
     # ---------------- the jitted round ----------------
@@ -369,14 +400,16 @@ class ReorderEngine:
         starts = [d.start for d in self.dicts]
         lay = ProbeLayout(len(starts), C)
 
-        def round_fn(state, packed, lengths, dkeys, drids, seed_order,
+        def round_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
             counts = state["counts"]
             ref_len = state["ref_len"]
             active = state["active"]
             shift_base = state["shift_base"]
             claimed = state["claimed"]
+            packed = state["rows"]
             B = counts.shape[0]
+            Wl = packed.shape[1] - 1
 
             frames, s_tot = walker_frames(counts, ref_len, shift_base)
             q, v = walker_queries(frames, s_tot, ref_len, starts)
@@ -396,16 +429,20 @@ class ReorderEngine:
                 return ((w >> (idx & 31).astype(jnp.uint32)) & 1) == 1
 
             def claim(cond, idx):
+                # bitmap (seed checks + host logic) AND row flag bit 31
+                # (verification reads it from the row gather for free)
                 word = jnp.where(cond, idx >> 5, nwords - 1)
                 bit = jnp.where(
                     cond, jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
                     jnp.uint32(0))
-                return claimed.at[word].add(bit)
+                rflag = jnp.where(cond, jnp.uint32(1) << 31, jnp.uint32(0))
+                return (claimed.at[word].add(bit),
+                        packed.at[jnp.where(cond, idx, Np - 1), Wl]
+                        .add(rflag))
 
             cand = jnp.stack(hits_r, axis=2).reshape(B, lay.K)
             cvalid = jnp.stack(hits_v, axis=2).reshape(B, lay.K)
-            safe = jnp.clip(cand, 0, Np - 1)
-            cvalid &= (cand >= 0) & ~claimed_bit(safe) & active[:, None]
+            cvalid &= (cand >= 0) & active[:, None]
 
             ok, t, pr, clen = verify_candidates(
                 frames, s_tot, ref_len, cand, cvalid, packed,
@@ -418,7 +455,7 @@ class ReorderEngine:
             counts, ref_len = apply_matches(
                 counts, ref_len, matched, rid_sel, t_sel, rc_sel,
                 packed, lengths)
-            claimed = claim(matched, jnp.clip(rid_sel, 0, Np - 1))
+            claimed, packed = claim(matched, jnp.clip(rid_sel, 0, Np - 1))
             shift_base = jnp.where(matched, 0, shift_base)
 
             # walkers that found nothing advance their shift window / die
@@ -435,7 +472,7 @@ class ReorderEngine:
             in_range = inactive & (qidx < n_real)
             seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
             ok_seed = in_range & ~claimed_bit(seed_rid)
-            claimed = claim(ok_seed, seed_rid)
+            claimed, packed = claim(ok_seed, seed_rid)
             seed_cnt = seed_counts_for(packed, lengths, seed_rid,
                                        counts.shape[2])
             counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
@@ -454,15 +491,15 @@ class ReorderEngine:
 
             new_state = dict(counts=counts, ref_len=ref_len, active=active,
                              shift_base=shift_base, claimed=claimed,
-                             queue_pos=queue_pos)
+                             queue_pos=queue_pos, rows=packed)
             return new_state, emit.astype(jnp.int32)
 
-        def flush_fn(state, packed, lengths, dkeys, drids, seed_order,
+        def flush_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
             # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
             # and especially the TPU tunnel) would otherwise dominate
             def body(st, _):
-                return round_fn(st, packed, lengths, dkeys, drids,
+                return round_fn(st, lengths, dkeys, drids,
                                 seed_order, n_real, maxshift)
             return jax.lax.scan(body, state, None, length=FLUSH_ROUNDS)
 
@@ -490,7 +527,7 @@ class ReorderEngine:
         state = self._init_state()
         dkeys = [(d.bkey, d.bstart, d.bcount) for d in self.dicts]
         drids = [d.rids for d in self.dicts]
-        packed, lengths = self.packed, self.lengths
+        lengths = self.lengths
         # strided seed order: the first B seeds land evenly spread over the
         # input so concurrent walkers claim distinct regions even when the
         # input happens to be genome-ordered
@@ -506,7 +543,7 @@ class ReorderEngine:
         chunks = []
         last_claimed = 0
         while True:
-            state, emit = self._round_fn(state, packed, lengths, dkeys,
+            state, emit = self._round_fn(state, lengths, dkeys,
                                          drids, seed_order, n_real, maxshift)
             buf = np.asarray(emit)                        # syncs
             chunks.append(buf.reshape(-1, 4))
