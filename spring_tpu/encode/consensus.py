@@ -139,8 +139,13 @@ def extract_noise(layout: ContigLayout, consensus: np.ndarray,
         mm = (cur != cons) & valid
         nn_l.append(mm.sum(axis=1).astype(np.int32))
         rows, cols = np.nonzero(mm)
-        np_l.append(cols.astype(np.int32))
-        nc_l.append(cur[rows, cols])
+        # noise char coded relative to the consensus base: rank among the
+        # three bases != ref (N -> 3). Reference analog: the enc_noise
+        # substitution table (src/encoder.h:517-537).
+        rd = cur[rows, cols].astype(np.int32)
+        rf = cons[rows, cols].astype(np.int32)
+        rel = np.where(rd == 4, 3, rd - (rd > rf))
+        nc_l.append(rel.astype(np.uint8))
     cat = lambda l, d: np.concatenate(l) if l else np.empty(0, d)
     return cat(nn_l, np.int32), cat(np_l, np.int32), cat(nc_l, np.uint8)
 
@@ -161,9 +166,13 @@ def reconstruct_reads(consensus: np.ndarray, gpos: np.ndarray,
     out = np.zeros((M, L), dtype=np.uint8)
     if M:
         out = consensus[np.clip(pos, 0, max(len(consensus) - 1, 0))] * valid
-    # patch noise (positions are within the oriented read)
+    # patch noise (positions are within the oriented read; chars are coded
+    # relative to the consensus base — invert the rank mapping)
     row = np.repeat(np.arange(M), nnoise)
-    out[row, noisepos] = noisechar
+    rf = out[row, noisepos].astype(np.int32)
+    rel = noisechar.astype(np.int32)
+    out[row, noisepos] = np.where(rel == 3, 4,
+                                  rel + (rel >= rf)).astype(np.uint8)
     # un-orient: stored orientation is read-vs-consensus; reconstruct read
     flip = rc.astype(bool)
     if flip.any():
