@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output-file", nargs="+", required=True,
                    help="output file(s)")
     p.add_argument("-t", "--num-threads", type=int, default=8)
+    p.add_argument("-w", "--working-dir", default=None,
+                   help="accepted for SPRING CLI compatibility; this "
+                        "implementation streams in-process and needs no "
+                        "temp directory")
     p.add_argument("-r", "--allow-read-reordering", action="store_true",
                    help="do not retain read order (better compression)")
     p.add_argument("-l", "--long", action="store_true",

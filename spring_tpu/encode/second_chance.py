@@ -88,8 +88,7 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
          np.zeros((W + 2) * 16, np.uint8)])[None, :])[0]
     seq_j = jnp.asarray(seq_pk)
 
-    darrs = [(d.bkey, d.bstart, d.bcount, enc[i], WINDOWS[i])
-             for i, d in enumerate(dicts)]
+    darrs = [(d.btab, enc[i], WINDOWS[i]) for i, d in enumerate(dicts)]
 
     @jax.jit
     def chunk_match(p0):
@@ -109,10 +108,9 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
         best_pr = jnp.full((CHUNK,), _BIG, jnp.int32)
         best_rid = jnp.full((CHUNK,), -1, jnp.int32)
         best_p = jnp.zeros((CHUNK,), jnp.int32)
-        for bkey, bstart, bcount, drids, st in darrs:
+        for btab, drids, st in darrs:
             woff = st // 16
-            cand, hit = dct.probe_hash(bkey, bstart, bcount, drids, key,
-                                       CANDS)
+            cand, hit = dct.probe_hash(btab, drids, key, CANDS)
             ok0 = hit & (cand >= 0) & pv[:, None] & (p >= st)[:, None]
             safe = jnp.clip(cand, 0, rows_j.shape[0] - 1)
             crows = rows_j[safe]                    # (P, C, 2W+1)

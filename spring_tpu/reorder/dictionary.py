@@ -161,16 +161,16 @@ _HASH_MULT = np.uint32(0x9E3779B1)
 
 @dataclass
 class HashDict:
-    bkey: jnp.ndarray      # (S, SLOTS) uint32
-    bstart: jnp.ndarray    # (S, SLOTS) int32 — offset into rids
-    bcount: jnp.ndarray    # (S, SLOTS) int32
+    btab: jnp.ndarray      # (S, 3*SLOTS) uint32: [keys | starts | counts]
+                           # interleaved per bucket — one row gather serves
+                           # the whole probe
     rids: jnp.ndarray      # (n,) int32, key-sorted bins (CSR payload)
     start: int             # window start
     keys_sorted: object = None   # host np array, for in-bin compaction
 
     @property
     def nbuckets(self) -> int:
-        return int(self.bkey.shape[0])
+        return int(self.btab.shape[0])
 
 
 def build_hash_dicts(codes: np.ndarray, lengths: np.ndarray,
@@ -230,17 +230,18 @@ def build_hash_dicts(codes: np.ndarray, lengths: np.ndarray,
             import sys
             print(f"[dict] {dropped}/{len(uk)} keys overflowed the hash "
                   "table and were dropped", file=sys.stderr)
+        btab = np.concatenate([bkey, bstart.view(np.uint32),
+                               bcount.view(np.uint32)], axis=1)
         out.append(HashDict(
-            bkey=jnp.asarray(bkey), bstart=jnp.asarray(bstart),
-            bcount=jnp.asarray(bcount), rids=jnp.asarray(rids),
+            btab=jnp.asarray(btab), rids=jnp.asarray(rids),
             start=spec.start, keys_sorted=keys))
     return out
 
 
-def probe_hash(bkey, bstart, bcount, rids, queries: jnp.ndarray,
+def probe_hash(btab, rids, queries: jnp.ndarray,
                max_candidates: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hash-probe a batch of uint32 keys. Same contract as ``probe``."""
-    S = bkey.shape[0]
+    S = btab.shape[0]
     shift = 32 - int(np.log2(S))
     flat = queries.reshape(-1)
     h = (flat * jnp.uint32(_HASH_MULT)) >> shift
@@ -248,9 +249,10 @@ def probe_hash(bkey, bstart, bcount, rids, queries: jnp.ndarray,
     count = jnp.zeros(flat.shape, jnp.int32)
     for attempt in range(2):
         b = (h + attempt) & (S - 1)
-        krow = bkey[b]                      # (Q, SLOTS) row gather
-        srow = bstart[b]
-        crow = bcount[b]
+        row = btab[b]                       # (Q, 3*SLOTS) one row gather
+        krow = row[:, :SLOTS]
+        srow = row[:, SLOTS:2 * SLOTS].astype(jnp.int32)
+        crow = row[:, 2 * SLOTS:].astype(jnp.int32)
         hit = (krow == flat[:, None]) & (crow > 0)
         any_hit = hit.any(axis=1)
         slot = jnp.argmax(hit, axis=1)

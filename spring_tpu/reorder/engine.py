@@ -416,8 +416,7 @@ class ReorderEngine:
 
             hits_r, hits_v = [], []
             for di in range(len(starts)):
-                bkey, bstart, bcount = dkeys[di]
-                rids, hit = dct.probe_hash(bkey, bstart, bcount, drids[di],
+                rids, hit = dct.probe_hash(dkeys[di], drids[di],
                                            q[:, :, di, :], C)
                 hits_r.append(rids)
                 hits_v.append(hit & v[:, :, di, :, None])
@@ -525,7 +524,7 @@ class ReorderEngine:
         """Returns emissions (R*B, 4) int32 rows (rid, flag, pos_delta, rc)
         in round-major walker order; rid == -1 rows are empty slots."""
         state = self._init_state()
-        dkeys = [(d.bkey, d.bstart, d.bcount) for d in self.dicts]
+        dkeys = [d.btab for d in self.dicts]
         drids = [d.rids for d in self.dicts]
         lengths = self.lengths
         # strided seed order: the first B seeds land evenly spread over the

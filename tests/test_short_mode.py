@@ -49,6 +49,17 @@ def test_se_gzip_input_output(tmp_path, fq1_gz, fq1):
         assert got == f.read()
 
 
+def test_thread_count_asymmetry(tmp_path, fq1):
+    # reference CI compresses with -t 8 and decompresses with -t 5
+    # (util/test_script.sh:69-76); our streams are thread-count independent
+    arc = str(tmp_path / "a.stpu")
+    api.compress([fq1], arc, api.CompressOptions(num_threads=8,
+                                                 verbose=False))
+    out = str(tmp_path / "o.fastq")
+    api.decompress(arc, [out], num_threads=5, verbose=False)
+    assert filecmp.cmp(fq1, out, shallow=False)
+
+
 def test_random_access_range(tmp_path, fq1):
     arc = str(tmp_path / "a.stpu")
     opts = api.CompressOptions(num_threads=2, verbose=False)
