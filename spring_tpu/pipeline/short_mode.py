@@ -267,6 +267,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             inner = np.arange(tot) - np.repeat(ends - cnts, cnts)
             take = np.repeat(starts, cnts) + inner
             npos_b, nchar_b = noisepos[take], noisechar[take]
+            # delta within each read (reference noisepos semantics)
+            prev = np.concatenate([[0], npos_b[:-1]])
+            npos_b = np.where(inner == 0, npos_b, npos_b - prev)
         else:
             npos_b = np.empty(0, np.int32)
             nchar_b = np.empty(0, np.uint8)
@@ -352,6 +355,13 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))
     npos = st.decode_u16(bsc.decompress(reader.get_block("npos", b)))
     nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b)))
+    if len(npos):
+        # undo per-read delta coding: segmented cumulative sum
+        cnts_d = nn.astype(np.int64)
+        csum = np.cumsum(npos.astype(np.int64))
+        starts_d = np.cumsum(cnts_d) - cnts_d
+        base = np.where(starts_d > 0, csum[np.maximum(starts_d - 1, 0)], 0)
+        npos = (csum - np.repeat(base, cnts_d)).astype(np.int32)
     lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b)),
                         np.uint8)
 
