@@ -139,6 +139,7 @@ def extract_noise(layout: ContigLayout, consensus: np.ndarray,
         mm = (cur != cons) & valid
         nn_l.append(mm.sum(axis=1).astype(np.int32))
         rows, cols = np.nonzero(mm)
+        np_l.append(cols.astype(np.int32))
         # noise char coded relative to the consensus base: rank among the
         # three bases != ref (N -> 3). Reference analog: the enc_noise
         # substitution table (src/encoder.h:517-537).

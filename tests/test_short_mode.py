@@ -138,6 +138,37 @@ def test_qvz_reduces_entropy_with_enough_data():
     assert all(len(a) == len(b) for a, b in zip(quals, out))
 
 
+def test_synthetic_reads_with_errors_and_n(tmp_path):
+    # reads carry substitution errors, reverse-complemented strands and N
+    # bases — exercises noise streams, rel-coded noise chars and the
+    # second-chance aligner end to end
+    rng = np.random.default_rng(21)
+    genome = rng.integers(0, 4, size=30000)
+    L, n = 100, 3000
+    starts = rng.integers(0, len(genome) - L, size=n)
+    base = b"ACGTN"
+    reads = []
+    for i, s in enumerate(starts):
+        seg = genome[s:s + L].copy()
+        for _ in range(rng.integers(0, 4)):           # up to 3 errors
+            seg[rng.integers(0, L)] = rng.integers(0, 4)
+        if i % 4 == 0:
+            seg = 3 - seg[::-1]                       # reverse strand
+        if i % 17 == 0:
+            seg[rng.integers(0, L)] = 4               # an N base
+        reads.append(bytes(base[c] for c in seg))
+    fq = tmp_path / "err.fastq"
+    with open(fq, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@e%d\n%s\n+\n%s\n" % (i, r, b"F" * L))
+    arc = str(tmp_path / "e.stpu")
+    opts = api.CompressOptions(num_threads=2, verbose=False)
+    api.compress([str(fq)], arc, opts)
+    out = str(tmp_path / "e.out.fastq")
+    api.decompress(arc, [out], verbose=False)
+    assert filecmp.cmp(str(fq), out, shallow=False)
+
+
 def test_synthetic_overlapping_reads_ratio(tmp_path):
     # high-coverage synthetic reads must compress far below 2 bits/base
     rng = np.random.default_rng(7)
