@@ -20,7 +20,9 @@ import numpy as np
 
 from ..io import packing
 
-_CHUNK = 1 << 20  # reads per vectorized pass
+_CHUNK = 1 << 17  # reads per vectorized pass (keeps temporaries cache/
+                  # allocator-friendly — fresh large allocations fault at
+                  # ~30 MB/s on this host)
 
 
 @dataclass
@@ -99,9 +101,10 @@ def build_consensus(layout: ContigLayout, codes: np.ndarray,
         lo = min(int(layout.gpos[s]), carry_lo)
         hi = max(int((layout.gpos[s:e] + rl).max()),
                  carry_lo + len(carry))
-        pos = (layout.gpos[s:e, None] - lo) + np.arange(L)[None, :]
+        pos = (layout.gpos[s:e, None] - lo).astype(np.int32) \
+            + np.arange(L, dtype=np.int32)[None, :]
         valid = np.arange(L)[None, :] < rl[:, None]
-        idx = (pos * 4 + cur).astype(np.int64)[valid]
+        idx = (pos * 4 + cur)[valid]
         counts = np.bincount(idx, minlength=(hi - lo) * 4).reshape(-1, 4)
         if len(carry):
             counts[carry_lo - lo: carry_lo - lo + len(carry)] += carry

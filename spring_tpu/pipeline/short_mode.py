@@ -164,7 +164,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         packed = fastq_native.pack_2bit(c_codes, num_threads)
         mark("pack")
         engine = eng.ReorderEngine(packed, c_len,
-                                   eng.ReorderConfig(max_readlen=maxlen))
+                                   eng.ReorderConfig(max_readlen=maxlen),
+                                   codes=c_codes)
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")

@@ -339,7 +339,7 @@ class ReorderEngine:
     """
 
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
-                 cfg: ReorderConfig):
+                 cfg: ReorderConfig, codes: np.ndarray | None = None):
         self.cfg = cfg
         self.N = packed.shape[0]          # real read count
         self.W = packed.shape[1]
@@ -351,9 +351,10 @@ class ReorderEngine:
         # don't fragment the contig space (each walker owns ~32+ reads)
         self.B = int(min(cfg.num_walkers, max(8, self.Np // 32)))
         self.windows = dct.default_windows(cfg.max_readlen)
-        from ..io.packing import unpack_codes
-        codes_np = unpack_codes(packed, cfg.max_readlen)
-        self.dicts = dct.build_hash_dicts(codes_np, lengths, self.windows,
+        if codes is None:
+            from ..io.packing import unpack_codes
+            codes = unpack_codes(packed, cfg.max_readlen)
+        self.dicts = dct.build_hash_dicts(codes, lengths, self.windows,
                                           pad_to_pow2=True)
         # packed rows carry the read length as a trailing word so candidate
         # verification needs a single row gather (see verify_candidates);
