@@ -46,7 +46,7 @@ def _ham_kernel(W: int, frames_ref, rows_ref, lo_ref, hi_ref, out_ref):
 
 def masked_hamming(frames: jnp.ndarray, rows: jnp.ndarray,
                    lo: jnp.ndarray, hi: jnp.ndarray,
-                   block: int = 512) -> jnp.ndarray:
+                   block: int = 128) -> jnp.ndarray:
     """Pallas masked Hamming.
 
     frames/rows: (B, K, W) uint32 packed words (frames pre-broadcast);
