@@ -36,7 +36,7 @@ def _ham_kernel(W: int, frames_ref, rows_ref, lo_ref, hi_ref, out_ref):
     odd = jnp.uint32(0x55555555)
     acc = jnp.zeros(lo.shape, jnp.int32)
     for w in range(W):
-        d = frames_ref[..., w] ^ rows_ref[..., w]
+        d = frames_ref[w] ^ rows_ref[w]
         m = (d | (d >> 1)) & odd
         mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
             & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
@@ -46,22 +46,23 @@ def _ham_kernel(W: int, frames_ref, rows_ref, lo_ref, hi_ref, out_ref):
 
 def masked_hamming(frames: jnp.ndarray, rows: jnp.ndarray,
                    lo: jnp.ndarray, hi: jnp.ndarray,
-                   block: int = 128) -> jnp.ndarray:
-    """Pallas masked Hamming.
+                   block: int = 256) -> jnp.ndarray:
+    """Pallas masked Hamming, word-major layout.
 
-    frames/rows: (B, K, W) uint32 packed words (frames pre-broadcast);
-    lo/hi: (B, K) int32 base ranges. Returns (B, K) int32 mismatch counts.
+    frames/rows: (W, B, K) uint32 packed words (word axis leading so every
+    tile is a clean (block, K) lane plane); lo/hi: (B, K) int32 base
+    ranges. Returns (B, K) int32 mismatch counts.
     """
-    B, K, W = rows.shape
+    W, B, K = rows.shape
     grid = (max(B // block, 1),)
     kern = functools.partial(_ham_kernel, W)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, K, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((W, block, K), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, K, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((W, block, K), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -80,16 +81,16 @@ def bench_hamming(B: int = 16384, K: int = 128, W: int = 7,
     import time
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
-        rng.integers(0, 2**32, (B, K, W), dtype=np.uint64).astype(np.uint32))
+        rng.integers(0, 2**32, (W, B, K), dtype=np.uint64).astype(np.uint32))
     rows = jnp.asarray(
-        rng.integers(0, 2**32, (B, K, W), dtype=np.uint64).astype(np.uint32))
+        rng.integers(0, 2**32, (W, B, K), dtype=np.uint64).astype(np.uint32))
     lo = jnp.zeros((B, K), jnp.int32)
     hi = jnp.full((B, K), 100, jnp.int32)
 
     def xla_ref(f, r, lo, hi):
         acc = jnp.zeros(lo.shape, jnp.int32)
         for w in range(W):
-            d = f[..., w] ^ r[..., w]
+            d = f[w] ^ r[w]
             m = (d | (d >> 1)) & jnp.uint32(0x55555555)
             mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
                 & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
