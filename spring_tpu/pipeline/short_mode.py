@@ -169,7 +169,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")
-        contigs = eng.assemble_contigs(emissions, engine.B)
+        contigs = eng.assemble_contigs(emissions, engine.B, c_len)
         layout, _singles = cons.layout_contigs(contigs, c_len)
         mark("assemble_contigs")
         if layout.seq_len:

@@ -387,6 +387,8 @@ class ReorderEngine:
             ref_len=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             shift_base=jnp.zeros((B,), jnp.int32),
+            first_rid=jnp.zeros((B,), jnp.int32),
+            left_phase=jnp.zeros((B,), bool),
             claimed=jnp.asarray(claimed),
             queue_pos=jnp.zeros((), jnp.int32),
             rows=self.packed,                 # mutable: claim flags bit 31
@@ -452,17 +454,35 @@ class ReorderEngine:
             matched = resolve_conflicts(matched, rid_sel)
             rid_sel = jnp.where(matched, rid_sel, -1)
 
+            left_phase = state["left_phase"]
+            first_rid = state["first_rid"]
             counts, ref_len = apply_matches(
                 counts, ref_len, matched, rid_sel, t_sel, rc_sel,
                 packed, lengths)
             claimed, packed = claim(matched, jnp.clip(rid_sel, 0, Np - 1))
             shift_base = jnp.where(matched, 0, shift_base)
 
-            # walkers that found nothing advance their shift window / die
+            # walkers that found nothing advance their shift window; an
+            # exhausted forward walker restarts leftward from the contig's
+            # first read, reverse-complemented (reference left search,
+            # src/reorder.h:562-571); an exhausted left walker dies
             missed = active & ~matched
             shift_base = jnp.where(missed, shift_base + SHIFT_CHUNK,
                                    shift_base)
-            active = active & ~(missed & (shift_base > maxshift))
+            death = missed & (shift_base > maxshift)
+            start_left = death & ~left_phase
+            active = active & ~(death & left_phase)
+            left_phase = left_phase | start_left
+            shift_base = jnp.where(start_left, 0, shift_base)
+            fr_rows = packed[jnp.clip(first_rid, 0, Np - 1)]
+            Wp = packed.shape[1] - 1
+            fr_len = (fr_rows[:, Wp] & jnp.uint32(0x7FFFFFFF)
+                      ).astype(jnp.int32)
+            fr_rc = bits.revcomp_packed(fr_rows[:, :Wp], fr_len)
+            fr_counts = _onehot_read(bits.unpack(fr_rc, counts.shape[2]),
+                                     fr_len)
+            counts = jnp.where(start_left[:, None, None], fr_counts, counts)
+            ref_len = jnp.where(start_left, fr_len, ref_len)
 
             # seeding: inactive walkers take the next unclaimed queue reads
             # (reference picks from remainingreads, src/reorder.h:570-592)
@@ -479,18 +499,23 @@ class ReorderEngine:
             ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
             shift_base = jnp.where(ok_seed, 0, shift_base)
             active = active | ok_seed
+            left_phase = jnp.where(ok_seed, False, left_phase)
+            first_rid = jnp.where(ok_seed, seed_rid, first_rid)
             queue_pos = state["queue_pos"] + jnp.sum(in_range)
 
-            # emissions: one slot per walker per round
+            # emissions: one slot per walker per round; flag 2 = left-phase
             emit_rid = jnp.where(matched, rid_sel,
                                  jnp.where(ok_seed, seed_rid, -1))
+            emit_flag = jnp.where(matched,
+                                  jnp.where(left_phase & ~ok_seed, 2, 1), 0)
             emit = jnp.stack([emit_rid,
-                              jnp.where(matched, 1, 0),
+                              emit_flag,
                               jnp.where(matched, t_sel, 0),
                               jnp.where(matched, rc_sel, 0)], axis=-1)
 
             new_state = dict(counts=counts, ref_len=ref_len, active=active,
-                             shift_base=shift_base, claimed=claimed,
+                             shift_base=shift_base, first_rid=first_rid,
+                             left_phase=left_phase, claimed=claimed,
                              queue_pos=queue_pos, rows=packed)
             return new_state, emit.astype(jnp.int32)
 
@@ -564,16 +589,20 @@ class ReorderEngine:
         return np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4), np.int32)
 
 
-def assemble_contigs(emissions: np.ndarray, num_walkers: int
+def assemble_contigs(emissions: np.ndarray, num_walkers: int,
+                     lengths: np.ndarray | None = None
                      ) -> list[dict[str, np.ndarray]]:
     """Group round-major emissions into per-contig read lists.
 
     Returns a list of contigs, each a dict with:
-      rids: (k,) int32 read ids in contig order
-      pos:  (k,) int64 read start offsets within the contig (pos[0] = 0)
+      rids: (k,) int32 read ids in contig order (position-sorted)
+      pos:  (k,) int64 read start offsets within the contig (min = 0)
       rc:   (k,) uint8 orientation flags
     Contig order is walker-major then time (the reference concatenates
-    per-thread shards the same way, src/reorder.h:703-728).
+    per-thread shards the same way, src/reorder.h:703-728). Left-phase
+    emissions (flag 2) are reads matched against the reverse complement of
+    the contig's first read — their coordinates fold back as
+    o = len(first) - q - len(read) with orientation flipped.
     """
     R = emissions.shape[0] // num_walkers
     em = emissions.reshape(R, num_walkers, 4)
@@ -587,8 +616,25 @@ def assemble_contigs(emissions: np.ndarray, num_walkers: int
         bounds = np.append(starts, len(col))
         for a, b in zip(bounds[:-1], bounds[1:]):
             seg = col[a:b]
-            pos = np.cumsum(seg[:, 2].astype(np.int64))
+            right = seg[seg[:, 1] != 2]
+            left = seg[seg[:, 1] == 2]
+            pos = np.cumsum(right[:, 2].astype(np.int64))
             pos -= pos[0]
-            contigs.append(dict(rids=seg[:, 0].astype(np.int32),
-                                pos=pos, rc=seg[:, 3].astype(np.uint8)))
+            rids = right[:, 0].astype(np.int32)
+            rcs = right[:, 3].astype(np.uint8)
+            if len(left):
+                if lengths is None:
+                    raise ValueError("left-phase emissions need lengths")
+                l0 = int(lengths[rids[0]])
+                q = np.cumsum(left[:, 2].astype(np.int64))
+                lr = left[:, 0].astype(np.int32)
+                o = l0 - q - lengths[lr].astype(np.int64)
+                rids = np.concatenate([rids, lr])
+                pos = np.concatenate([pos, o])
+                rcs = np.concatenate([rcs,
+                                      (1 - left[:, 3]).astype(np.uint8)])
+            pos = pos - pos.min()
+            order = np.argsort(pos, kind="stable")
+            contigs.append(dict(rids=rids[order], pos=pos[order],
+                                rc=rcs[order]))
     return contigs

@@ -27,7 +27,7 @@ def test_dist_round_executes_and_places_all_reads(mesh8):
     e = dist.DistReorderEngine(packed, lengths,
                                dist.DistConfig(max_readlen=L), mesh=mesh8)
     em = e.run()
-    contigs = eng.assemble_contigs(em, e.B)
+    contigs = eng.assemble_contigs(em, e.B, lengths)
     placed = np.concatenate([c["rids"] for c in contigs]) if contigs else []
     assert len(placed) == len(codes)
     assert len(np.unique(placed)) == len(codes)

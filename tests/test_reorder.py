@@ -86,7 +86,7 @@ def test_engine_overlapping_reads_form_one_contig():
     engine = eng.ReorderEngine(packed, lengths,
                                eng.ReorderConfig(max_readlen=L))
     em = engine.run()
-    contigs = eng.assemble_contigs(em, engine.B)
+    contigs = eng.assemble_contigs(em, engine.B, lengths)
     placed = sum(len(c["rids"]) for c in contigs)
     assert placed == len(codes)
     all_rids = np.concatenate([c["rids"] for c in contigs])
@@ -114,7 +114,7 @@ def test_engine_with_rc_reads():
     engine = eng.ReorderEngine(packed, lengths,
                                eng.ReorderConfig(max_readlen=L))
     em = engine.run()
-    contigs = eng.assemble_contigs(em, engine.B)
+    contigs = eng.assemble_contigs(em, engine.B, lengths)
     placed = sum(len(c["rids"]) for c in contigs)
     assert placed == len(codes)
     singletons = sum(1 for c in contigs if len(c["rids"]) == 1)
