@@ -17,6 +17,8 @@ host (lowest position wins). No iteration, no locks.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,65 @@ def _pack_with_nmask(codes: np.ndarray) -> np.ndarray:
     out[:, :W] = pk
     out[:, W:2 * W] = nm
     return out
+
+
+_PAD = 16        # leading pad bases so window word -1 is addressable
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _chunk_match(p0, seq_j, rows_j, btabs, encs, total_j, W: int,
+                 thresh: int):
+    """One CHUNK of consensus positions probes the leftover-read dicts.
+
+    All arrays are arguments (closure constants would be baked into the
+    HLO and force a recompile per compress call); seq/rows are pow2-padded
+    by the caller so the compiled program is shared across datasets.
+    """
+    p = p0 + jnp.arange(CHUNK)
+    pv = p < total_j - dct.KEY_BASES + 1
+    wi = (p >> 4) + (_PAD // 16)         # word index of p in padded seq
+    r2 = (2 * (p & 15)).astype(jnp.uint32)
+
+    def win_word(off):   # seq word at base position p + 16*off
+        nw = seq_j.shape[0]
+        lo = seq_j[jnp.clip(wi + off, 0, nw - 1)]
+        hi = seq_j[jnp.clip(wi + off + 1, 0, nw - 1)]
+        return jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
+
+    fw = {off: win_word(off) for off in range(-1, W)}
+    key = fw[0]
+
+    best_pr = jnp.full((CHUNK,), _BIG, jnp.int32)
+    best_rid = jnp.full((CHUNK,), -1, jnp.int32)
+    best_p = jnp.zeros((CHUNK,), jnp.int32)
+    for di, st in enumerate(WINDOWS):
+        woff = st // 16
+        cand, hit = dct.probe_hash(btabs[di], encs[di], key, CANDS)
+        ok0 = hit & (cand >= 0) & pv[:, None] & (p >= st)[:, None]
+        safe = jnp.clip(cand, 0, rows_j.shape[0] - 1)
+        crows = rows_j[safe]                    # (P, C, 2W+1)
+        clen = crows[..., 2 * W].astype(jnp.int32)
+        ham = jnp.zeros(cand.shape, jnp.int32)
+        for w in range(W):
+            dd = fw[w - woff][:, None] ^ crows[..., w]
+            m = ((dd | (dd >> 1)) | crows[..., W + w]) & _ODD
+            k = jnp.clip(clen - 16 * w, 0, 16)
+            full = jnp.uint32(0xFFFFFFFF) >> (
+                32 - 2 * jnp.clip(k, 1, 16)).astype(jnp.uint32)
+            mw = jnp.where(k > 0, full, jnp.uint32(0))
+            ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
+        p_al = (p - st)[:, None]
+        fits = (p_al >= 0) & ((p_al + clen) <= total_j)
+        ok = ok0 & fits & (ham <= thresh)
+        pr = jnp.where(ok, ham, _BIG)
+        sel = jnp.argmin(pr, axis=1)
+        prs = jnp.take_along_axis(pr, sel[:, None], axis=1)[:, 0]
+        rids = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
+        better = prs < best_pr
+        best_pr = jnp.where(better, prs, best_pr)
+        best_rid = jnp.where(better, rids, best_rid)
+        best_p = jnp.where(better, (p - st).astype(jnp.int32), best_p)
+    return best_rid, best_p
 
 
 def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
@@ -79,67 +140,26 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
     W = bits.words_per_read(L)
     rows = _pack_with_nmask(both)
     rows[:, 2 * W] = lens2.astype(np.uint32)
-    rows_j = jnp.asarray(rows)
+    # pow2-pad rows and seq so the compiled program is shared across runs
+    nr = max(1 << max(len(rows) - 1, 1).bit_length(), 64)
+    rows_p = np.zeros((nr, rows.shape[1]), np.uint32)
+    rows_p[: len(rows)] = rows
+    rows_j = jnp.asarray(rows_p)
 
-    # packed consensus, padded by a word on each side for window reads
-    pad = 16
     seq_pk = packing.pack_codes(np.concatenate(
-        [np.zeros(pad, np.uint8), seq_codes,
+        [np.zeros(_PAD, np.uint8), seq_codes,
          np.zeros((W + 2) * 16, np.uint8)])[None, :])[0]
-    seq_j = jnp.asarray(seq_pk)
+    nw = max(1 << max(len(seq_pk) - 1, 1).bit_length(), 64)
+    seq_p = np.zeros(nw, np.uint32)
+    seq_p[: len(seq_pk)] = seq_pk
+    seq_j = jnp.asarray(seq_p)
 
-    darrs = [(d.btab, enc[i], WINDOWS[i]) for i, d in enumerate(dicts)]
-
-    @jax.jit
-    def chunk_match(p0):
-        p = p0 + jnp.arange(CHUNK)
-        pv = p < total - dct.KEY_BASES + 1
-        wi = (p >> 4) + (pad // 16)          # word index of p in padded seq
-        r2 = (2 * (p & 15)).astype(jnp.uint32)
-
-        def win_word(off):   # seq word at base position p + 16*off
-            lo = seq_j[wi + off]
-            hi = seq_j[wi + off + 1]
-            return jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
-
-        fw = {off: win_word(off) for off in range(-1, W)}
-        key = fw[0]
-
-        best_pr = jnp.full((CHUNK,), _BIG, jnp.int32)
-        best_rid = jnp.full((CHUNK,), -1, jnp.int32)
-        best_p = jnp.zeros((CHUNK,), jnp.int32)
-        for btab, drids, st in darrs:
-            woff = st // 16
-            cand, hit = dct.probe_hash(btab, drids, key, CANDS)
-            ok0 = hit & (cand >= 0) & pv[:, None] & (p >= st)[:, None]
-            safe = jnp.clip(cand, 0, rows_j.shape[0] - 1)
-            crows = rows_j[safe]                    # (P, C, 2W+1)
-            clen = crows[..., 2 * W].astype(jnp.int32)
-            ham = jnp.zeros(cand.shape, jnp.int32)
-            for w in range(W):
-                dd = fw[w - woff][:, None] ^ crows[..., w]
-                m = ((dd | (dd >> 1)) | crows[..., W + w]) & _ODD
-                k = jnp.clip(clen - 16 * w, 0, 16)
-                full = jnp.uint32(0xFFFFFFFF) >> (
-                    32 - 2 * jnp.clip(k, 1, 16)).astype(jnp.uint32)
-                mw = jnp.where(k > 0, full, jnp.uint32(0))
-                ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
-            p_al = (p - st)[:, None]
-            fits = (p_al >= 0) & ((p_al + clen) <= total)
-            ok = ok0 & fits & (ham <= thresh)
-            pr = jnp.where(ok, ham, _BIG)
-            sel = jnp.argmin(pr, axis=1)
-            prs = jnp.take_along_axis(pr, sel[:, None], axis=1)[:, 0]
-            rids = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
-            better = prs < best_pr
-            best_pr = jnp.where(better, prs, best_pr)
-            best_rid = jnp.where(better, rids, best_rid)
-            best_p = jnp.where(better, (p - st).astype(jnp.int32), best_p)
-        return best_rid, best_p
-
+    btabs = [d.btab for d in dicts]
+    total_j = jnp.asarray(total, jnp.int32)
     match_r, match_p = [], []
     for p0 in range(0, max(total - dct.KEY_BASES + 1, 1), CHUNK):
-        rid, pal = chunk_match(jnp.asarray(p0, jnp.int32))
+        rid, pal = _chunk_match(jnp.asarray(p0, jnp.int32), seq_j, rows_j,
+                                btabs, enc, total_j, W, thresh)
         rid_np = np.asarray(rid)
         sel = rid_np >= 0
         if sel.any():
