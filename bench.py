@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-N_READS = int(os.environ.get("BENCH_READS", 400_000))
+N_READS = int(os.environ.get("BENCH_READS", 1_000_000))
 READ_LEN = 100
 GENOME = 2_000_000
 BASELINE_READS_PER_S = 150_000.0
