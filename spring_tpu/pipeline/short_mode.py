@@ -163,9 +163,15 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         c_len = lengths[clean_rids]
         packed = fastq_native.pack_2bit(c_codes, num_threads)
         mark("pack")
-        engine = eng.ReorderEngine(packed, c_len,
-                                   eng.ReorderConfig(max_readlen=maxlen),
-                                   codes=c_codes)
+        use_dist = os.environ.get("SPRING_TPU_DIST")
+        if use_dist:
+            from ..parallel import dist as dist_mod
+            engine = dist_mod.DistReorderEngine(
+                packed, c_len, dist_mod.DistConfig(max_readlen=maxlen))
+        else:
+            engine = eng.ReorderEngine(
+                packed, c_len, eng.ReorderConfig(max_readlen=maxlen),
+                codes=c_codes)
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")

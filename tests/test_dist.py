@@ -34,3 +34,27 @@ def test_dist_round_executes_and_places_all_reads(mesh8):
     # overlapping synthetic reads must actually match across shards
     multi = sum(len(c["rids"]) for c in contigs if len(c["rids"]) > 1)
     assert multi > len(codes) // 2
+
+
+def test_dist_end_to_end_roundtrip(tmp_path, mesh8, monkeypatch):
+    # SPRING_TPU_DIST=1 routes the pipeline's reorder through the sharded
+    # engine; the archive must still round-trip byte-exact
+    from spring_tpu import api
+    rng = np.random.default_rng(13)
+    genome = rng.integers(0, 4, size=20000)
+    L, n = 100, 2000
+    starts = rng.integers(0, len(genome) - L, size=n)
+    base = b"ACGT"
+    fq = tmp_path / "d.fastq"
+    with open(fq, "wb") as f:
+        for i, s in enumerate(starts):
+            seg = bytes(base[c] for c in genome[s:s + L])
+            f.write(b"@d%d\n%s\n+\n%s\n" % (i, seg, b"E" * L))
+    monkeypatch.setenv("SPRING_TPU_DIST", "1")
+    arc = str(tmp_path / "d.stpu")
+    api.compress([str(fq)], arc,
+                 api.CompressOptions(num_threads=2, verbose=False))
+    out = str(tmp_path / "d.out.fastq")
+    api.decompress(arc, [out], verbose=False)
+    import filecmp
+    assert filecmp.cmp(str(fq), out, shallow=False)
