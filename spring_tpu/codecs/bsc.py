@@ -15,7 +15,7 @@ import numpy as np
 
 from . import native
 
-DEFAULT_BLOCK = 32 << 20
+DEFAULT_BLOCK = 4 << 20
 
 
 def _threads(num_threads: int) -> int:

@@ -41,7 +41,7 @@ extern "C" {
 
 // upper bound on compressed size for n raw bytes
 int64_t stpu_xbc_bound(int64_t n, int64_t block_size) {
-  if (block_size <= 0) block_size = 32 << 20;
+  if (block_size <= 0) block_size = 4 << 20;
   int64_t nblocks = (n + block_size - 1) / block_size;
   if (nblocks == 0) nblocks = 1;
   return 16 + nblocks * 16 + n + nblocks * 64;
@@ -50,7 +50,7 @@ int64_t stpu_xbc_bound(int64_t n, int64_t block_size) {
 // Framing: u64 nblocks, u64 raw_total, then per block [u64 comp_len][data].
 int64_t stpu_xbc_compress(const uint8_t* src, int64_t n, uint8_t* dst,
                           int64_t cap, int64_t block_size, int num_threads) {
-  if (block_size <= 0) block_size = 32 << 20;
+  if (block_size <= 0) block_size = 4 << 20;
   int64_t nblocks = n == 0 ? 0 : (n + block_size - 1) / block_size;
   std::vector<std::vector<uint8_t>> comp((size_t)nblocks);
 #ifdef _OPENMP

@@ -14,7 +14,7 @@ namespace stpu {
 
 namespace sais_detail {
 
-inline bool is_lms(const std::vector<bool>& t, int32_t i) {
+inline bool is_lms(const std::vector<uint8_t>& t, int32_t i) {
   return i > 0 && t[i] && !t[i - 1];
 }
 
@@ -32,7 +32,7 @@ void get_buckets(const CharT* s, int32_t n, int32_t K, std::vector<int32_t>& bkt
 
 template <typename CharT>
 void induce_sa_l(const CharT* s, int32_t* sa, int32_t n, int32_t K,
-                 const std::vector<bool>& t, std::vector<int32_t>& bkt) {
+                 const std::vector<uint8_t>& t, std::vector<int32_t>& bkt) {
   get_buckets(s, n, K, bkt, false);
   for (int32_t i = 0; i < n; ++i) {
     int32_t j = sa[i] - 1;
@@ -42,7 +42,7 @@ void induce_sa_l(const CharT* s, int32_t* sa, int32_t n, int32_t K,
 
 template <typename CharT>
 void induce_sa_s(const CharT* s, int32_t* sa, int32_t n, int32_t K,
-                 const std::vector<bool>& t, std::vector<int32_t>& bkt) {
+                 const std::vector<uint8_t>& t, std::vector<int32_t>& bkt) {
   get_buckets(s, n, K, bkt, true);
   for (int32_t i = n - 1; i >= 0; --i) {
     int32_t j = sa[i] - 1;
@@ -58,7 +58,7 @@ void sais_main(const CharT* s, int32_t* sa, int32_t n, int32_t K) {
     sa[0] = 0;
     return;
   }
-  std::vector<bool> t(n);
+  std::vector<uint8_t> t(n);
   t[n - 1] = true;
   if (n >= 2) t[n - 2] = false;
   for (int32_t i = n - 3; i >= 0; --i)
@@ -138,11 +138,12 @@ void sais_main(const CharT* s, int32_t* sa, int32_t n, int32_t K) {
 // Suffix array of `data` (no sentinel required in the input; an implicit
 // one is appended). Fills sa with n+1 entries; sa[0] == n (the sentinel).
 inline void suffix_array_u8(const uint8_t* data, int32_t n, int32_t* sa) {
-  // shift alphabet by +1 so 0 is the unique sentinel
-  std::vector<int32_t> s(n + 1);
-  for (int32_t i = 0; i < n; ++i) s[i] = (int32_t)data[i] + 1;
+  // shift alphabet by +1 so 0 is the unique sentinel; uint16 keeps the
+  // top-level passes cache-friendly (int32 widening halved throughput)
+  std::vector<uint16_t> s(n + 1);
+  for (int32_t i = 0; i < n; ++i) s[i] = (uint16_t)(data[i] + 1);
   s[n] = 0;
-  sais_detail::sais_main<int32_t>(s.data(), sa, n + 1, 257);
+  sais_detail::sais_main<uint16_t>(s.data(), sa, n + 1, 257);
 }
 
 }  // namespace stpu
