@@ -92,24 +92,6 @@ def _masked_hamming(a: jnp.ndarray, b: jnp.ndarray, lo: jnp.ndarray,
     return jnp.sum(jax.lax.population_count(m), axis=-1).astype(jnp.int32)
 
 
-def _shift_left(codes: jnp.ndarray, s: jnp.ndarray, fill: int = 0) -> jnp.ndarray:
-    """out[..., p] = codes[..., p + s] (0 beyond the end); s broadcastable."""
-    L = codes.shape[-1]
-    idx = jnp.arange(L) + s[..., None]
-    ok = idx < L
-    return jnp.where(ok, jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1),
-                                             axis=-1), fill)
-
-
-def _shift_right(codes: jnp.ndarray, s: jnp.ndarray, fill: int = 0) -> jnp.ndarray:
-    """out[..., p] = codes[..., p - s] (fill below 0)."""
-    L = codes.shape[-1]
-    idx = jnp.arange(L) - s[..., None]
-    ok = idx >= 0
-    return jnp.where(ok, jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1),
-                                             axis=-1), fill)
-
-
 def _onehot_read(codes: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
     """(Bw, Lb) codes -> (Bw, 4, Lb) one-hot masked by read length."""
     Lb = codes.shape[-1]

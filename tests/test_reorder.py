@@ -60,6 +60,41 @@ def test_revcomp_codes():
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_domain_shifts_and_revcomp():
+    rng = np.random.default_rng(8)
+    n, L = 12, 96
+    codes = _random_reads(rng, n, L)
+    lens = rng.integers(20, L + 1, n).astype(np.int32)
+    mask = np.arange(L)[None, :] < lens[:, None]
+    codes = np.where(mask, codes, 0).astype(np.uint8)
+    pk = jnp.asarray(packing.pack_codes(codes))
+    s = rng.integers(0, 40, n).astype(np.int32)
+    # shift_bases_left == codes[:, p+s]
+    got = np.asarray(bits.unpack(
+        bits.shift_bases_left(pk, jnp.asarray(s), L), L))
+    want = np.zeros_like(codes)
+    for i in range(n):
+        want[i, : L - s[i]] = codes[i, s[i]:]
+    np.testing.assert_array_equal(got, want)
+    # shift_bases_right == codes[:, p-s]
+    got = np.asarray(bits.unpack(
+        bits.shift_bases_right(pk, jnp.asarray(s), L), L))
+    want = np.zeros_like(codes)
+    for i in range(n):
+        want[i, s[i]:] = codes[i, : L - s[i]]
+    np.testing.assert_array_equal(got, want)
+    # revcomp_packed matches the codes-domain reverse complement
+    got = np.asarray(bits.unpack(
+        bits.revcomp_packed(pk, jnp.asarray(lens)), L))
+    want = packing.revcomp_codes(codes, lens)
+    np.testing.assert_array_equal(got, want)
+    # extract_key_packed == 16-mer key at a static offset
+    for st in (0, 16, 21):
+        got = np.asarray(bits.extract_key_packed(pk, st))
+        want = dct._window_keys_np(codes, st)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_dictionary_probe_finds_exact_window():
     rng = np.random.default_rng(4)
     codes = _random_reads(rng, 200, 64)
