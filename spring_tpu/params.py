@@ -29,7 +29,8 @@ DICT_WIDTH = 32               # bases per dictionary key window (64 bits packed)
 THRESH_REORDER = 4            # max Hamming distance to join a contig
 THRESH_ENCODER = 24           # max Hamming distance in second-chance alignment
 MAX_SEARCH = 1000             # max candidates scanned per dictionary bin
-MAX_SHIFT_FRac = 0.5          # search shifts up to maxlen/2
+MAX_SHIFT_CAP = 24            # shift-scan cap (reference scans maxlen/2;
+                              # see ReorderConfig.max_shift)
 
 # --- blocking (reference src/params.h:35-36) ---
 NUM_READS_PER_BLOCK = 256000        # short mode block (random-access unit)

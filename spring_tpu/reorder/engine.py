@@ -58,11 +58,15 @@ class ReorderConfig:
     num_walkers: int = P.REORDER_BATCH
     candidates: int = P.DICT_PROBE_CANDIDATES
     thresh: int = P.THRESH_REORDER
-    max_shift: int = 0   # 0 -> max_readlen // 2 (reference rg.maxshift)
+    # reference rg.maxshift is maxlen/2, sensible for 8 sequential walkers;
+    # with thousands of walkers, contig-death shift scans dominate round
+    # count, so cap the scan (shifts beyond it are rare at real coverage)
+    max_shift: int = 0   # 0 -> min(max_readlen // 2, MAX_SHIFT_CAP)
 
     def __post_init__(self):
         if self.max_shift == 0:
-            self.max_shift = max(self.max_readlen // 2, 1)
+            self.max_shift = max(min(self.max_readlen // 2,
+                                     P.MAX_SHIFT_CAP), 1)
 
 
 # --------------- small vector helpers ---------------
