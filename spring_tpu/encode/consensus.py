@@ -66,6 +66,68 @@ def layout_contigs(contigs: list[dict], lengths: np.ndarray,
     return layout, np.array(singles, dtype=np.int32)
 
 
+def layout_from_emissions(emissions: np.ndarray, num_walkers: int,
+                          lengths: np.ndarray, min_reads: int = 2
+                          ) -> tuple[ContigLayout, np.ndarray]:
+    """Vectorized emissions -> ContigLayout (replaces the per-walker Python
+    loops of assemble_contigs + layout_contigs for the pipeline hot path).
+
+    Semantics match assemble_contigs: walker-major timelines, flag 0 seeds
+    a contig, flag 1 extends right (pos = cumsum of deltas), flag 2 is the
+    left phase (folds to o = len(first) - q - len(read), rc flipped),
+    reads position-sorted per contig.
+    """
+    R = emissions.shape[0] // num_walkers
+    em = emissions.reshape(R, num_walkers, 4)
+    arr = em.transpose(1, 0, 2).reshape(-1, 4)      # walker-major stream
+    arr = arr[arr[:, 0] >= 0]
+    if not len(arr):
+        return (ContigLayout(np.empty(0, np.int32), np.empty(0, np.int64),
+                             np.empty(0, np.uint8), 0),
+                np.empty(0, np.int32))
+    rid = arr[:, 0].astype(np.int32)
+    flag = arr[:, 1]
+    t = arr[:, 2].astype(np.int64)
+    rc = arr[:, 3].astype(np.uint8)
+    seg = np.cumsum(flag == 0) - 1                  # contig id per entry
+    left = flag == 2
+    # segmented cumsum of t over the right part (left entries excluded)
+    tr = np.where(left, 0, t)
+    cs = np.cumsum(tr)
+    seg_first = np.searchsorted(seg, np.arange(seg[-1] + 1), side="left")
+    base = cs[seg_first] - tr[seg_first]
+    pos = cs - base[seg]
+    # left part: segmented cumsum among left entries only
+    tl = np.where(left, t, 0)
+    csl = np.cumsum(tl)
+    basel = csl[seg_first] - tl[seg_first]
+    q = csl - basel[seg]
+    l0 = lengths[rid[seg_first]].astype(np.int64)
+    o = l0[seg] - q - lengths[rid].astype(np.int64)
+    pos = np.where(left, o, pos)
+    rc = np.where(left, 1 - rc, rc).astype(np.uint8)
+    # per-contig min -> 0
+    order0 = np.lexsort((pos, seg))
+    seg_s, pos_s = seg[order0], pos[order0]
+    first_idx = np.searchsorted(seg_s, np.arange(seg[-1] + 1), side="left")
+    pos_s = pos_s - pos_s[first_idx][seg_s]
+    rid_s, rc_s = rid[order0], rc[order0]
+    # contig sizes / extents
+    counts = np.bincount(seg_s, minlength=seg[-1] + 1)
+    ext = pos_s + lengths[rid_s]
+    clen = np.maximum.reduceat(ext, first_idx)
+    keep = counts >= min_reads
+    singles = rid_s[np.repeat(~keep, counts)]
+    km = np.repeat(keep, counts)
+    bases = np.concatenate([[0], np.cumsum(np.where(keep, clen, 0))[:-1]])
+    gpos = pos_s + bases[seg_s]
+    layout = ContigLayout(rids=rid_s[km].astype(np.int32),
+                          gpos=gpos[km].astype(np.int64),
+                          rc=rc_s[km],
+                          seq_len=int(np.where(keep, clen, 0).sum()))
+    return layout, singles.astype(np.int32)
+
+
 def _oriented_codes(codes: np.ndarray, lengths: np.ndarray,
                     rc: np.ndarray) -> np.ndarray:
     out = codes.copy()

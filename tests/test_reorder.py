@@ -132,6 +132,28 @@ def test_engine_overlapping_reads_form_one_contig():
     assert max(len(c["rids"]) for c in contigs) >= 5
 
 
+def test_layout_from_emissions_matches_slow_path():
+    from spring_tpu.encode import consensus as cons
+    rng = np.random.default_rng(9)
+    genome = rng.integers(0, 4, size=500).astype(np.uint8)
+    L = 64
+    starts = np.arange(0, len(genome) - L, 6)
+    codes = np.stack([genome[s:s + L] for s in starts])
+    lengths = np.full(len(codes), L, np.int32)
+    packed = packing.pack_codes(codes)
+    engine = eng.ReorderEngine(packed, lengths,
+                               eng.ReorderConfig(max_readlen=L))
+    em = engine.run()
+    fast, singles_f = cons.layout_from_emissions(em, engine.B, lengths)
+    contigs = eng.assemble_contigs(em, engine.B, lengths)
+    slow, singles_s = cons.layout_contigs(contigs, lengths)
+    np.testing.assert_array_equal(fast.rids, slow.rids)
+    np.testing.assert_array_equal(fast.gpos, slow.gpos)
+    np.testing.assert_array_equal(fast.rc, slow.rc)
+    assert fast.seq_len == slow.seq_len
+    np.testing.assert_array_equal(np.sort(singles_f), np.sort(singles_s))
+
+
 def test_engine_with_rc_reads():
     rng = np.random.default_rng(6)
     genome = rng.integers(0, 4, size=300).astype(np.uint8)
