@@ -19,6 +19,14 @@ import sys
 import tempfile
 import time
 
+# keep big numpy temporaries on the brk heap so freed pages are reused
+# instead of being returned to the OS and re-faulted (~30-60 MB/s on this
+# host's lazily-restored memory); glibc only reads these at startup
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None and os.name == "posix":
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 30)
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 30)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 N_READS = int(os.environ.get("BENCH_READS", 1_000_000))
