@@ -227,11 +227,16 @@ def reconstruct_reads(consensus: np.ndarray, gpos: np.ndarray,
     """
     M = len(gpos)
     L = int(lengths.max()) if M else 0
-    pos = gpos[:, None] + np.arange(L)[None, :]
-    valid = np.arange(L)[None, :] < lengths[:, None]
     out = np.zeros((M, L), dtype=np.uint8)
-    if M:
-        out = consensus[np.clip(pos, 0, max(len(consensus) - 1, 0))] * valid
+    arange_l = np.arange(L, dtype=np.int32)[None, :]
+    step = 1 << 16      # keep temporaries cache-sized
+    for s in range(0, M, step):
+        e = min(s + step, M)
+        pos = gpos[s:e, None].astype(np.int32) + arange_l
+        valid = arange_l < lengths[s:e, None]
+        # out-of-range pos would raise IndexError -> caught by the caller
+        # as a corrupt archive; in-range is guaranteed by the encoder
+        out[s:e] = consensus[np.where(valid, pos, 0)] * valid
     # patch noise (positions are within the oriented read; chars are coded
     # relative to the consensus base — invert the rank mapping)
     row = np.repeat(np.arange(M), nnoise)

@@ -109,13 +109,22 @@ def unpack_codes_4bit(packed: np.ndarray, max_len: int) -> np.ndarray:
 def revcomp_codes(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Per-read reverse complement of a padded code array."""
     n, L = codes.shape
-    comp = COMP[codes]
     out = np.zeros_like(codes)
-    # reverse each row within its own length: out[i, j] = comp[i, len_i-1-j]
-    idx = lengths[:, None] - 1 - np.arange(L)[None, :]
-    valid = idx >= 0
-    rows = np.broadcast_to(np.arange(n)[:, None], (n, L))
-    out[valid] = comp[rows[valid], idx[valid]]
+    lengths = np.asarray(lengths)
+    full = lengths == L
+    if full.any():
+        # common case (uniform read length): plain reversed complement
+        out[full] = COMP[codes[full]][:, ::-1]
+    rest = np.nonzero(~full)[0]
+    if len(rest):
+        comp = COMP[codes[rest]]
+        idx = lengths[rest, None] - 1 - np.arange(L)[None, :]
+        valid = idx >= 0
+        rows = np.broadcast_to(np.arange(len(rest))[:, None],
+                               (len(rest), L))
+        sub = np.zeros_like(comp)
+        sub[valid] = comp[rows[valid], idx[valid]]
+        out[rest] = sub
     return out
 
 

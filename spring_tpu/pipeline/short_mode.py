@@ -353,6 +353,8 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
 
 def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
                   seq_codes: np.ndarray, per_file: int):
+    trace = os.environ.get("SPRING_TPU_TRACE")
+    _t0 = time.time()
     block = cp.num_reads_per_block
     s = b * block
     flag = st.decode_u8(bsc.decompress(reader.get_block("flag", b)))
@@ -371,6 +373,7 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
         npos = (csum - np.repeat(base, cnts_d)).astype(np.int32)
     lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b)),
                         np.uint8)
+    _t1 = time.time()
 
     m = len(flag)
     L = max(int(rlen.max()) if m else 0, 1)
@@ -389,11 +392,13 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
         chars[li] = np.where(lvalid, lrows, 0)
     valid = np.arange(L)[None, :] < rlen[:, None]
     chars = np.where(valid, chars, 0).astype(np.uint8)
+    _t2 = time.time()
 
     qmat = None
     if cp.preserve_quality and not cp.fasta_input:
         qmat, _qlens = bsc.decompress_rows(
             reader.get_block("quality", b), max_len=L, num_threads=1)
+    _t3 = time.time()
     if cp.preserve_id:
         if cp.paired_id_match and s >= per_file:
             ids = _pe_ids_range(reader, cp, s, s + m, per_file)
@@ -410,6 +415,10 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
         ids = [f"@{s + i + 1}".encode() for i in range(m)]
         idbuf = np.frombuffer(b"".join(ids), np.uint8)
         idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
+    if trace:
+        print(f"[trace] decode_block {b}: streams {_t1 - _t0:.2f}s "
+              f"reads {_t2 - _t1:.2f}s quality {_t3 - _t2:.2f}s "
+              f"ids {time.time() - _t3:.2f}s", flush=True)
     return idbuf, idlens, chars, rlen.astype(np.int32), qmat
 
 
