@@ -1,0 +1,1 @@
+#include <boost/iostreams/filtering_stream.hpp>
