@@ -105,9 +105,11 @@ int64_t stpu_fastq_parse(const uint8_t* buf, int64_t size, int fasta,
   init_code();
   int64_t nchunks = (n + kCkpt - 1) / kCkpt;
   if (nchunks == 0) return 0;
-  int64_t bad = 0;
+  // first failing record index (or INT64_MAX): min-reduced so the result
+  // is deterministic and the write is race-free across OpenMP threads
+  int64_t bad = INT64_MAX;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic) num_threads(num_threads > 0 ? num_threads : omp_get_max_threads())
+#pragma omp parallel for schedule(dynamic) reduction(min : bad) num_threads(num_threads > 0 ? num_threads : omp_get_max_threads())
 #endif
   for (int64_t ch = 0; ch < nchunks; ++ch) {
     int64_t pos = ckpt_byte[ch];
@@ -118,17 +120,17 @@ int64_t stpu_fastq_parse(const uint8_t* buf, int64_t size, int fasta,
     for (int64_t r = r0; r < r1; ++r) {
       if (!next_line(buf, size, pos, id) ||
           !next_line(buf, size, pos, seq)) {
-        bad = r + 1;
+        bad = bad < r + 1 ? bad : r + 1;
         break;
       }
       if (!fasta &&
           (!next_line(buf, size, pos, plus) ||
            !next_line(buf, size, pos, qual))) {
-        bad = r + 1;
+        bad = bad < r + 1 ? bad : r + 1;
         break;
       }
       if (seq.len > maxlen) {
-        bad = r + 1;
+        bad = bad < r + 1 ? bad : r + 1;
         break;
       }
       uint8_t* crow = codes + r * maxlen;
@@ -142,7 +144,7 @@ int64_t stpu_fastq_parse(const uint8_t* buf, int64_t size, int fasta,
         crow[i] = (uint8_t)c;
       }
       if (!ok) {
-        bad = r + 1;
+        bad = bad < r + 1 ? bad : r + 1;
         break;
       }
       if (seq.len < maxlen)
@@ -159,7 +161,7 @@ int64_t stpu_fastq_parse(const uint8_t* buf, int64_t size, int fasta,
       idw += id.len;
     }
   }
-  return bad ? -bad : 0;
+  return bad == INT64_MAX ? 0 : -bad;
 }
 
 // codes (n, L) uint8 -> packed (n, W) uint32, W = ceil(L/16).

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as Pspec
 
+from .. import params as P
 from ..ops import bits
 from ..reorder import dictionary as dct
 from ..reorder import engine as eng
@@ -50,14 +51,17 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 @dataclass
 class DistConfig:
     max_readlen: int
-    num_walkers: int = 16384     # global walker count (divisible by mesh)
-    candidates: int = 8
-    thresh: int = 4
+    num_walkers: int = P.REORDER_BATCH  # global walkers (divisible by mesh)
+    candidates: int = P.DICT_PROBE_CANDIDATES
+    thresh: int = P.THRESH_REORDER
     max_shift: int = 0
 
     def __post_init__(self):
+        # same cap as ReorderConfig: an uncapped shift scan both dominates
+        # round count and can exceed _roll_counts' select-chain coverage
         if self.max_shift == 0:
-            self.max_shift = max(self.max_readlen // 2, 1)
+            self.max_shift = max(min(self.max_readlen // 2,
+                                     P.MAX_SHIFT_CAP), 1)
 
 
 def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],

@@ -412,7 +412,12 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
         idbuf = np.frombuffer(b"".join(ids), np.uint8)
         idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
     else:
-        ids = [f"@{s + i + 1}".encode() for i in range(m)]
+        # fake ids: per-file index + /1 or /2 (reference
+        # src/decompress.cpp:374-378); FASTA headers must start with '>'
+        pre = ">" if cp.fasta_input else "@"
+        ids = [(f"{pre}{g - per_file + 1}/2" if cp.paired_end
+                and (g := s + i) >= per_file
+                else f"{pre}{s + i + 1}/1").encode() for i in range(m)]
         idbuf = np.frombuffer(b"".join(ids), np.uint8)
         idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
     if trace:

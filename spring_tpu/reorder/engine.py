@@ -351,7 +351,10 @@ class ReorderEngine:
         lengths_p[: self.N] = lengths
         packed_p[:, self.W] = lengths_p.view(np.uint32)
         packed_p[self.N:, self.W] |= np.uint32(1 << 31)
-        self.packed = jnp.asarray(packed_p)   # initial rows (state carries)
+        # keep the initial rows on the host: the jitted round donates its
+        # state (incl. rows), so a device-resident self.packed would be a
+        # deleted buffer on any second run()
+        self.packed_np = packed_p
         self.lengths = jnp.asarray(lengths_p)
         self._round_fn = self._build_round_fn()
 
@@ -377,7 +380,7 @@ class ReorderEngine:
             left_phase=jnp.zeros((B,), bool),
             claimed=jnp.asarray(claimed),
             queue_pos=jnp.zeros((), jnp.int32),
-            rows=self.packed,                 # mutable: claim flags bit 31
+            rows=jnp.asarray(self.packed_np),  # fresh device copy per run
         )
 
     # ---------------- the jitted round ----------------
