@@ -253,6 +253,8 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
 class DistReorderEngine:
     """Multi-device counterpart of ReorderEngine (walkers dp, dicts tp)."""
 
+    emit_slots = 1   # one emission slot per walker per round
+
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
                  cfg: DistConfig, mesh: Mesh | None = None):
         self.mesh = mesh or make_mesh()

@@ -175,8 +175,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")
-        layout, _singles = cons.layout_from_emissions(emissions, engine.B,
-                                                      c_len)
+        layout, _singles = cons.layout_from_emissions(
+            emissions, engine.B, c_len,
+            slots=getattr(engine, "emit_slots", 1))
         mark("assemble_contigs")
         if layout.seq_len:
             seq_codes = cons.build_consensus(layout, c_codes, c_len)

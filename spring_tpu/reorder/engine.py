@@ -62,6 +62,13 @@ class ReorderConfig:
     # with thousands of walkers, contig-death shift scans dominate round
     # count, so cap the scan (shifts beyond it are rare at real coverage)
     max_shift: int = 0   # 0 -> min(max_readlen // 2, MAX_SHIFT_CAP)
+    # batch-accept: shifts scanned per round (wide chunks amortize fixed
+    # round cost) and accepted-candidate slots per walker per round (the
+    # reference accepts one read then re-probes, src/reorder.h:432-616;
+    # accepting every verified candidate of a round is the same objective
+    # optimized breadth-first and cuts round count by ~coverage)
+    shift_chunk: int = 16
+    accept_slots: int = 16
 
     def __post_init__(self):
         if self.max_shift == 0:
@@ -119,9 +126,9 @@ class ProbeLayout:
     baked into the program as constants.
     """
 
-    def __init__(self, D: int, C: int):
-        self.D, self.C = D, C
-        self.K = SHIFT_CHUNK * D * 2 * C
+    def __init__(self, D: int, C: int, sc: int = SHIFT_CHUNK):
+        self.D, self.C, self.SC = D, C, sc
+        self.K = sc * D * 2 * C
         k = np.arange(self.K)
         self.k_c = k % C
         self.k_o = (k // C) % 2
@@ -134,15 +141,15 @@ class ProbeLayout:
                           + self.k_c).astype(np.int32)
 
 
-def walker_frames(counts, ref_len, shift_base):
+def walker_frames(counts, ref_len, shift_base, sc: int = SHIFT_CHUNK):
     """Consensus comparison frames, computed entirely in the packed bit
     domain (funnel shifts, no gathers — take_along_axis-style shifts lower
     to scattered loads on TPU and dominated the round).
 
     counts: (Bw, 4, Lb). Returns (frames, s_tot):
-      frames: (Bw, SC, 2, W) packed consensus windows — orientation axis is
+      frames: (Bw, sc, 2, W) packed consensus windows — orientation axis is
               {forward shifted left by s, revcomp shifted right by s}
-      s_tot:  (Bw, SC) absolute shift of each probe
+      s_tot:  (Bw, sc) absolute shift of each probe
     """
     Lb = counts.shape[2]
     refc = jnp.argmax(counts, axis=1).astype(jnp.int32)
@@ -152,12 +159,12 @@ def walker_frames(counts, ref_len, shift_base):
     base_ref = bits.shift_bases_left(ref_pk, shift_base, Lb)
     base_rev = bits.shift_bases_right(rev_pk, shift_base, Lb)
     ref_i = [bits.shift_bases_left_static(base_ref, i)
-             for i in range(SHIFT_CHUNK)]
+             for i in range(sc)]
     rev_i = [bits.shift_bases_right_static(base_rev, i)
-             for i in range(SHIFT_CHUNK)]
+             for i in range(sc)]
     frames = jnp.stack([jnp.stack(ref_i, axis=1),
                         jnp.stack(rev_i, axis=1)], axis=2)
-    s_tot = shift_base[:, None] + jnp.arange(SHIFT_CHUNK)
+    s_tot = shift_base[:, None] + jnp.arange(sc)
     return frames, s_tot
 
 
@@ -389,8 +396,11 @@ class ReorderEngine:
         cfg = self.cfg
         Np = self.Np
         C = cfg.candidates
+        SC = cfg.shift_chunk
         starts = [d.start for d in self.dicts]
-        lay = ProbeLayout(len(starts), C)
+        lay = ProbeLayout(len(starts), C, SC)
+        M = min(cfg.accept_slots, lay.K)
+        self.emit_slots = M + 1
 
         def round_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
@@ -401,19 +411,10 @@ class ReorderEngine:
             claimed = state["claimed"]
             packed = state["rows"]
             B = counts.shape[0]
+            Lb = counts.shape[2]
             Wl = packed.shape[1] - 1
-
-            frames, s_tot = walker_frames(counts, ref_len, shift_base)
-            q, v = walker_queries(frames, s_tot, ref_len, starts)
-
-            hits_r, hits_v = [], []
-            for di in range(len(starts)):
-                rids, hit = dct.probe_hash(dkeys[di], drids[di],
-                                           q[:, :, di, :], C)
-                hits_r.append(rids)
-                hits_v.append(hit & v[:, :, di, :, None])
-            # flatten (SC, D, 2, C) -> K in the ProbeLayout order
             nwords = Np // 32 + 2
+            lp0 = state["left_phase"]
 
             def claimed_bit(idx):
                 w = claimed[idx >> 5]
@@ -431,45 +432,137 @@ class ReorderEngine:
                         packed.at[jnp.where(cond, idx, Np - 1), Wl]
                         .add(rflag))
 
+            frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
+            q, v = walker_queries(frames, s_tot, ref_len, starts)
+
+            hits_r, hits_v = [], []
+            for di in range(len(starts)):
+                rids, hit = dct.probe_hash(dkeys[di], drids[di],
+                                           q[:, :, di, :], C)
+                hits_r.append(rids)
+                hits_v.append(hit & v[:, :, di, :, None])
+            # flatten (SC, D, 2, C) -> K in the ProbeLayout order
             cand = jnp.stack(hits_r, axis=2).reshape(B, lay.K)
             cvalid = jnp.stack(hits_v, axis=2).reshape(B, lay.K)
             cvalid &= (cand >= 0) & active[:, None]
 
-            ok, t, pr, clen = verify_candidates(
-                frames, s_tot, ref_len, cand, cvalid, packed,
-                cfg.thresh, lay)
-            matched, rid_sel, t_sel, rc_sel, _ = select_best(
-                cand, pr, t, clen, lay)
-            matched = resolve_conflicts(matched, rid_sel)
-            rid_sel = jnp.where(matched, rid_sel, -1)
+            # ---- top-M compaction: only the M best-priority valid slots
+            # get the expensive packed-row gather (most of the K probe
+            # slots are empty at real coverage) ----
+            prio = jnp.where(cvalid, -jnp.asarray(lay.pr_static)[None, :],
+                             -_BIG)
+            _, idx_m = jax.lax.top_k(prio, M)          # (B, M)
 
-            left_phase = state["left_phase"]
+            def take_m(x):
+                return jnp.take_along_axis(x, idx_m, axis=1)
+            cand_m = take_m(cand)
+            valid_m = take_m(cvalid)
+            k_o_m = jnp.asarray(lay.k_o.astype(np.int32))[idx_m]
+            k_frame_m = jnp.asarray(lay.k_frame.astype(np.int32))[idx_m]
+            s_m = shift_base[:, None] + jnp.asarray(
+                lay.k_s.astype(np.int32))[idx_m]
+            pr_m = jnp.asarray(lay.pr_static)[idx_m]
+
+            # ---- verify: ONE (B, M) row gather + masked popcounts ----
+            safe = jnp.clip(cand_m, 0, Np - 1)
+            rows = packed[safe]                        # (B, M, W+1)
+            lw = rows[..., Wl]
+            claimed_row = (lw >> 31) == 1
+            clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            rl = ref_len[:, None]
+            lo = jnp.where(k_o_m == 0, 0, s_m)
+            hi = jnp.where(k_o_m == 0, jnp.minimum(rl - s_m, clen),
+                           jnp.minimum(rl + s_m, clen))
+            t = jnp.where(k_o_m == 0, s_m, rl + s_m - clen)
+            fr2 = frames.reshape(B, 2 * SC, -1)
+            frow = jnp.take_along_axis(fr2, k_frame_m[:, :, None], axis=1)
+            ham = jnp.zeros((B, M), jnp.int32)
+            for w in range(Wl):
+                d = frow[..., w] ^ rows[..., w]
+                mm = (d | (d >> 1)) & _ODD
+                mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
+                    & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
+                ham = ham + jax.lax.population_count(mm & mw).astype(
+                    jnp.int32)
+            ok = valid_m & ~claimed_row & (ham <= cfg.thresh) \
+                & (t >= 0) & (hi > lo)
+
+            # ---- batch accept: dedup rids within the walker (a read found
+            # via both dicts appears twice), then order accepts by t so the
+            # per-round emission deltas chain like sequential accepts ----
+            ord_pr = jnp.argsort(jnp.where(ok, pr_m, _BIG), axis=1,
+                                 stable=True)
+            rid_eff = jnp.where(ok, cand_m, _BIG)
+            rid_p = jnp.take_along_axis(rid_eff, ord_pr, axis=1)
+            ord_r = jnp.argsort(rid_p, axis=1, stable=True)
+            perm_a = jnp.take_along_axis(ord_pr, ord_r, axis=1)
+            rid_s = jnp.take_along_axis(rid_eff, perm_a, axis=1)
+            firsts = jnp.concatenate(
+                [jnp.ones((B, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]],
+                axis=1)
+            keep_s = (rid_s != _BIG) & firsts
+            t_s = jnp.take_along_axis(t, perm_a, axis=1)
+            ord_t = jnp.argsort(jnp.where(keep_s, t_s, _BIG), axis=1,
+                                stable=True)
+            perm = jnp.take_along_axis(perm_a, ord_t, axis=1)
+
+            def take_p(x):
+                return jnp.take_along_axis(x, perm, axis=1)
+            keep_f = jnp.take_along_axis(keep_s, ord_t, axis=1)
+            rid_f = take_p(cand_m)
+            t_f = take_p(t)
+            ko_f = take_p(k_o_m)
+            clen_f = take_p(clen)
+            rows_f = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
+
+            # ---- cross-walker conflicts: first walker per rid wins ----
+            win = resolve_conflicts(keep_f.reshape(-1),
+                                    rid_f.reshape(-1)).reshape(B, M)
+            matched_any = win.any(axis=1)
+            t_roll = jnp.max(jnp.where(win, t_f, 0), axis=1)
+
+            # ---- batched consensus update (updaterefcount semantics,
+            # src/reorder.h:110-220, applied to the whole accepted set:
+            # roll to the last accepted read's start, add each accepted
+            # read's one-hot at its relative offset) ----
+            left_phase = lp0
             first_rid = state["first_rid"]
-            counts, ref_len = apply_matches(
-                counts, ref_len, matched, rid_sel, t_sel, rc_sel,
-                packed, lengths)
-            claimed, packed = claim(matched, jnp.clip(rid_sel, 0, Np - 1))
-            shift_base = jnp.where(matched, 0, shift_base)
+            live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
+            rolled = _roll_counts(counts * live, t_roll)
+            new_len = jnp.maximum(ref_len - t_roll, 0)
+            for j in range(M):
+                rj = rows_f[:, j, :Wl]
+                lj = clen_f[:, j]
+                pkj = jnp.where((ko_f[:, j] == 1)[:, None],
+                                bits.revcomp_packed(rj, lj), rj)
+                dj = jnp.where(win[:, j], t_roll - t_f[:, j], 0)
+                pkj = bits.shift_bases_left(pkj, dj, Lb)
+                ohj = _onehot_read(bits.unpack(pkj, Lb), lj - dj)
+                rolled = rolled + jnp.where(win[:, j, None, None], ohj, 0)
+                new_len = jnp.maximum(new_len,
+                                      jnp.where(win[:, j], lj - dj, 0))
+            counts = jnp.where(matched_any[:, None, None], rolled, counts)
+            ref_len = jnp.where(matched_any, new_len, ref_len)
+            claimed, packed = claim(win.reshape(-1),
+                                    jnp.clip(rid_f, 0, Np - 1).reshape(-1))
+            shift_base = jnp.where(matched_any, 0, shift_base)
 
             # walkers that found nothing advance their shift window; an
             # exhausted forward walker restarts leftward from the contig's
             # first read, reverse-complemented (reference left search,
             # src/reorder.h:562-571); an exhausted left walker dies
-            missed = active & ~matched
-            shift_base = jnp.where(missed, shift_base + SHIFT_CHUNK,
-                                   shift_base)
+            missed = active & ~matched_any
+            shift_base = jnp.where(missed, shift_base + SC, shift_base)
             death = missed & (shift_base > maxshift)
             start_left = death & ~left_phase
             active = active & ~(death & left_phase)
             left_phase = left_phase | start_left
             shift_base = jnp.where(start_left, 0, shift_base)
             fr_rows = packed[jnp.clip(first_rid, 0, Np - 1)]
-            Wp = packed.shape[1] - 1
-            fr_len = (fr_rows[:, Wp] & jnp.uint32(0x7FFFFFFF)
+            fr_len = (fr_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)
                       ).astype(jnp.int32)
-            fr_rc = bits.revcomp_packed(fr_rows[:, :Wp], fr_len)
-            fr_counts = _onehot_read(bits.unpack(fr_rc, counts.shape[2]),
-                                     fr_len)
+            fr_rc = bits.revcomp_packed(fr_rows[:, :Wl], fr_len)
+            fr_counts = _onehot_read(bits.unpack(fr_rc, Lb), fr_len)
             counts = jnp.where(start_left[:, None, None], fr_counts, counts)
             ref_len = jnp.where(start_left, fr_len, ref_len)
 
@@ -482,8 +575,7 @@ class ReorderEngine:
             seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
             ok_seed = in_range & ~claimed_bit(seed_rid)
             claimed, packed = claim(ok_seed, seed_rid)
-            seed_cnt = seed_counts_for(packed, lengths, seed_rid,
-                                       counts.shape[2])
+            seed_cnt = seed_counts_for(packed, lengths, seed_rid, Lb)
             counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
             ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
             shift_base = jnp.where(ok_seed, 0, shift_base)
@@ -492,15 +584,23 @@ class ReorderEngine:
             first_rid = jnp.where(ok_seed, seed_rid, first_rid)
             queue_pos = state["queue_pos"] + jnp.sum(in_range)
 
-            # emissions: one slot per walker per round; flag 2 = left-phase
-            emit_rid = jnp.where(matched, rid_sel,
-                                 jnp.where(ok_seed, seed_rid, -1))
-            emit_flag = jnp.where(matched,
-                                  jnp.where(left_phase & ~ok_seed, 2, 1), 0)
-            emit = jnp.stack([emit_rid,
-                              emit_flag,
-                              jnp.where(matched, t_sel, 0),
-                              jnp.where(matched, rc_sel, 0)], axis=-1)
+            # emissions: (B, M+1, 4); slot 0 seeds (flag 0), slots 1..M the
+            # t-ordered accepted reads with within-round position deltas
+            tw = jnp.where(win, t_f, 0)
+            cm = jax.lax.cummax(tw, axis=1)
+            prev = jnp.concatenate(
+                [jnp.zeros((B, 1), tw.dtype), cm[:, :-1]], axis=1)
+            delta = tw - prev
+            emit_m = jnp.stack(
+                [jnp.where(win, rid_f, -1),
+                 jnp.where(win, jnp.where(lp0[:, None], 2, 1), 0),
+                 jnp.where(win, delta, 0),
+                 jnp.where(win, ko_f, 0)], axis=-1)
+            zero = jnp.zeros((B,), jnp.int32)
+            emit_seed = jnp.stack(
+                [jnp.where(ok_seed, seed_rid, -1), zero, zero, zero],
+                axis=-1)[:, None, :]
+            emit = jnp.concatenate([emit_seed, emit_m], axis=1)
 
             new_state = dict(counts=counts, ref_len=ref_len, active=active,
                              shift_base=shift_base, first_rid=first_rid,
@@ -536,8 +636,12 @@ class ReorderEngine:
     # ---------------- driver loop ----------------
 
     def run(self, progress=None) -> np.ndarray:
-        """Returns emissions (R*B, 4) int32 rows (rid, flag, pos_delta, rc)
-        in round-major walker order; rid == -1 rows are empty slots."""
+        """Returns emissions (R*B*emit_slots, 4) int32 rows of
+        (rid, flag, pos_delta, rc) in (round, walker, slot) order;
+        rid == -1 rows are empty slots."""
+        import os
+        import time
+        trace = os.environ.get("SPRING_TPU_TRACE")
         state = self._init_state()
         dkeys = [d.btab for d in self.dicts]
         drids = [d.rids for d in self.dicts]
@@ -556,7 +660,10 @@ class ReorderEngine:
         maxshift = jnp.asarray(self.cfg.max_shift, jnp.int32)
         chunks = []
         last_claimed = 0
+        rounds = accepts = seeds = 0
+        t_start = time.time()
         while True:
+            t0 = time.time()
             state, emit = self._round_fn(state, lengths, dkeys,
                                          drids, seed_order, n_real, maxshift)
             buf = np.asarray(emit)                        # syncs
@@ -564,6 +671,15 @@ class ReorderEngine:
             queue_pos = int(state["queue_pos"])
             any_active = bool(np.asarray(state["active"]).any())
             emitted = bool((buf[..., 0] >= 0).any())
+            rounds += FLUSH_ROUNDS
+            if trace:
+                fl_acc = int(((buf[..., 0] >= 0) & (buf[..., 1] > 0)).sum())
+                fl_seed = int(((buf[..., 0] >= 0) & (buf[..., 1] == 0)).sum())
+                accepts += fl_acc
+                seeds += fl_seed
+                print(f"[trace] reorder flush r={rounds} "
+                      f"{time.time() - t0:.3f}s acc={fl_acc} seed={fl_seed} "
+                      f"q={queue_pos}/{self.N}", flush=True)
             if progress is not None:
                 progress(queue_pos, self.N)
             if queue_pos >= self.N and not any_active and not emitted:
@@ -575,12 +691,17 @@ class ReorderEngine:
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
                 drids = self._compact_dicts(drids, claimed_np)
                 last_claimed = n_claimed
+        if trace:
+            dt = time.time() - t_start
+            print(f"[trace] reorder done: {rounds} rounds {dt:.2f}s "
+                  f"({1000 * dt / max(rounds, 1):.1f} ms/round) "
+                  f"accepts={accepts} seeds={seeds}", flush=True)
         return np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4), np.int32)
 
 
 def assemble_contigs(emissions: np.ndarray, num_walkers: int,
-                     lengths: np.ndarray | None = None
-                     ) -> list[dict[str, np.ndarray]]:
+                     lengths: np.ndarray | None = None,
+                     slots: int = 1) -> list[dict[str, np.ndarray]]:
     """Group round-major emissions into per-contig read lists.
 
     Returns a list of contigs, each a dict with:
@@ -593,11 +714,11 @@ def assemble_contigs(emissions: np.ndarray, num_walkers: int,
     the contig's first read — their coordinates fold back as
     o = len(first) - q - len(read) with orientation flipped.
     """
-    R = emissions.shape[0] // num_walkers
-    em = emissions.reshape(R, num_walkers, 4)
+    R = emissions.shape[0] // (num_walkers * slots)
+    em = emissions.reshape(R, num_walkers, slots, 4)
     contigs = []
     for w in range(num_walkers):
-        col = em[:, w, :]
+        col = em[:, w].reshape(-1, 4)
         col = col[col[:, 0] >= 0]
         if not len(col):
             continue
