@@ -1,0 +1,264 @@
+// qvcodec — dedicated quality-score codec (context-modeled adaptive
+// range coding).
+//
+// Reference analog: Spring entropy-codes quality strings with generic
+// libbsc (BWT + QLFC, src/reorder_compress_quality_id.cpp:170-183).
+// Quality data has strong *local* structure — q[i] correlates with
+// q[i-1], q[i-2] and the position in the read — which a direct
+// context-mixed coder captures better than a block-sorting transform,
+// at a fraction of the CPU cost (no suffix array). This is the design
+// family of the FASTQ-specialized coders (fqzcomp et al.), implemented
+// from scratch on spring-tpu's shared binary range coder.
+//
+// Model: the quality alphabet of the block is made dense (A symbols,
+// coded as ceil(log2 A)-bit adaptive trees); the tree is selected by
+//   ctx = (q1, quant8(q2), quant16(pos))
+// where q1 is the previous symbol (halved if A > 64), q2 the one before,
+// and pos the position scaled by the block's max read length.
+//
+// Input rows are concatenated (ragged) so arbitrarily long reads work.
+// Wire format: u32 n, u32 Lmax, u64 total, 32-byte alphabet bitmap,
+// rc stream of [per read: len (same-as-prev bit, else 16/32-bit tree),
+// symbols].
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "rangecoder.h"
+
+namespace stpu {
+
+namespace {
+
+inline int bit_len(uint32_t v) {
+  int k = 0;
+  while (v) {
+    ++k;
+    v >>= 1;
+  }
+  return k;
+}
+
+struct QVModel {
+  int A = 1;        // alphabet size
+  int abits = 1;    // tree depth
+  int tsz = 2;      // probs per tree (1 << abits)
+  int q1n = 1;      // q1 context cardinality
+  std::vector<uint16_t> trees;  // q1n*8*16 trees of tsz probs
+  uint16_t len_same[2];
+  std::vector<uint16_t> len_tree;  // 32-bit adaptive tree
+
+  void init(int alpha) {
+    A = std::max(alpha, 1);
+    abits = std::max(bit_len((uint32_t)(A - 1)), 1);
+    tsz = 1 << abits;
+    q1n = A <= 64 ? A : (A + 1) / 2;
+    trees.assign((size_t)q1n * 8 * 16 * tsz, kProbInit);
+    len_same[0] = len_same[1] = kProbInit;
+    // lengths: 5-bit bit-count tree + per-position mantissa probs
+    len_tree.assign(32 + 32, kProbInit);
+  }
+
+  inline uint16_t* ctx_tree(int q1, int q2, int posb) {
+    int q1c = A <= 64 ? q1 : (q1 >> 1);
+    int q2b = (q2 * 8) / A;  // A >= 1
+    return trees.data() + (((size_t)q1c * 8 + q2b) * 16 + posb) * tsz;
+  }
+};
+
+inline void tree_encode(RangeEncoder& rc, uint16_t* probs, int nbits,
+                        uint32_t sym) {
+  uint32_t node = 1;
+  for (int i = nbits - 1; i >= 0; --i) {
+    int bit = (sym >> i) & 1;
+    rc.encode_bit(&probs[node], bit);
+    node = (node << 1) | bit;
+  }
+}
+
+inline uint32_t tree_decode(RangeDecoder& rc, uint16_t* probs, int nbits) {
+  uint32_t node = 1;
+  for (int i = 0; i < nbits; ++i) node = (node << 1) | rc.decode_bit(&probs[node]);
+  return node - (1u << nbits);
+}
+
+// Elias-gamma-style adaptive length coder (lengths can exceed 16 bits in
+// long mode): 5-bit bit-count tree, then adaptive mantissa bits.
+inline void len_encode(RangeEncoder& rc, QVModel& m, uint32_t v) {
+  int k = bit_len(v);  // v >= 0; k in 0..32
+  tree_encode(rc, m.len_tree.data(), 5, (uint32_t)k);
+  for (int j = k - 2; j >= 0; --j)
+    rc.encode_bit(&m.len_tree[32 + j], (int)((v >> j) & 1));
+}
+
+inline uint32_t len_decode(RangeDecoder& rc, QVModel& m) {
+  int k = (int)tree_decode(rc, m.len_tree.data(), 5);
+  if (k == 0) return 0;
+  uint32_t v = 1;
+  for (int j = k - 2; j >= 0; --j)
+    v = (v << 1) | rc.decode_bit(&m.len_tree[32 + j]);
+  return v;
+}
+
+inline void put_u32p(uint8_t* p, uint32_t x) {
+  p[0] = (uint8_t)x;
+  p[1] = (uint8_t)(x >> 8);
+  p[2] = (uint8_t)(x >> 16);
+  p[3] = (uint8_t)(x >> 24);
+}
+
+inline uint32_t get_u32p(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+constexpr int kHdr = 16 + 32;
+
+}  // namespace
+
+// blob: concatenated rows, lens[r] chars each.
+int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
+                    std::vector<uint8_t>& out) {
+  out.clear();
+  out.resize(kHdr, 0);
+  int64_t total = 0;
+  int64_t Lmax = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    total += lens[r];
+    Lmax = std::max<int64_t>(Lmax, lens[r]);
+  }
+  put_u32p(out.data(), (uint32_t)n);
+  put_u32p(out.data() + 4, (uint32_t)Lmax);
+  for (int i = 0; i < 8; ++i) out[8 + i] = (uint8_t)((uint64_t)total >> (8 * i));
+  bool present[256] = {false};
+  for (int64_t i = 0; i < total; ++i) present[blob[i]] = true;
+  uint8_t dense[256] = {0};
+  int A = 0;
+  for (int c = 0; c < 256; ++c)
+    if (present[c]) {
+      out[16 + c / 8] |= (uint8_t)(1 << (c % 8));
+      dense[c] = (uint8_t)A++;
+    }
+  if (n == 0) return (int64_t)out.size();
+
+  QVModel mdl;
+  mdl.init(A);
+  RangeEncoder rc(&out);
+  int32_t prev_len = -1;
+  int64_t Lm = std::max<int64_t>(Lmax, 1);
+  const uint8_t* row = blob;
+  for (int64_t r = 0; r < n; ++r) {
+    int32_t len = lens[r];
+    if (len == prev_len) {
+      rc.encode_bit(&mdl.len_same[0], 0);
+    } else {
+      rc.encode_bit(&mdl.len_same[0], 1);
+      len_encode(rc, mdl, (uint32_t)len);
+      prev_len = len;
+    }
+    int q1 = 0, q2 = 0;
+    for (int32_t i = 0; i < len; ++i) {
+      int d = dense[row[i]];
+      int posb = (int)(((int64_t)i * 16) / Lm);
+      if (posb > 15) posb = 15;
+      tree_encode(rc, mdl.ctx_tree(q1, q2, posb), mdl.abits, (uint32_t)d);
+      q2 = q1;
+      q1 = d;
+    }
+    row += len;
+  }
+  rc.flush();
+  return (int64_t)out.size();
+}
+
+int64_t qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
+                      int64_t blob_cap, int32_t* lens, int64_t n_cap) {
+  if (src_len < kHdr) return -1;
+  int64_t n = (int64_t)get_u32p(src);
+  uint64_t total = 0;
+  for (int i = 0; i < 8; ++i) total |= (uint64_t)src[8 + i] << (8 * i);
+  if (n > n_cap || (int64_t)total > blob_cap) return -2;
+  int64_t Lmax = (int64_t)get_u32p(src + 4);
+  uint8_t from_dense[256];
+  int A = 0;
+  for (int c = 0; c < 256; ++c)
+    if (src[16 + c / 8] & (1 << (c % 8))) from_dense[A++] = (uint8_t)c;
+  if (n == 0) return 0;
+  if (A == 0 && total > 0) return -1;
+  if (A == 0) {
+    std::memset(lens, 0, (size_t)n * sizeof(int32_t));
+    return n;
+  }
+
+  QVModel mdl;
+  mdl.init(A);
+  RangeDecoder rc(src + kHdr, (size_t)(src_len - kHdr));
+  int32_t prev_len = -1;
+  int64_t Lm = std::max<int64_t>(Lmax, 1);
+  uint8_t* row = blob;
+  int64_t written = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    int32_t len = prev_len;
+    if (rc.decode_bit(&mdl.len_same[0])) {
+      len = (int32_t)len_decode(rc, mdl);
+      prev_len = len;
+    }
+    if (len < 0 || written + len > (int64_t)total) return -1;
+    lens[r] = len;
+    int q1 = 0, q2 = 0;
+    for (int32_t i = 0; i < len; ++i) {
+      int posb = (int)(((int64_t)i * 16) / Lm);
+      if (posb > 15) posb = 15;
+      uint32_t d = tree_decode(rc, mdl.ctx_tree(q1, q2, posb), mdl.abits);
+      if ((int)d >= A) return -1;
+      row[i] = from_dense[d];
+      q2 = q1;
+      q1 = (int)d;
+    }
+    row += len;
+    written += len;
+  }
+  if (written != (int64_t)total) return -1;
+  return n;
+}
+
+}  // namespace stpu
+
+extern "C" {
+
+// compressed-size upper bound for the caller's dst buffer
+int64_t stpu_qv_bound(int64_t total_chars, int64_t n) {
+  return 128 + total_chars + n;
+}
+
+int64_t stpu_qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
+                         uint8_t* dst, int64_t cap) {
+  std::vector<uint8_t> out;
+  int64_t sz = stpu::qv_compress(blob, n, lens, out);
+  if (sz < 0) return sz;
+  if (sz > cap) return -2;
+  std::memcpy(dst, out.data(), (size_t)sz);
+  return sz;
+}
+
+// header peek so the caller can size the outputs: fills n, Lmax, total
+int stpu_qv_dims(const uint8_t* src, int64_t src_len, int64_t* n, int64_t* L,
+                 int64_t* total) {
+  if (src_len < 16) return -1;
+  *n = (int64_t)((uint32_t)src[0] | ((uint32_t)src[1] << 8) |
+                 ((uint32_t)src[2] << 16) | ((uint32_t)src[3] << 24));
+  *L = (int64_t)((uint32_t)src[4] | ((uint32_t)src[5] << 8) |
+                 ((uint32_t)src[6] << 16) | ((uint32_t)src[7] << 24));
+  uint64_t t = 0;
+  for (int i = 0; i < 8; ++i) t |= (uint64_t)src[8 + i] << (8 * i);
+  *total = (int64_t)t;
+  return 0;
+}
+
+int64_t stpu_qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
+                           int64_t blob_cap, int32_t* lens, int64_t n_cap) {
+  return stpu::qv_decompress(src, src_len, blob, blob_cap, lens, n_cap);
+}
+
+}  // extern "C"

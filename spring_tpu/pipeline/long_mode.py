@@ -18,7 +18,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from .. import params as P
-from ..codecs import bsc, idcodec
+from ..codecs import bsc, idcodec, qv
 from ..io import fastq
 from ..io.container import ArchiveReader, ArchiveWriter
 from ..io.ids import check_id_pattern, find_id_pattern, modify_id
@@ -62,7 +62,7 @@ def compress_long(files: list[str], writer: ArchiveWriter,
             futs["read"] = pool.submit(bsc.compress_str_array, blk.seqs,
                                        num_threads=1)
             if cp.preserve_quality and quals:
-                futs["quality"] = pool.submit(bsc.compress_str_array, quals,
+                futs["quality"] = pool.submit(qv.compress_str_array, quals,
                                               num_threads=1)
             if cp.preserve_id:
                 futs["id"] = pool.submit(idcodec.compress_ids, blk.ids)
@@ -144,8 +144,8 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, j: int,
                                     num_threads=1)
     quals = None
     if cp.preserve_quality and not cp.fasta_input:
-        quals = bsc.decompress_str_array(reader.get_block(f"quality{j + 1}", b),
-                                         num_threads=1)
+        quals = qv.decompress_str_array(
+            reader.get_block(f"quality{j + 1}", b))
     if cp.preserve_id:
         if j == 1 and cp.paired_id_match:
             ids1 = idcodec.decompress_ids(reader.get_block("id1", b), len(seqs))

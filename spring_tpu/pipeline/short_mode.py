@@ -31,7 +31,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from .. import params as P
-from ..codecs import bsc, idcodec
+from ..codecs import bsc, idcodec, qv
 from ..encode import consensus as cons
 from ..encode import streams as st
 from ..io import fastq, fastq_native, packing
@@ -251,7 +251,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         for b in range(cp.num_blocks):
             sel = order_out[b * block:(b + 1) * block]
             futs.append((f"quality.{b}",
-                         pool.submit(bsc.compress_rows, quals[sel],
+                         pool.submit(qv.compress_rows, quals[sel],
                                      lengths[sel], num_threads=1)))
     if cp.preserve_id:
         id_limit = per_file if cp.paired_id_match else n
@@ -397,7 +397,7 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
 
     qmat = None
     if cp.preserve_quality and not cp.fasta_input:
-        qmat, _qlens = bsc.decompress_rows(
+        qmat, _qlens = qv.decompress_rows(
             reader.get_block("quality", b), max_len=L, num_threads=1)
     _t3 = time.time()
     if cp.preserve_id:
