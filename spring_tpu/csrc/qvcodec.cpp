@@ -17,9 +17,10 @@
 // and pos the position scaled by the block's max read length.
 //
 // Input rows are concatenated (ragged) so arbitrarily long reads work.
-// Wire format: u32 n, u32 Lmax, u64 total, 32-byte alphabet bitmap,
-// rc stream of [per read: len (same-as-prev bit, else 16/32-bit tree),
-// symbols].
+// Wire format: u32 n, u32 Lmax, u64 total, u32 checksum (FNV-1a of the
+// raw blob, validated on decode — reference parity: libbsc's adler32),
+// 32-byte alphabet bitmap, rc stream of [per read: len (same-as-prev
+// bit, else adaptive gamma), symbols].
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -113,7 +114,16 @@ inline uint32_t get_u32p(const uint8_t* p) {
          ((uint32_t)p[3] << 24);
 }
 
-constexpr int kHdr = 16 + 32;
+inline uint32_t fnv1a(const uint8_t* p, int64_t n) {
+  uint32_t h = 2166136261u;
+  for (int64_t i = 0; i < n; ++i) {
+    h ^= p[i];
+    h *= 16777619u;
+  }
+  return h;
+}
+
+constexpr int kHdr = 20 + 32;
 
 }  // namespace
 
@@ -131,13 +141,14 @@ int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
   put_u32p(out.data(), (uint32_t)n);
   put_u32p(out.data() + 4, (uint32_t)Lmax);
   for (int i = 0; i < 8; ++i) out[8 + i] = (uint8_t)((uint64_t)total >> (8 * i));
+  put_u32p(out.data() + 16, fnv1a(blob, total));
   bool present[256] = {false};
   for (int64_t i = 0; i < total; ++i) present[blob[i]] = true;
   uint8_t dense[256] = {0};
   int A = 0;
   for (int c = 0; c < 256; ++c)
     if (present[c]) {
-      out[16 + c / 8] |= (uint8_t)(1 << (c % 8));
+      out[20 + c / 8] |= (uint8_t)(1 << (c % 8));
       dense[c] = (uint8_t)A++;
     }
   if (n == 0) return (int64_t)out.size();
@@ -183,7 +194,7 @@ int64_t qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
   uint8_t from_dense[256];
   int A = 0;
   for (int c = 0; c < 256; ++c)
-    if (src[16 + c / 8] & (1 << (c % 8))) from_dense[A++] = (uint8_t)c;
+    if (src[20 + c / 8] & (1 << (c % 8))) from_dense[A++] = (uint8_t)c;
   if (n == 0) return 0;
   if (A == 0 && total > 0) return -1;
   if (A == 0) {
@@ -220,6 +231,7 @@ int64_t qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
     written += len;
   }
   if (written != (int64_t)total) return -1;
+  if (fnv1a(blob, (int64_t)total) != get_u32p(src + 16)) return -3;
   return n;
 }
 

@@ -1,4 +1,5 @@
 """Native codec round-trip tests (xbc block codec + id codec)."""
+import numpy as np
 import random
 
 import pytest
@@ -73,3 +74,65 @@ def test_idcodec_leading_zero_deltas():
     ids = [f"run_{i:05d}".encode() for i in range(0, 3000, 7)]
     z = idcodec.compress_ids(ids)
     assert idcodec.decompress_ids(z, len(ids)) == ids
+
+
+# ---------------- qv quality codec ----------------
+
+def test_qv_matrix_roundtrip():
+    from spring_tpu.codecs import qv
+    rng = np.random.default_rng(3)
+    n, L = 2000, 90
+    mat = rng.integers(35, 75, size=(n, L)).astype(np.uint8)
+    lens = rng.integers(0, L + 1, size=n).astype(np.int32)
+    valid = np.arange(L)[None, :] < lens[:, None]
+    mat = np.where(valid, mat, 0).astype(np.uint8)
+    z = qv.compress_rows(mat, lens)
+    m2, l2 = qv.decompress_rows(z, max_len=L)
+    np.testing.assert_array_equal(l2, lens)
+    np.testing.assert_array_equal(m2, mat)
+
+
+def test_qv_beats_bwt_on_quality_shaped_data():
+    from spring_tpu.codecs import qv
+    rng = np.random.default_rng(4)
+    n, L = 20000, 100
+    qlevels = np.frombuffer(b"#,7<BFIJ", dtype=np.uint8)
+    qidx = np.clip(rng.normal(6.0 - np.arange(L) / 40.0, 1.2,
+                              size=(n, L)).astype(np.int32), 0, 7)
+    mat = qlevels[qidx]
+    lens = np.full(n, L, np.int32)
+    z_qv = qv.compress_rows(mat, lens)
+    z_bw = bsc.compress_rows(mat, lens, num_threads=1)
+    assert len(z_qv) < len(z_bw)
+
+
+def test_qv_edge_cases():
+    from spring_tpu.codecs import qv
+    # empty input
+    z = qv.compress_rows(np.zeros((0, 1), np.uint8), np.zeros(0, np.int32))
+    m, l = qv.decompress_rows(z)
+    assert len(l) == 0
+    # single-symbol alphabet
+    mat = np.full((10, 5), ord("I"), np.uint8)
+    lens = np.full(10, 5, np.int32)
+    m2, l2 = qv.decompress_rows(qv.compress_rows(mat, lens), max_len=5)
+    np.testing.assert_array_equal(m2, mat)
+    # alphabet wider than 64 symbols (q1 context halving path)
+    rng = np.random.default_rng(5)
+    mat = rng.integers(33, 127, size=(500, 40)).astype(np.uint8)
+    lens = np.full(500, 40, np.int32)
+    m3, _ = qv.decompress_rows(qv.compress_rows(mat, lens), max_len=40)
+    np.testing.assert_array_equal(m3, mat)
+
+
+def test_qv_corrupt_stream_raises():
+    from spring_tpu.codecs import qv
+    import pytest
+    rng = np.random.default_rng(11)
+    mat = rng.integers(35, 70, size=(100, 20)).astype(np.uint8)
+    lens = np.full(100, 20, np.int32)
+    z = bytearray(qv.compress_rows(mat, lens))
+    z[len(z) // 2] ^= 0x5A  # corrupt a payload byte
+    with pytest.raises(RuntimeError):
+        # the FNV checksum must catch it; never return wrong data
+        qv.decompress_rows(bytes(z))
