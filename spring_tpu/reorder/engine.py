@@ -528,19 +528,30 @@ class ReorderEngine:
             left_phase = lp0
             first_rid = state["first_rid"]
             live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
-            rolled = _roll_counts(counts * live, t_roll)
-            new_len = jnp.maximum(ref_len - t_roll, 0)
-            for j in range(M):
-                rj = rows_f[:, j, :Wl]
-                lj = clen_f[:, j]
-                pkj = jnp.where((ko_f[:, j] == 1)[:, None],
+            rolled0 = _roll_counts(counts * live, t_roll)
+            len0 = jnp.maximum(ref_len - t_roll, 0)
+
+            def add_slot(j, carry):
+                rolled, new_len = carry
+                rj = jax.lax.dynamic_index_in_dim(
+                    rows_f, j, axis=1, keepdims=False)[:, :Wl]
+                lj = jax.lax.dynamic_index_in_dim(clen_f, j, 1, False)
+                koj = jax.lax.dynamic_index_in_dim(ko_f, j, 1, False)
+                tj = jax.lax.dynamic_index_in_dim(t_f, j, 1, False)
+                wj = jax.lax.dynamic_index_in_dim(win, j, 1, False)
+                pkj = jnp.where((koj == 1)[:, None],
                                 bits.revcomp_packed(rj, lj), rj)
-                dj = jnp.where(win[:, j], t_roll - t_f[:, j], 0)
+                dj = jnp.where(wj, t_roll - tj, 0)
                 pkj = bits.shift_bases_left(pkj, dj, Lb)
                 ohj = _onehot_read(bits.unpack(pkj, Lb), lj - dj)
-                rolled = rolled + jnp.where(win[:, j, None, None], ohj, 0)
-                new_len = jnp.maximum(new_len,
-                                      jnp.where(win[:, j], lj - dj, 0))
+                rolled = rolled + jnp.where(wj[:, None, None], ohj, 0)
+                new_len = jnp.maximum(new_len, jnp.where(wj, lj - dj, 0))
+                return rolled, new_len
+
+            # fori_loop keeps the compiled program M times smaller than an
+            # unrolled python loop (tunnel compiles are minutes per MB)
+            rolled, new_len = jax.lax.fori_loop(0, M, add_slot,
+                                                (rolled0, len0))
             counts = jnp.where(matched_any[:, None, None], rolled, counts)
             ref_len = jnp.where(matched_any, new_len, ref_len)
             claimed, packed = claim(win.reshape(-1),
