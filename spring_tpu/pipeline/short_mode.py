@@ -246,56 +246,114 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         else:
             order_out = np.argsort(seq_rank, kind="stable")
 
-    # --- quality + id per block, output order
-    if quals is not None:
-        for b in range(cp.num_blocks):
-            sel = order_out[b * block:(b + 1) * block]
-            futs.append((f"quality.{b}",
-                         pool.submit(qv.compress_rows, quals[sel],
-                                     lengths[sel], num_threads=1)))
-    if cp.preserve_id:
-        id_limit = per_file if cp.paired_id_match else n
-        for b in range(-(-id_limit // block) if id_limit else 0):
-            sel = order_out[b * block:min((b + 1) * block, id_limit)]
-            ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, sel)
-            futs.append((f"id.{b}",
-                         pool.submit(idcodec.compress_ids_raw, ibuf, ilens)))
-
-    for b in range(cp.num_blocks):
-        s, e = b * block, min((b + 1) * block, n)
-        sel = order_out[s:e]
-        al = sel[flag[sel] == 1]
-        lit = sel[flag[sel] == 0]
-        # ragged gather of this block's noise, aligned reads in block order
+    def _noise_for(al: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Ragged gather of noise for aligned reads ``al`` (block order),
+        positions delta-coded within each read (reference noisepos
+        semantics, src/encoder.cpp:76-109)."""
         cnts = nn_by_read[al]
         starts = noise_off[al]
         tot = int(cnts.sum())
-        if tot:
-            ends = np.cumsum(cnts)
-            inner = np.arange(tot) - np.repeat(ends - cnts, cnts)
-            take = np.repeat(starts, cnts) + inner
-            npos_b, nchar_b = noisepos[take], noisechar[take]
-            # delta within each read (reference noisepos semantics)
-            prev = np.concatenate([[0], npos_b[:-1]])
-            npos_b = np.where(inner == 0, npos_b, npos_b - prev)
-        else:
-            npos_b = np.empty(0, np.int32)
-            nchar_b = np.empty(0, np.uint8)
+        if not tot:
+            return np.empty(0, np.int32), np.empty(0, np.uint8)
+        ends = np.cumsum(cnts)
+        inner = np.arange(tot) - np.repeat(ends - cnts, cnts)
+        take = np.repeat(starts, cnts) + inner
+        npos_b, nchar_b = noisepos[take], noisechar[take]
+        prev = np.concatenate([[0], npos_b[:-1]])
+        return np.where(inner == 0, npos_b, npos_b - prev), nchar_b
+
+    def _literal_blob(lit: np.ndarray) -> bytes:
         lit_chars = packing.CODE_TO_CHAR[codes[lit]]
         lit_valid = np.arange(ml)[None, :] < lengths[lit, None]
-        lit_blob = lit_chars[lit_valid].tobytes()
-        members = {
-            f"flag.{b}": st.encode_u8(flag[sel]),
-            f"rlen.{b}": st.encode_u16(lengths[sel]),
-            f"pos.{b}": st.encode_deltas_u16(gpos[al]),
-            f"rc.{b}": st.encode_u8(rc[al]),
-            f"nn.{b}": st.encode_u16(nn_by_read[al]),
-            f"npos.{b}": st.encode_u16(npos_b),
-            f"nchar.{b}": st.encode_u8(nchar_b),
-            f"literal.{b}": lit_blob,
-        }
-        for name, raw in members.items():
-            futs.append((name, pool.submit(bsc.compress, raw, num_threads=1)))
+        return lit_chars[lit_valid].tobytes()
+
+    if paired:
+        # --- PE pair-delta layout (reference flags 0-4 + int16 pair
+        # distance + relative-RC bit, src/reorder_compress_streams.cpp:
+        # 34-64,283-306): blocks hold `block` read PAIRS, so a properly
+        # paired file-2 read costs ~2 bytes of metadata.
+        cp.num_blocks = -(-per_file // block) if per_file else 0
+        pairs_out = order_out[:per_file]
+        for b in range(cp.num_blocks):
+            p1 = pairs_out[b * block:(b + 1) * block]
+            p2 = p1 + per_file
+            both = np.concatenate([p1, p2])
+            if quals is not None:
+                futs.append((f"quality.{b}",
+                             pool.submit(qv.compress_rows, quals[both],
+                                         lengths[both], num_threads=1)))
+            if cp.preserve_id:
+                idsel = p1 if cp.paired_id_match else both
+                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, idsel)
+                futs.append((f"id.{b}",
+                             pool.submit(idcodec.compress_ids_raw, ibuf,
+                                         ilens)))
+            f1 = flag[p1] == 1
+            f2 = flag[p2] == 1
+            pdist = gpos[p2] - gpos[p1]
+            near = np.abs(pdist) < 32767
+            pflag = np.select(
+                [f1 & f2 & near, f1 & f2, ~f1 & ~f2, f1 & ~f2],
+                [0, 1, 2, 3], default=4).astype(np.uint8)
+            pl0 = pflag == 0
+            al1 = p1[f1]                      # flags 0,1,3 in pair order
+            al2u = p2[f2 & ~pl0]              # flags 1,4 (unpaired r2)
+            alr = np.concatenate([al1, p2[f2]])   # noise order: r1s, r2s
+            lit = np.concatenate([p1[~f1], p2[~f2]])
+            npos_b, nchar_b = _noise_for(alr)
+            members = {
+                f"flag.{b}": st.encode_u8(pflag),
+                f"rlen.{b}": st.encode_u16(
+                    np.stack([lengths[p1], lengths[p2]], 1).ravel()),
+                f"pos.{b}": st.encode_deltas_u16(gpos[al1]),
+                f"pos2.{b}": st.encode_deltas_u16(gpos[al2u]),
+                f"pospair.{b}": st.encode_u16(
+                    pdist[pl0].astype(np.int16).view(np.uint16)),
+                f"rcpair.{b}": st.encode_u8(
+                    (rc[p1[pl0]] == rc[p2[pl0]]).astype(np.uint8)),
+                f"rc.{b}": st.encode_u8(
+                    np.concatenate([rc[al1], rc[al2u]])),
+                f"nn.{b}": st.encode_u16(nn_by_read[alr]),
+                f"npos.{b}": st.encode_u16(npos_b),
+                f"nchar.{b}": st.encode_u8(nchar_b),
+                f"literal.{b}": _literal_blob(lit),
+            }
+            for name, raw in members.items():
+                futs.append((name,
+                             pool.submit(bsc.compress, raw, num_threads=1)))
+    else:
+        if quals is not None:
+            for b in range(cp.num_blocks):
+                sel = order_out[b * block:(b + 1) * block]
+                futs.append((f"quality.{b}",
+                             pool.submit(qv.compress_rows, quals[sel],
+                                         lengths[sel], num_threads=1)))
+        if cp.preserve_id:
+            for b in range(cp.num_blocks):
+                sel = order_out[b * block:(b + 1) * block]
+                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, sel)
+                futs.append((f"id.{b}",
+                             pool.submit(idcodec.compress_ids_raw, ibuf,
+                                         ilens)))
+        for b in range(cp.num_blocks):
+            s, e = b * block, min((b + 1) * block, n)
+            sel = order_out[s:e]
+            al = sel[flag[sel] == 1]
+            lit = sel[flag[sel] == 0]
+            npos_b, nchar_b = _noise_for(al)
+            members = {
+                f"flag.{b}": st.encode_u8(flag[sel]),
+                f"rlen.{b}": st.encode_u16(lengths[sel]),
+                f"pos.{b}": st.encode_deltas_u16(gpos[al]),
+                f"rc.{b}": st.encode_u8(rc[al]),
+                f"nn.{b}": st.encode_u16(nn_by_read[al]),
+                f"npos.{b}": st.encode_u16(npos_b),
+                f"nchar.{b}": st.encode_u8(nchar_b),
+                f"literal.{b}": _literal_blob(lit),
+            }
+            for name, raw in members.items():
+                futs.append((name,
+                             pool.submit(bsc.compress, raw, num_threads=1)))
 
     mark("block_streams_submit")
     for name, fut in futs:
@@ -324,32 +382,172 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
     writers = [fastq.BlockWriter(p, gzipped=gzipped, fasta=cp.fasta_input,
                                  num_threads=num_threads)
                for p in out_paths]
+
+    def _emit(w, half, s, e):
+        idbuf, idlens, chars, rlen, qmat = half
+        idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
+        blob = fastq_native.format_records(
+            chars[s:e], rlen[s:e], qmat[s:e] if qmat is not None else None,
+            idbuf[idoffs[s]:idoffs[e]], idlens[s:e])
+        w.write_bytes(blob)
+
     try:
-        for j in range(nfiles):
-            w = writers[0] if single_out else writers[j]
-            flo = max(lo, j * per_file)
-            fhi = min(hi, (j + 1) * per_file)
-            if flo >= fhi:
-                continue
-            b0, b1 = flo // block, (fhi - 1) // block
-            futs = [pool.submit(_decode_block, reader, cp, b, seq_codes,
-                                per_file)
-                    for b in range(b0, b1 + 1)]
-            for b, fut in zip(range(b0, b1 + 1), futs):
-                idbuf, idlens, chars, rlen, qmat = fut.result()
-                s = max(flo - b * block, 0)
-                e = min(fhi - b * block, len(rlen))
-                idoffs = np.concatenate(
-                    [[0], np.cumsum(idlens.astype(np.int64))])
-                blob = fastq_native.format_records(
-                    chars[s:e], rlen[s:e],
-                    qmat[s:e] if qmat is not None else None,
-                    idbuf[idoffs[s]:idoffs[e]], idlens[s:e])
-                w.write_bytes(blob)
+        if paired:
+            # blocks hold read PAIRS; file j is half j of each block
+            fl = [(max(lo, 0), min(hi, per_file)),
+                  (max(lo - per_file, 0), max(min(hi - per_file, per_file),
+                                              0))]
+            if not single_out and fl[0] == fl[1] and fl[0][0] < fl[0][1]:
+                flo, fhi = fl[0]
+                b0, b1 = flo // block, (fhi - 1) // block
+                futs = [pool.submit(_decode_block_pe, reader, cp, b,
+                                    seq_codes, per_file)
+                        for b in range(b0, b1 + 1)]
+                for b, fut in zip(range(b0, b1 + 1), futs):
+                    halves = fut.result()
+                    s = max(flo - b * block, 0)
+                    e = min(fhi - b * block, len(halves[0][3]))
+                    for j in (0, 1):
+                        _emit(writers[j], halves[j], s, e)
+            else:
+                for j in range(2):
+                    flo, fhi = fl[j]
+                    if flo >= fhi:
+                        continue
+                    w = writers[0] if single_out else writers[j]
+                    b0, b1 = flo // block, (fhi - 1) // block
+                    futs = [pool.submit(_decode_block_pe, reader, cp, b,
+                                        seq_codes, per_file)
+                            for b in range(b0, b1 + 1)]
+                    for b, fut in zip(range(b0, b1 + 1), futs):
+                        half = fut.result()[j]
+                        s = max(flo - b * block, 0)
+                        e = min(fhi - b * block, len(half[3]))
+                        _emit(w, half, s, e)
+        else:
+            w = writers[0]
+            if lo < hi:
+                b0, b1 = lo // block, (hi - 1) // block
+                futs = [pool.submit(_decode_block, reader, cp, b, seq_codes,
+                                    per_file)
+                        for b in range(b0, b1 + 1)]
+                for b, fut in zip(range(b0, b1 + 1), futs):
+                    half = fut.result()
+                    s = max(lo - b * block, 0)
+                    e = min(hi - b * block, len(half[3]))
+                    _emit(w, half, s, e)
     finally:
         pool.shutdown()
         for w in writers:
             w.close()
+
+
+def _undo_noise_delta(nn: np.ndarray, npos: np.ndarray) -> np.ndarray:
+    """Undo per-read delta coding of noise positions (segmented cumsum)."""
+    if not len(npos):
+        return npos.astype(np.int32)
+    cnts_d = nn.astype(np.int64)
+    csum = np.cumsum(npos.astype(np.int64))
+    starts_d = np.cumsum(cnts_d) - cnts_d
+    base = np.where(starts_d > 0, csum[np.maximum(starts_d - 1, 0)], 0)
+    return (csum - np.repeat(base, cnts_d)).astype(np.int32)
+
+
+def _fill_rows(m, L, rlen, al, aligned_rows, lit):
+    """Scatter aligned rows + literal bytes into an (m, L) char matrix."""
+    codes = np.zeros((m, L), np.uint8)
+    if len(al):
+        codes[al, : aligned_rows.shape[1]] = aligned_rows
+    chars = packing.CODE_TO_CHAR[codes]
+    li = np.setdiff1d(np.arange(m), al, assume_unique=False)
+    if len(li):
+        lvalid = np.arange(L)[None, :] < rlen[li, None]
+        lrows = np.zeros((len(li), L), np.uint8)
+        lrows[lvalid] = lit
+        chars[li] = np.where(lvalid, lrows, 0)
+    valid = np.arange(L)[None, :] < rlen[:, None]
+    return np.where(valid, chars, 0).astype(np.uint8)
+
+
+def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
+                     seq_codes: np.ndarray, per_file: int):
+    """Decode one PE pair-block into (file-1 half, file-2 half), each
+    (idbuf, idlens, chars, rlen, qmat). Inverse of the pair-delta layout
+    (reference src/decompress.cpp:277-318)."""
+    block = cp.num_reads_per_block
+    s = b * block
+    m = min(block, per_file - s)
+    pflag = st.decode_u8(bsc.decompress(reader.get_block("flag", b)))
+    rlen_i = st.decode_u16(bsc.decompress(reader.get_block("rlen", b)))
+    rlen1 = rlen_i[0::2].astype(np.int32)
+    rlen2 = rlen_i[1::2].astype(np.int32)
+    pos1 = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b)))
+    pos2u = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos2", b)))
+    pospair = st.decode_u16(
+        bsc.decompress(reader.get_block("pospair", b))).view(np.int16)
+    rcpair = st.decode_u8(bsc.decompress(reader.get_block("rcpair", b)))
+    rcs = st.decode_u8(bsc.decompress(reader.get_block("rc", b)))
+    nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))
+    npos = _undo_noise_delta(
+        nn, st.decode_u16(bsc.decompress(reader.get_block("npos", b))))
+    nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b)))
+    lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b)),
+                        np.uint8)
+
+    f0 = pflag == 0
+    al1m = f0 | (pflag == 1) | (pflag == 3)
+    al2m = f0 | (pflag == 1) | (pflag == 4)
+    al2um = (pflag == 1) | (pflag == 4)
+    n_al1 = int(al1m.sum())
+    gpos_r1 = np.zeros(m, np.int64)
+    rc_r1 = np.zeros(m, np.uint8)
+    gpos_r1[al1m] = pos1
+    rc_r1[al1m] = rcs[:n_al1]
+    gpos_r2 = np.zeros(m, np.int64)
+    rc_r2 = np.zeros(m, np.uint8)
+    gpos_r2[f0] = gpos_r1[f0] + pospair
+    rc_r2[f0] = np.where(rcpair == 1, rc_r1[f0], 1 - rc_r1[f0])
+    gpos_r2[al2um] = pos2u
+    rc_r2[al2um] = rcs[n_al1:]
+
+    gpos_al = np.concatenate([gpos_r1[al1m], gpos_r2[al2m]])
+    rc_al = np.concatenate([rc_r1[al1m], rc_r2[al2m]])
+    rlen_al = np.concatenate([rlen1[al1m], rlen2[al2m]])
+    rows = cons.reconstruct_reads(seq_codes, gpos_al, rlen_al, rc_al,
+                                  nn, npos, nchar) if len(gpos_al) else \
+        np.zeros((0, 1), np.uint8)
+    L = max(int(rlen_i.max()) if len(rlen_i) else 0, 1)
+    # split aligned rows / literal bytes back into the two files
+    lit1_len = int(rlen1[~al1m].sum())
+    al1 = np.nonzero(al1m)[0]
+    al2 = np.nonzero(al2m)[0]
+    chars1 = _fill_rows(m, L, rlen1, al1, rows[:n_al1], lit[:lit1_len])
+    chars2 = _fill_rows(m, L, rlen2, al2, rows[n_al1:], lit[lit1_len:])
+
+    qmat1 = qmat2 = None
+    if cp.preserve_quality and not cp.fasta_input:
+        qmat, _q = qv.decompress_rows(reader.get_block("quality", b),
+                                      max_len=L)
+        qmat1, qmat2 = qmat[:m], qmat[m:]
+    if cp.preserve_id:
+        if cp.paired_id_match:
+            ids1 = idcodec.decompress_ids(reader.get_block("id", b), m)
+            ids2 = [modify_id(i, cp.paired_id_code) for i in ids1]
+        else:
+            both = idcodec.decompress_ids(reader.get_block("id", b), 2 * m)
+            ids1, ids2 = both[:m], both[m:]
+    else:
+        pre = ">" if cp.fasta_input else "@"
+        ids1 = [f"{pre}{s + i + 1}/1".encode() for i in range(m)]
+        ids2 = [f"{pre}{s + i + 1}/2".encode() for i in range(m)]
+
+    def pack_ids(ids):
+        return (np.frombuffer(b"".join(ids), np.uint8),
+                np.fromiter((len(i) for i in ids), np.uint32, len(ids)))
+    id1buf, id1lens = pack_ids(ids1)
+    id2buf, id2lens = pack_ids(ids2)
+    return ((id1buf, id1lens, chars1, rlen1, qmat1),
+            (id2buf, id2lens, chars2, rlen2, qmat2))
 
 
 def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
