@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""QVZ rate-distortion A/B: our quantizer (spring_tpu/pipeline/qvz.py) vs
+the reference's QVZ (built via tools/refbuild) at several ratios.
+
+Rate = compressed quality stream bytes; distortion = MSE of Phred values
+between the original and the decompressed (quantized) qualities.
+Appends an RD table to AB_REPORT.md.
+
+Usage: python tools/qvz_rd.py [--reads N]
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REF_BIN = os.environ.get("SPRING_REF_BIN", "/tmp/spring_ref_build/spring")
+
+
+def quals_of(path, n):
+    out = np.empty((n, 100), np.uint8)
+    with open(path, "rb") as f:
+        lines = f.read().split(b"\n")
+    for i in range(n):
+        out[i] = np.frombuffer(lines[4 * i + 3], np.uint8)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=200_000)
+    args = ap.parse_args()
+    from spring_tpu.utils import synth
+    from spring_tpu import api
+    from spring_tpu.io.container import ArchiveReader
+
+    if not os.path.exists(REF_BIN):
+        subprocess.run(["make", "-j16", f"BUILD={os.path.dirname(REF_BIN)}"],
+                       cwd=os.path.join(REPO, "tools", "refbuild"),
+                       check=True, capture_output=True)
+    tmp = tempfile.mkdtemp(prefix="qvz_rd_")
+    fq = os.path.join(tmp, "a.fastq")
+    synth.make_se(fq, args.reads)
+    q0 = quals_of(fq, args.reads).astype(np.float64) - 33
+
+    rows = []
+    for ratio in (1.2, 0.9, 0.7, 0.5, 0.2):
+        # reference
+        wd = os.path.join(tmp, f"ref{ratio}")
+        os.makedirs(wd, exist_ok=True)
+        arc = os.path.join(wd, "a.spring")
+        # the reference's QVZ path segfaults intermittently (UB in the
+        # embedded qvz library) — retry a few times
+        for attempt in range(5):
+            p = subprocess.run([REF_BIN, "-c", "-i", fq, "-o", arc, "-w", wd,
+                                "-q", "qvz", str(ratio), "-t", "4"],
+                               capture_output=True, text=True)
+            if p.returncode == 0:
+                break
+        else:
+            raise RuntimeError(f"reference qvz failed 5x at ratio {ratio}")
+        m = re.search(r"Quality:\s+(\d+) bytes", p.stdout)
+        rate_ref = int(m.group(1))
+        out = os.path.join(wd, "out.fastq")
+        subprocess.run([REF_BIN, "-d", "-i", arc, "-o", out, "-w", wd],
+                       capture_output=True, check=True)
+        q_ref = quals_of(out, args.reads).astype(np.float64) - 33
+        mse_ref = float(((q_ref - q0) ** 2).mean())
+
+        # ours: the quality path in isolation (quantizer + qv codec) —
+        # exactly what the pipeline applies per block
+        from spring_tpu.pipeline import qvz as qvz_mod
+        from spring_tpu.codecs import qv
+        qmat = (q0 + 33).astype(np.uint8)
+        lens = np.full(args.reads, qmat.shape[1], np.int32)
+        qq = qvz_mod.quantize_matrix(qmat, lens, ratio)
+        rate_our = 0
+        blk = 256_000
+        for s in range(0, args.reads, blk):
+            rate_our += len(qv.compress_rows(qq[s:s + blk],
+                                             lens[s:s + blk]))
+        q_our = qq.astype(np.float64) - 33
+        mse_our = float(((q_our - q0) ** 2).mean())
+        rows.append((ratio, rate_ref, mse_ref, rate_our, mse_our))
+        print(f"ratio {ratio}: ref {rate_ref} B mse {mse_ref:.3f} | "
+              f"ours {rate_our} B mse {mse_our:.3f}", flush=True)
+
+    lines = ["", "## QVZ rate-distortion (tools/qvz_rd.py, "
+             f"{args.reads} reads x 100 bp)", "",
+             "| qvz ratio | ref quality B | ref MSE | ours quality B | "
+             "ours MSE |", "|---|---|---|---|---|"]
+    for r, rr, mr, ro, mo in rows:
+        lines.append(f"| {r} | {rr} | {mr:.3f} | {ro} | {mo:.3f} |")
+    with open(os.path.join(REPO, "AB_REPORT.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended RD table to AB_REPORT.md")
+
+
+if __name__ == "__main__":
+    main()
