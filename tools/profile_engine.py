@@ -50,12 +50,12 @@ def main():
             jnp.asarray(e.N, jnp.int32), jnp.asarray(e.cfg.max_shift, jnp.int32))
 
     t0 = time.time()
-    state, emit = e._round_fn(state, *args)   # compile + run
+    state, emit, cnt = e._round_fn(state, *args)   # compile + run
     jax.block_until_ready(emit)
     print(f"first flush (incl compile) {time.time() - t0:.1f}s")
     t0 = time.time()
     with jax.profiler.trace(out):
-        state, emit = e._round_fn(state, *args)
+        state, emit, cnt = e._round_fn(state, *args)
         jax.block_until_ready(emit)
     dt = time.time() - t0
     print(f"profiled flush {dt:.2f}s ({1000 * dt / eng.FLUSH_ROUNDS:.1f} ms/round)")
