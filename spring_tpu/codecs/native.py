@@ -13,7 +13,9 @@ import subprocess
 import threading
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
-_SO = os.path.join(_CSRC, "libspringtpu.so")
+# SPRING_TPU_SO overrides the library path (sanitizer builds in tests)
+_SO = os.environ.get("SPRING_TPU_SO",
+                     os.path.join(_CSRC, "libspringtpu.so"))
 _lock = threading.Lock()
 _lib = None
 
@@ -30,7 +32,8 @@ def _needs_build() -> bool:
 
 
 def _build() -> None:
-    subprocess.run(["make", "-s", "-C", _CSRC], check=True,
+    target = os.path.basename(_SO)
+    subprocess.run(["make", "-s", "-C", _CSRC, target], check=True,
                    capture_output=True, text=True)
 
 

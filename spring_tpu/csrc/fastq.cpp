@@ -35,18 +35,23 @@ inline bool next_line(const uint8_t* buf, int64_t size, int64_t& pos, Line& l) {
   return true;
 }
 
-int8_t g_code[256];
-bool g_code_init = false;
-
-void init_code() {
-  if (g_code_init) return;
-  for (int i = 0; i < 256; ++i) g_code[i] = -1;
-  const char* b = "ACGTN";
-  for (int i = 0; i < 5; ++i) {
-    g_code[(uint8_t)b[i]] = (int8_t)i;
-    g_code[(uint8_t)(b[i] + 32)] = (int8_t)i;
+// base->code table via a C++11 magic static: thread-safe initialization
+// even when several (Python) threads enter the parser concurrently
+struct CodeTable {
+  int8_t t[256];
+  CodeTable() {
+    for (int i = 0; i < 256; ++i) t[i] = -1;
+    const char* b = "ACGTN";
+    for (int i = 0; i < 5; ++i) {
+      t[(uint8_t)b[i]] = (int8_t)i;
+      t[(uint8_t)(b[i] + 32)] = (int8_t)i;
+    }
   }
-  g_code_init = true;
+};
+
+const int8_t* code_table() {
+  static const CodeTable tbl;
+  return tbl.t;
 }
 
 }  // namespace
@@ -102,7 +107,7 @@ int64_t stpu_fastq_parse(const uint8_t* buf, int64_t size, int fasta,
                          uint8_t* ids, uint32_t* idlens,
                          const int64_t* ckpt_byte, const int64_t* ckpt_id,
                          int num_threads) {
-  init_code();
+  const int8_t* g_code = code_table();
   int64_t nchunks = (n + kCkpt - 1) / kCkpt;
   if (nchunks == 0) return 0;
   // first failing record index (or INT64_MAX): min-reduced so the result

@@ -68,7 +68,7 @@ def layout_contigs(contigs: list[dict], lengths: np.ndarray,
 
 def layout_from_emissions(emissions: np.ndarray, num_walkers: int,
                           lengths: np.ndarray, min_reads: int = 2,
-                          slots: int = 1
+                          slots: int = 1, ordered: bool = False
                           ) -> tuple[ContigLayout, np.ndarray]:
     """Vectorized emissions -> ContigLayout (replaces the per-walker Python
     loops of assemble_contigs + layout_contigs for the pipeline hot path).
@@ -78,10 +78,13 @@ def layout_from_emissions(emissions: np.ndarray, num_walkers: int,
     left phase (folds to o = len(first) - q - len(read), rc flipped),
     reads position-sorted per contig.
     """
-    R = emissions.shape[0] // (num_walkers * slots)
-    em = emissions.reshape(R, num_walkers, slots, 4)
-    arr = em.transpose(1, 0, 2, 3).reshape(-1, 4)   # walker-major stream
-    arr = arr[arr[:, 0] >= 0]
+    if ordered:
+        arr = emissions          # already filtered, walker-major
+    else:
+        R = emissions.shape[0] // (num_walkers * slots)
+        em = emissions.reshape(R, num_walkers, slots, 4)
+        arr = em.transpose(1, 0, 2, 3).reshape(-1, 4)  # walker-major stream
+        arr = arr[arr[:, 0] >= 0]
     if not len(arr):
         return (ContigLayout(np.empty(0, np.int32), np.empty(0, np.int64),
                              np.empty(0, np.uint8), 0),

@@ -1,26 +1,36 @@
-"""Multi-chip reorder round: shard_map over a device mesh.
+"""Multi-chip reorder: shard_map over a device mesh, O(B/n) per device.
 
 Reference analog: none — the reference is a single-process OpenMP tool
-(SURVEY.md §2.3). This module is the TPU-native scale-out design:
+(SURVEY.md §2.3). This module is the TPU-native scale-out design, matching
+the single-chip batch-accept round (reorder/engine.py) with every heavy
+data structure sharded:
 
-  * walkers are data-parallel over the mesh axis ("dp"): each device owns
-    B/n contig walkers and their consensus windows;
-  * the bucketed hash dictionaries are range-sharded by bucket index (the
-    tensor-parallel analog): device d owns buckets [d*S/n, (d+1)*S/n) of
-    each dict; a probe is answered by whichever device owns that bucket
-    (the rare second-probe that crosses a shard boundary is dropped — the
-    same grace the hash build gives overflowing keys);
-  * packed read rows are replicated in this version (claim flags are
-    derived replicated, so every device applies identical row updates);
-    sharding reads over HBM with an all_to_all candidate exchange is the
-    planned upgrade for beyond-HBM datasets.
+  * walkers are data-parallel over the mesh axis ("shard"): each device
+    owns B/n contig walkers, their consensus windows, frames and batch
+    accepts — all O(B/n) compute;
+  * the k-mer dictionaries are key-sharded: device d holds a complete
+    bucketed hash table over the keys whose hash routes to d. A probe is
+    DISPATCHED to its owner with a capacity-limited all_to_all (the MoE
+    dispatch pattern: sort by owner, position within group, drop overflow
+    — a dropped probe only loses match candidates, the same grace the
+    hash build gives overflowing keys);
+  * packed read rows are range-sharded by rid: verification fetches
+    candidate rows from their owners through a second capacity-limited
+    all_to_all (request rids out, 32-byte rows back). The row's length
+    word carries the claim flag, so claim state rides the fetch;
+  * cross-device claim conflicts are resolved REPLICATED from one small
+    all_gather of per-device claim proposals (match + seed rids, ~B*M
+    ints — bytes O(B), compute O(B*M log) but trivially small); every
+    device then applies identical updates to the replicated claimed
+    bitmap (Np/8 bytes) while row claim bits are applied by owners only;
+  * each device drains its own strided slice of the seed queue. Seed
+    rows ride the row-fetch exchange, so seeding decisions use the
+    walker state carried from the previous round (a walker that dies in
+    round r reseeds in round r+1 — one-round lag vs single-chip).
 
-Collectives per round: one all_gather of the walker queries/frames (dp ->
-everyone), one all_gather of per-device best candidates (the merge), after
-which claim resolution, the claimed bitmap, and the seed queue are computed
-replicated — identically on every device, so no further communication is
-needed. This mirrors how the reference's lock-striped claims serialize
-cross-thread contention (src/reorder.h:440-475) without any locks.
+Per-round collectives: 2 all_to_alls (probe dispatch + replies),
+2 all_to_alls (row requests + rows), 1 all_gather (claim proposals).
+All O(B/n) sized except the proposal gather (O(B) ints).
 """
 from __future__ import annotations
 
@@ -41,6 +51,9 @@ try:
 except Exception:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
+_OWNER_MULT = jnp.uint32(0x85EBCA6B)   # decorrelated from the table hash
+_BIG = eng._BIG
+
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -55,6 +68,9 @@ class DistConfig:
     candidates: int = P.DICT_PROBE_CANDIDATES
     thresh: int = P.THRESH_REORDER
     max_shift: int = 0
+    shift_chunk: int = 16
+    accept_slots: int = 16
+    capacity_factor: float = 2.0   # all_to_all slack over the uniform load
 
     def __post_init__(self):
         # same cap as ReorderConfig: an uncapped shift scan both dominates
@@ -64,201 +80,481 @@ class DistConfig:
                                      P.MAX_SHIFT_CAP), 1)
 
 
-def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
-                     Np: int, nbuckets: list[int],
-                     scan_rounds: int = 0):
-    """Returns a jitted round over the mesh.
+def _owner_of_key(key: jnp.ndarray, n: int) -> jnp.ndarray:
+    if n == 1:
+        return jnp.zeros(key.shape, jnp.int32)
+    lg = int(np.log2(n))
+    return ((key * _OWNER_MULT) >> jnp.uint32(32 - lg)).astype(jnp.int32)
 
-    state: counts/ref_len/active/shift_base [walker-sharded], claimed /
-    queue_pos / rows [replicated]; btabs [bucket-sharded], rids/seed_order/
-    lengths [replicated].
+
+def _dispatch(values: jnp.ndarray, owner: jnp.ndarray, valid: jnp.ndarray,
+              n: int, cap: int):
+    """MoE-style capacity-limited dispatch table.
+
+    values/owner/valid: (Q,) int32/int32/bool. Returns
+      send  (n*cap,) int32 values laid out per destination (-1 empty)
+      src   (n*cap,) int32 source index of each slot (-1 empty)
+    Overflow beyond `cap` per destination is dropped.
+    """
+    Q = values.shape[0]
+    key = jnp.where(valid, owner, n)            # invalid to the end
+    idx = jnp.arange(Q, dtype=jnp.int32)
+    ko, vo, io = jax.lax.sort((key, values, idx), num_keys=1)
+    firsts = jnp.concatenate([jnp.array([True]), ko[1:] != ko[:-1]])
+    # rank within the destination group
+    grp_start = jnp.where(firsts, idx, 0)
+    grp_start = jax.lax.cummax(grp_start)
+    rank = idx - grp_start
+    ok = (ko < n) & (rank < cap)
+    pos = jnp.where(ok, ko * cap + rank, n * cap)
+    send = jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(vo)
+    src = jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(io)
+    return send[:-1], src[:-1]
+
+
+def _collect(replies: jnp.ndarray, src: jnp.ndarray, Q: int) -> jnp.ndarray:
+    """Scatter exchange replies back to their source slots.
+
+    replies: (n*cap, ...) aligned with the dispatch table; src as returned
+    by _dispatch. Returns (Q, ...) with zeros where nothing returned."""
+    tgt = jnp.where(src >= 0, src, Q)
+    out_shape = (Q + 1,) + replies.shape[1:]
+    return jnp.zeros(out_shape, replies.dtype).at[tgt].set(replies)[:-1]
+
+
+def build_shard_dicts(codes: np.ndarray, lengths: np.ndarray,
+                      windows, n: int):
+    """Per-device hash dictionaries: keys split by owner hash; every
+    device's table is built at a common bucket count so the stacked arrays
+    shard evenly over the mesh."""
+    om = int(_OWNER_MULT)
+    all_btab, all_rids, starts = [], [], []
+    for spec in windows:
+        ok = lengths >= spec.end
+        rids = np.nonzero(ok)[0].astype(np.int32)
+        keys = dct._window_keys_np(codes[ok], spec.start)
+        if n > 1:
+            lg = int(np.log2(n))
+            owner = ((keys.astype(np.uint64) * om) & 0xFFFFFFFF) >> (32 - lg)
+        else:
+            owner = np.zeros(len(keys), np.int64)
+        per_dev_keys = [keys[owner == d] for d in range(n)]
+        per_dev_rids = [rids[owner == d] for d in range(n)]
+        max_keys = max((len(k) for k in per_dev_keys), default=1)
+        # common sizes across devices
+        npad = max(1 << max(max_keys - 1, 1).bit_length(), 64)
+        uk_max = 1
+        built = []
+        for d in range(n):
+            k, r = per_dev_keys[d], per_dev_rids[d]
+            order = np.argsort(k, kind="stable")
+            k, r = k[order], r[order]
+            kp = np.concatenate([k, np.full(npad - len(k), 0xFFFFFFFF,
+                                            np.uint32)])
+            rp = np.concatenate([r, np.full(npad - len(r), -1, np.int32)])
+            built.append((kp, rp))
+            uk_max = max(uk_max, len(np.unique(k)))
+        S = max(1 << int(max(2 * uk_max // dct.SLOTS, 1) - 1).bit_length(),
+                64)
+        btabs, ridss = [], []
+        for kp, rp in built:
+            btab, rids_p = _build_table(kp, rp, S)
+            btabs.append(btab)
+            ridss.append(rids_p)
+        all_btab.append(np.stack(btabs))      # (n, S, 3*SLOTS)
+        all_rids.append(np.stack(ridss))      # (n, npad)
+        starts.append(spec.start)
+    return all_btab, all_rids, starts
+
+
+def _build_table(keys: np.ndarray, rids: np.ndarray, S: int):
+    """One bucketed open-hash table at fixed size S (host build, same
+    placement rule as dct.build_hash_dicts)."""
+    uk, kstarts, counts = np.unique(keys, return_index=True,
+                                    return_counts=True)
+    if len(uk) and uk[-1] == 0xFFFFFFFF and rids[kstarts[-1]] == -1:
+        uk, kstarts, counts = uk[:-1], kstarts[:-1], counts[:-1]
+    shift = 32 - int(np.log2(S))
+    bkey = np.zeros((S, dct.SLOTS), np.uint32)
+    bstart = np.zeros((S, dct.SLOTS), np.int32)
+    bcount = np.zeros((S, dct.SLOTS), np.int32)
+    h = ((uk * dct._HASH_MULT) >> np.uint32(shift)).astype(np.int64)
+    placed = np.zeros(len(uk), bool)
+    for attempt in range(2):
+        b = (h + attempt) % S
+        todo = np.nonzero(~placed)[0]
+        if not len(todo):
+            break
+        order2 = np.argsort(b[todo], kind="stable")
+        tb = b[todo][order2]
+        first = np.concatenate([[True], tb[1:] != tb[:-1]])
+        grp = np.cumsum(first) - 1
+        first_idx = np.nonzero(first)[0]
+        rank = np.arange(len(tb)) - first_idx[grp]
+        free_base = (bcount[tb, :] > 0).sum(axis=1)
+        slot = free_base + rank
+        fits = slot < dct.SLOTS
+        ki = todo[order2[fits]]
+        bi, si = tb[fits], slot[fits]
+        bkey[bi, si] = uk[ki]
+        bstart[bi, si] = kstarts[ki]
+        bcount[bi, si] = counts[ki]
+        placed[ki] = True
+    btab = np.concatenate([bkey, bstart.view(np.uint32),
+                           bcount.view(np.uint32)], axis=1)
+    return btab, rids
+
+
+def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
+                     Np: int, scan_rounds: int = 0):
+    """Returns the jitted sharded round/flush.
+
+    Sharded over "shard": walker state, per-device dicts (btab/rids),
+    packed rows (rid range), seed queue slices, queue_pos/n_real (n,).
+    Replicated: claimed bitmap, lengths.
     """
     n = mesh.devices.size
     C = cfg.candidates
+    SC = cfg.shift_chunk
     D = len(starts)
-    lay = eng.ProbeLayout(D, C)
+    lay = eng.ProbeLayout(D, C, SC)
+    M = min(cfg.accept_slots, lay.K)
+    S_EMIT = M + 1
+    Npl = Np // n
+    lg_npl = int(np.log2(Npl))
 
-    def probe_sharded(btab_local, rids, queries, me, S):
-        """Hash probe answering only locally-owned buckets."""
-        Sl = S // n
+    def a2a(x):
+        if n == 1:
+            return x
+        return jax.lax.all_to_all(x, "shard", split_axis=0, concat_axis=0,
+                                  tiled=True)
+
+    def probe_local(btab, rids_local, keys, me):
+        """Answer arriving probe keys from the local table. Returns
+        (cand, valid): (Qr, C) global rids."""
+        S = btab.shape[0]
         shift = 32 - int(np.log2(S))
-        flat = queries.reshape(-1)
-        h = (flat * jnp.uint32(dct._HASH_MULT)) >> shift
-        start = jnp.zeros(flat.shape, jnp.int32)
-        count = jnp.zeros(flat.shape, jnp.int32)
+        h = (keys.astype(jnp.uint32) * jnp.uint32(dct._HASH_MULT)) >> shift
+        start = jnp.zeros(keys.shape, jnp.int32)
+        count = jnp.zeros(keys.shape, jnp.int32)
         for attempt in range(2):
-            b = ((h + attempt) & (S - 1)).astype(jnp.int32)
-            local = b - me * Sl
-            own = (local >= 0) & (local < Sl)
-            row = btab_local[jnp.clip(local, 0, Sl - 1)]
+            b = (h + attempt) & (S - 1)
+            row = btab[b]
             krow = row[:, :dct.SLOTS]
             srow = row[:, dct.SLOTS:2 * dct.SLOTS].astype(jnp.int32)
             crow = row[:, 2 * dct.SLOTS:].astype(jnp.int32)
-            hit = (krow == flat[:, None]) & (crow > 0) & own[:, None]
+            hit = (krow == keys.astype(jnp.uint32)[:, None]) & (crow > 0)
             any_hit = hit.any(axis=1)
-            slot = jnp.argmax(hit, axis=1)
+            first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+            s_hit = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
+            c_hit = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
             take = any_hit & (count == 0)
-            start = jnp.where(take, jnp.take_along_axis(
-                srow, slot[:, None], axis=1)[:, 0], start)
-            count = jnp.where(take, jnp.take_along_axis(
-                crow, slot[:, None], axis=1)[:, 0], count)
+            start = jnp.where(take, s_hit, start)
+            count = jnp.where(take, c_hit, count)
         offs = jnp.arange(C, dtype=jnp.int32)
-        nr = rids.shape[0]
+        nr = rids_local.shape[0]
         valid = offs[None, :] < jnp.minimum(count, C)[:, None]
-        idx = start[:, None] + offs[None, :]
-        cand = jnp.take(rids, jnp.minimum(idx, nr - 1), axis=0)
-        shape = (*queries.shape, C)
-        return cand.reshape(shape), valid.reshape(shape)
+        idx = jnp.minimum(start[:, None] + offs[None, :], nr - 1)
+        cand = rids_local[idx]
+        return jnp.where(valid & (cand >= 0), cand, -1)
 
-    def round_fn(state, lengths, btabs, drids, seed_order, n_real,
-                 maxshift):
-        counts = state["counts"]          # (Bl, 4, Lb) local walkers
+    def round_fn(state, lengths, btabs, drids, seed_slice, claimed0,
+                 maxshift, room):
+        counts = state["counts"]          # (Bl, 4, Lb)
         ref_len = state["ref_len"]
         active = state["active"]
         shift_base = state["shift_base"]
-        claimed = state["claimed"]        # replicated bitmap words
-        packed = state["rows"]            # replicated (Np, W+1)
+        first_rid = state["first_rid"]
+        lp0 = state["left_phase"]
+        rows_local = state["rows"]        # (Npl, W+1) rid range shard
+        claimed = state["claimed"]        # replicated bitmap
+        qpos = state["queue_pos"]         # (1,) this device's queue cursor
+        nq = state["n_queue"]             # (1,) live entries in my slice
         Bl = counts.shape[0]
-        Wl = packed.shape[1] - 1
+        Lb = counts.shape[2]
+        Wl = rows_local.shape[1] - 1
         me = jax.lax.axis_index("shard")
         nwords = Np // 32 + 2
+        searching = active & room
 
         def claimed_bit(idx):
             w = claimed[idx >> 5]
             return ((w >> (idx & 31).astype(jnp.uint32)) & 1) == 1
 
-        def claim(cond, idx):
-            word = jnp.where(cond, idx >> 5, nwords - 1)
-            bit = jnp.where(cond,
-                            jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
-                            jnp.uint32(0))
-            rflag = jnp.where(cond, jnp.uint32(1) << 31, jnp.uint32(0))
-            return (claimed.at[word].add(bit),
-                    packed.at[jnp.where(cond, idx, Np - 1), Wl].add(rflag))
+        # ---- seed draw (from the previous round's walker state) ----
+        inactive = ~active & room
+        rank = jnp.cumsum(inactive) - 1
+        qidx = qpos[0] + rank
+        in_range = inactive & (qidx < nq[0])
+        seed_rid = seed_slice[jnp.clip(qidx, 0, seed_slice.shape[0] - 1)]
+        seed_try = in_range & ~claimed_bit(seed_rid)
+        qpos = qpos + jnp.sum(in_range)
 
-        frames, s_tot = eng.walker_frames(counts, ref_len, shift_base)
+        # ---- probes ----
+        frames, s_tot = eng.walker_frames(counts, ref_len, shift_base, SC)
         q, v = eng.walker_queries(frames, s_tot, ref_len, starts)
 
-        gath = lambda x: jax.lax.all_gather(x, "shard", axis=0, tiled=True)
-        q_all = gath(q)                    # (B, SC, D, 2)
-        v_all = gath(v)
-        frames_all = gath(frames)          # (B, SC, 2, W)
-        s_all = gath(s_tot)
-        rl_all = gath(ref_len)
-        act_all = gath(active)
-        B_all = q_all.shape[0]
-
-        hits_r, hits_v = [], []
+        hits = []
         for di in range(D):
-            rids, hit = probe_sharded(btabs[di], drids[di],
-                                      q_all[:, :, di, :], me, nbuckets[di])
-            hits_r.append(rids)
-            hits_v.append(hit & v_all[:, :, di, :, None])
-        cand = jnp.stack(hits_r, axis=2).reshape(B_all, lay.K)
-        cvalid = jnp.stack(hits_v, axis=2).reshape(B_all, lay.K)
-        cvalid &= (cand >= 0) & act_all[:, None]
+            qk = q[:, :, di, :].reshape(-1)          # (Bl*SC*2,)
+            vk = v[:, :, di, :].reshape(-1)
+            Qn = qk.shape[0]
+            capq = int(np.ceil(cfg.capacity_factor * Qn / n))
+            owner = _owner_of_key(qk.astype(jnp.uint32), n)
+            send, src = _dispatch(qk.astype(jnp.int32), owner,
+                                  vk & searching[:, None, None]
+                                  .repeat(SC, 1).repeat(2, 2).reshape(-1),
+                                  n, capq)
+            recv = a2a(send)
+            cand_r = probe_local(btabs[di], drids[di],
+                                 jnp.where(recv >= 0, recv, 0), me)
+            cand_r = jnp.where((recv >= 0)[:, None], cand_r, -1)
+            back = a2a(cand_r)
+            cand_q = _collect(back, src, Qn)          # (Qn, C)
+            hits.append(cand_q.reshape(Bl, SC, 2, C))
+        # (Bl, SC, 2, D, C) -> K in ProbeLayout order
+        cand = jnp.stack(hits, axis=3).reshape(Bl, lay.K)
+        cvalid = cand >= 0
 
-        ok, t, pr, clen = eng.verify_candidates(
-            frames_all, s_all, rl_all, cand, cvalid, packed,
-            cfg.thresh, lay)
-        matched_l, rid_l, t_l, rc_l, pr_l = eng.select_best(
-            cand, pr, t, clen, lay)
+        # ---- top-M compaction ----
+        prio = jnp.where(cvalid, -jnp.asarray(lay.pr_static)[None, :], -_BIG)
+        _, idx_m = jax.lax.top_k(prio, M)
+        cand_m = jnp.take_along_axis(cand, idx_m, axis=1)
+        valid_m = jnp.take_along_axis(cvalid, idx_m, axis=1)
+        k_o_m = jnp.asarray(lay.k_o.astype(np.int32))[idx_m]
+        k_frame_m = jnp.asarray(lay.k_frame.astype(np.int32))[idx_m]
+        s_m = shift_base[:, None] + jnp.asarray(lay.k_s.astype(np.int32))[idx_m]
+        pr_m = jnp.asarray(lay.pr_static)[idx_m]
 
-        # merge per-device bests: min over devices by priority
-        best = jnp.stack([pr_l, rid_l, t_l, rc_l], axis=-1)   # (B, 4)
-        best_all = jax.lax.all_gather(best, "shard", axis=0)  # (n, B, 4)
-        dev_sel = jnp.argmin(best_all[..., 0], axis=0)        # (B,)
-        best_g = jnp.take_along_axis(
-            best_all, dev_sel[None, :, None], axis=0)[0]      # (B, 4)
-        pr_g, rid_g = best_g[:, 0], best_g[:, 1]
-        t_g, rc_g = best_g[:, 2], best_g[:, 3]
-        matched_g = pr_g != eng._BIG
-        matched_g = eng.resolve_conflicts(matched_g, rid_g)
-        rid_g = jnp.where(matched_g, rid_g, -1)
+        # ---- row fetch exchange: M candidates + first_rid + seed rid ----
+        req = jnp.concatenate(
+            [cand_m.reshape(-1), first_rid, seed_rid], axis=0)
+        req_valid = jnp.concatenate(
+            [valid_m.reshape(-1), jnp.ones((Bl,), bool), seed_try])
+        Qr = req.shape[0]
+        capr = int(np.ceil(cfg.capacity_factor * Qr / n))
+        owner_r = (jnp.clip(req, 0, Np - 1) >> lg_npl).astype(jnp.int32)
+        send_r, src_r = _dispatch(req, owner_r, req_valid, n, capr)
+        recv_r = a2a(send_r)
+        lrow = jnp.clip(recv_r, 0, Np - 1) & (Npl - 1)
+        rows_srv = rows_local[lrow]                   # (n*capr, W+1)
+        rows_srv = jnp.where((recv_r >= 0)[:, None], rows_srv,
+                             jnp.uint32(1 << 31))    # missing -> claimed
+        rows_back = a2a(rows_srv)
+        rows_all = _collect(rows_back, src_r, Qr)
+        # un-fetched slots look claimed so they are never accepted
+        fetched = _collect((src_r >= 0).astype(jnp.uint32), src_r, Qr) > 0
+        rows_all = jnp.where(fetched[:, None], rows_all,
+                             jnp.uint32(1 << 31))
+        rows = rows_all[: Bl * M].reshape(Bl, M, Wl + 1)
+        fr_rows = rows_all[Bl * M: Bl * M + Bl]
+        seed_rows = rows_all[Bl * M + Bl:]
 
-        # local slice of the global decisions
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, me * Bl, Bl, axis=0)
-        matched = sl(matched_g)
-        rid_sel, t_sel, rc_sel = sl(rid_g), sl(t_g), sl(rc_g)
+        # ---- verify (local, O(Bl)) ----
+        lw = rows[..., Wl]
+        claimed_row = (lw >> 31) == 1
+        clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        rl = ref_len[:, None]
+        lo = jnp.where(k_o_m == 0, 0, s_m)
+        hi = jnp.where(k_o_m == 0, jnp.minimum(rl - s_m, clen),
+                       jnp.minimum(rl + s_m, clen))
+        t = jnp.where(k_o_m == 0, s_m, rl + s_m - clen)
+        fr2 = frames.reshape(Bl, 2 * SC, -1)
+        frow = jnp.take_along_axis(fr2, k_frame_m[:, :, None], axis=1)
+        ham = jnp.zeros((Bl, M), jnp.int32)
+        for w in range(Wl):
+            d = frow[..., w] ^ rows[..., w]
+            mm = (d | (d >> 1)) & eng._ODD
+            mw = eng._prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
+                & ~eng._prefix_word(jnp.clip(lo - 16 * w, 0, 16))
+            ham = ham + jax.lax.population_count(mm & mw).astype(jnp.int32)
+        ok = valid_m & ~claimed_row & (ham <= cfg.thresh) \
+            & (t >= 0) & (hi > lo)
 
-        counts, ref_len = eng.apply_matches(
-            counts, ref_len, matched, rid_sel, t_sel, rc_sel,
-            packed, lengths)
-        claimed, packed = claim(matched_g, jnp.clip(rid_g, 0, Np - 1))
-        shift_base = jnp.where(matched, 0, shift_base)
-        missed = active & ~matched
-        shift_base = jnp.where(missed, shift_base + eng.SHIFT_CHUNK,
-                               shift_base)
-        active = active & ~(missed & (shift_base > maxshift))
+        # ---- dedup + t order (local) ----
+        rid_eff = jnp.where(ok, cand_m, _BIG)
+        slot_i = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, :], (Bl, M))
+        rid_s, _, t_s, ko_s, clen_s, slot_s = jax.lax.sort(
+            (rid_eff, pr_m, t, k_o_m, clen, slot_i), dimension=1, num_keys=2)
+        firsts = jnp.concatenate(
+            [jnp.ones((Bl, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1)
+        keep_s = (rid_s != _BIG) & firsts
+        tkey = jnp.where(keep_s, t_s, _BIG)
+        (_, _, keep_f, rid_f, t_f, ko_f, clen_f, slot_f) = jax.lax.sort(
+            (tkey, rid_s, keep_s, rid_s, t_s, ko_s, clen_s, slot_s),
+            dimension=1, num_keys=2)
+        rows_f = jnp.take_along_axis(rows, slot_f[:, :, None], axis=1)
 
-        # seeding: computed replicated over all B walkers, applied locally
-        act_all2 = gath(active)
-        inactive_g = ~act_all2
-        rank = jnp.cumsum(inactive_g) - 1
-        qidx = state["queue_pos"] + rank
-        in_range = inactive_g & (qidx < n_real)
-        seed_rid_g = seed_order[jnp.clip(qidx, 0, Np - 1)]
-        ok_seed_g = in_range & ~claimed_bit(seed_rid_g)
-        claimed, packed = claim(ok_seed_g, seed_rid_g)
-        queue_pos = state["queue_pos"] + jnp.sum(in_range)
+        # ---- global claim resolution: one all_gather of proposals ----
+        # priority classes: 0 = match, 1 = seed (matches beat seeds on the
+        # same rid, matching the single-chip order of operations)
+        prop_rid = jnp.concatenate(
+            [jnp.where(keep_f, rid_f, _BIG).reshape(-1),
+             jnp.where(seed_try, seed_rid, _BIG)])
+        Ppd = prop_rid.shape[0]
+        props = (jax.lax.all_gather(prop_rid, "shard", axis=0, tiled=True)
+                 if n > 1 else prop_rid)
+        Pn = props.shape[0]
+        cls = jnp.tile(jnp.concatenate(
+            [jnp.zeros((Bl * M,), jnp.int32), jnp.ones((Bl,), jnp.int32)]),
+            n)
+        gidx = jnp.arange(Pn, dtype=jnp.int32)
+        ks, cs, gs = jax.lax.sort((props, cls, gidx), num_keys=3)
+        firstp = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
+        win_sorted = firstp & (ks != _BIG)
+        _, win_all = jax.lax.sort((gs, win_sorted), num_keys=1)
 
-        ok_seed = sl(ok_seed_g)
-        seed_rid = sl(seed_rid_g)
-        seed_cnt = eng.seed_counts_for(packed, lengths, seed_rid,
-                                       counts.shape[2])
+        # replicated claimed-bitmap update for every winner
+        win_rid = jnp.where(win_all, props, Np - 1)
+        word = jnp.where(win_all, win_rid >> 5, nwords - 1)
+        bit = jnp.where(win_all,
+                        jnp.uint32(1) << (win_rid & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        claimed = claimed.at[word].add(bit)
+        # row claim flags: owners only
+        mine = win_all & ((win_rid >> lg_npl) == me)
+        lidx = jnp.where(mine, win_rid & (Npl - 1), Npl - 1)
+        rflag = jnp.where(mine & (lidx < Npl - 1) |
+                          (mine & (win_rid & (Npl - 1)) == (Npl - 1)),
+                          jnp.uint32(1) << 31, jnp.uint32(0))
+        rflag = jnp.where(mine, jnp.uint32(1) << 31, jnp.uint32(0))
+        dump = jnp.where(mine, lidx, Npl - 1)
+        # separate dump column trick is unavailable (row Npl-1 is real), so
+        # scatter zero flags for non-mine entries instead
+        rows_local = rows_local.at[dump, Wl].add(rflag)
+
+        # my verdict slices
+        my0 = me * Ppd
+        win_me = jax.lax.dynamic_slice_in_dim(win_all, my0, Ppd, 0)
+        win = win_me[: Bl * M].reshape(Bl, M) & keep_f
+        ok_seed = win_me[Bl * M:] & seed_try
+
+        matched_any = win.any(axis=1)
+        t_roll = jnp.max(jnp.where(win, t_f, 0), axis=1)
+
+        # ---- batched consensus update (O(Bl)) ----
+        live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
+        rolled0 = eng._roll_counts(counts * live, t_roll)
+        len0 = jnp.maximum(ref_len - t_roll, 0)
+
+        def add_slot(j, carry):
+            rolled, new_len = carry
+            rj = jax.lax.dynamic_index_in_dim(rows_f, j, 1, False)[:, :Wl]
+            lj = jax.lax.dynamic_index_in_dim(clen_f, j, 1, False)
+            koj = jax.lax.dynamic_index_in_dim(ko_f, j, 1, False)
+            tj = jax.lax.dynamic_index_in_dim(t_f, j, 1, False)
+            wj = jax.lax.dynamic_index_in_dim(win, j, 1, False)
+            pkj = jnp.where((koj == 1)[:, None],
+                            bits.revcomp_packed(rj, lj), rj)
+            dj = jnp.where(wj, t_roll - tj, 0)
+            pkj = bits.shift_bases_left(pkj, dj, Lb)
+            ohj = eng._onehot_read(bits.unpack(pkj, Lb), lj - dj)
+            rolled = rolled + jnp.where(wj[:, None, None], ohj, 0)
+            new_len = jnp.maximum(new_len, jnp.where(wj, lj - dj, 0))
+            return rolled, new_len
+
+        rolled, new_len = jax.lax.fori_loop(0, M, add_slot, (rolled0, len0))
+        counts = jnp.where(matched_any[:, None, None], rolled, counts)
+        ref_len = jnp.where(matched_any, new_len, ref_len)
+        shift_base = jnp.where(matched_any, 0, shift_base)
+
+        # ---- death / left phase ----
+        left_phase = lp0
+        missed = searching & ~matched_any
+        shift_base = jnp.where(missed, shift_base + SC, shift_base)
+        death = missed & (shift_base > maxshift)
+        start_left = death & ~left_phase
+        active = active & ~(death & left_phase)
+        left_phase = left_phase | start_left
+        shift_base = jnp.where(start_left, 0, shift_base)
+        fr_len = (fr_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        fr_rc = bits.revcomp_packed(fr_rows[:, :Wl], fr_len)
+        fr_counts = eng._onehot_read(bits.unpack(fr_rc, Lb), fr_len)
+        counts = jnp.where(start_left[:, None, None], fr_counts, counts)
+        ref_len = jnp.where(start_left, fr_len, ref_len)
+
+        # ---- apply seeds ----
+        seed_len = (seed_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)
+                    ).astype(jnp.int32)
+        seed_cnt = eng._onehot_read(bits.unpack(seed_rows[:, :Wl], Lb),
+                                    seed_len)
         counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
-        ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
+        ref_len = jnp.where(ok_seed, seed_len, ref_len)
         shift_base = jnp.where(ok_seed, 0, shift_base)
         active = active | ok_seed
+        left_phase = jnp.where(ok_seed, False, left_phase)
+        first_rid = jnp.where(ok_seed, seed_rid, first_rid)
 
-        emit_rid = jnp.where(matched, rid_sel,
-                             jnp.where(ok_seed, seed_rid, -1))
-        emit = jnp.stack([emit_rid,
-                          jnp.where(matched, 1, 0).astype(jnp.int32),
-                          jnp.where(matched, t_sel, 0).astype(jnp.int32),
-                          jnp.where(matched, rc_sel, 0).astype(jnp.int32)],
-                         axis=-1)
+        # ---- emissions (packed like the single-chip round) ----
+        tw = jnp.where(win, t_f, 0)
+        cm = jax.lax.cummax(tw, axis=1)
+        prev = jnp.concatenate([jnp.zeros((Bl, 1), tw.dtype), cm[:, :-1]],
+                               axis=1)
+        delta = tw - prev
+        flagv = jnp.where(lp0[:, None], 2, 1)
+        meta = jnp.where(win, delta + (flagv << 16) + (ko_f << 24), 0)
+        emit_m = jnp.stack([jnp.where(win, rid_f, -1), meta], axis=-1)
+        zero = jnp.zeros((Bl,), jnp.int32)
+        emit_seed = jnp.stack(
+            [jnp.where(ok_seed, seed_rid, -1), zero], axis=-1)[:, None, :]
+        emit = jnp.concatenate([emit_seed, emit_m], axis=1)
 
         new_state = dict(counts=counts, ref_len=ref_len, active=active,
-                         shift_base=shift_base, claimed=claimed,
-                         queue_pos=queue_pos, rows=packed)
+                         shift_base=shift_base, first_rid=first_rid,
+                         left_phase=left_phase, rows=rows_local,
+                         claimed=claimed, queue_pos=qpos, n_queue=nq)
         return new_state, emit.astype(jnp.int32)
 
-    if scan_rounds:
-        def stepped(state, lengths, btabs, drids, seed_order, n_real,
-                    maxshift):
-            def body(st, _):
-                return round_fn(st, lengths, btabs, drids, seed_order,
-                                n_real, maxshift)
-            return jax.lax.scan(body, state, None, length=scan_rounds)
-        fn = stepped
-        emit_spec = Pspec(None, "shard")      # (rounds, B, 4)
-    else:
-        fn = round_fn
-        emit_spec = Pspec("shard")
+    CAP = FLUSH_CAP = eng.FLUSH_ROUNDS * 3 + S_EMIT
+
+    def flush_fn(state, lengths, btabs, drids, seed_slice, maxshift):
+        Bl = state["counts"].shape[0]
+        buf0 = jnp.full((Bl, CAP + 1, 2), -1, jnp.int32)
+        cnt0 = jnp.zeros((Bl,), jnp.int32)
+        bidx = jnp.arange(Bl)[:, None]
+
+        def body(carry, _):
+            st, buf, cnt = carry
+            room = cnt < CAP - S_EMIT
+            st2, emit = round_fn(st, lengths, btabs, drids, seed_slice,
+                                 None, maxshift, room)
+            valid = emit[:, :, 0] >= 0
+            rank = jnp.cumsum(valid, axis=1) - 1
+            pos = jnp.where(valid, cnt[:, None] + rank, CAP)
+            buf = buf.at[bidx, pos].set(emit)
+            cnt = cnt + jnp.sum(valid, axis=1)
+            return (st2, buf, cnt), None
+
+        (state, buf, cnt), _ = jax.lax.scan(
+            body, (state, buf0, cnt0), None, length=eng.FLUSH_ROUNDS)
+        return state, buf[:, :CAP], cnt
 
     sh = Pspec("shard")
     rep = Pspec()
     state_spec = dict(counts=sh, ref_len=sh, active=sh, shift_base=sh,
-                      claimed=rep, queue_pos=rep, rows=rep)
+                      first_rid=sh, left_phase=sh, rows=sh,
+                      claimed=rep, queue_pos=sh, n_queue=sh)
+    fn = flush_fn if scan_rounds else flush_fn
     mapped = shard_map(
         fn, mesh=mesh,
-        in_specs=(state_spec, rep, [sh] * D, [rep] * D, rep, rep, rep),
-        out_specs=(state_spec, emit_spec),
+        in_specs=(state_spec, rep, [sh] * D, [sh] * D, sh, rep),
+        out_specs=(state_spec, sh, sh),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
 
 class DistReorderEngine:
-    """Multi-device counterpart of ReorderEngine (walkers dp, dicts tp)."""
+    """Multi-device counterpart of ReorderEngine: walkers DP, dictionaries
+    and packed rows sharded, probe/row traffic over all_to_all."""
 
-    emit_slots = 1   # one emission slot per walker per round
+    ordered_emissions = True
 
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
                  cfg: DistConfig, mesh: Mesh | None = None):
         self.mesh = mesh or make_mesh()
-        n = self.mesh.devices.size
+        n = self.n = self.mesh.devices.size
         self.cfg = cfg
         self.N = packed.shape[0]
         self.W = packed.shape[1]
@@ -269,13 +565,8 @@ class DistReorderEngine:
         self.windows = dct.default_windows(cfg.max_readlen)
         from ..io.packing import unpack_codes
         codes_np = unpack_codes(packed, cfg.max_readlen)
-        dicts = dct.build_hash_dicts(codes_np, lengths, self.windows,
-                                     pad_to_pow2=True)
-        self.dict_starts = [d.start for d in dicts]
-        self.nbuckets = [d.nbuckets for d in dicts]
-        # bucket count must divide evenly over the mesh (pow2 / pow2)
-        self.btabs = [np.asarray(d.btab) for d in dicts]
-        self.drids = [np.asarray(d.rids) for d in dicts]
+        self.btabs, self.drids, self.dict_starts = build_shard_dicts(
+            codes_np, lengths, self.windows, n)
         packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
         packed_p[: self.N, : self.W] = packed
         lengths_p = np.zeros(self.Np, np.int32)
@@ -284,13 +575,24 @@ class DistReorderEngine:
         packed_p[self.N:, self.W] |= np.uint32(1 << 31)
         self.packed = packed_p
         self.lengths = lengths_p
-        self._round = build_dist_round(self.mesh, cfg, self.dict_starts,
-                                       self.Np, self.nbuckets)
         self._flush = build_dist_round(self.mesh, cfg, self.dict_starts,
-                                       self.Np, self.nbuckets,
-                                       scan_rounds=eng.FLUSH_ROUNDS)
+                                       self.Np)
+
+    def _queue_slices(self, remaining: np.ndarray):
+        """Strided split of the seed queue over devices, padded equal."""
+        n = self.n
+        slices = [remaining[d::n] for d in range(n)]
+        cap = max((len(s) for s in slices), default=1)
+        cap = max(cap, 1)
+        out = np.full((n, cap), self.Np - 1, np.int32)
+        nq = np.zeros((n, 1), np.int32)
+        for d, s in enumerate(slices):
+            out[d, : len(s)] = s
+            nq[d, 0] = len(s)
+        return out.reshape(n * cap), nq.reshape(n)
 
     def init_state(self):
+        n = self.n
         nwords = self.Np // 32 + 2
         claimed = np.zeros(nwords, np.uint32)
         pad = np.zeros(self.Np, bool)
@@ -302,46 +604,70 @@ class DistReorderEngine:
             ref_len=jnp.zeros((self.B,), jnp.int32),
             active=jnp.zeros((self.B,), bool),
             shift_base=jnp.zeros((self.B,), jnp.int32),
-            claimed=jnp.asarray(claimed),
-            queue_pos=jnp.zeros((), jnp.int32),
+            first_rid=jnp.zeros((self.B,), jnp.int32),
+            left_phase=jnp.zeros((self.B,), bool),
             rows=jnp.asarray(self.packed),
+            claimed=jnp.asarray(claimed),
+            queue_pos=jnp.zeros((n,), jnp.int32),
+            n_queue=jnp.zeros((n,), jnp.int32),  # set per flush loop
         )
 
-    def seed_order(self):
+    def run(self, max_rounds: int | None = None,
+            progress=None) -> np.ndarray:
+        """Full distributed reorder. Returns filtered walker-major
+        (rid, flag, pos_delta, rc) rows like ReorderEngine.run."""
         stride = max(self.N // max(self.B, 1), 1)
         idx = np.arange(self.N, dtype=np.int32)
         so = (np.concatenate([idx[r::stride] for r in range(stride)])
               if self.N else idx)
-        return np.concatenate(
-            [so, np.full(self.Np - len(so), self.Np - 1, np.int32)])
-
-    def _args(self):
-        return (jnp.asarray(self.lengths),
-                [jnp.asarray(b) for b in self.btabs],
-                [jnp.asarray(r) for r in self.drids],
-                jnp.asarray(self.seed_order()),
-                jnp.asarray(self.N, jnp.int32),
-                jnp.asarray(self.cfg.max_shift, jnp.int32))
-
-    def run(self, max_rounds: int | None = None,
-            progress=None) -> np.ndarray:
-        """Full distributed reorder; returns emissions (R*B, 4)."""
+        queue = so.astype(np.int32)
         state = self.init_state()
-        args = self._args()
+        qslice, nq = self._queue_slices(queue)
+        state["n_queue"] = jnp.asarray(nq)
+        lengths = jnp.asarray(self.lengths)
+        btabs = [jnp.asarray(b.reshape(-1, b.shape[-1]))
+                 for b in self.btabs]
+        drids = [jnp.asarray(r.reshape(-1)) for r in self.drids]
+        maxshift = jnp.asarray(self.cfg.max_shift, jnp.int32)
         chunks = []
         rounds = 0
+        seed_dev = jnp.asarray(qslice)
         while True:
-            state, emit = self._flush(state, *args)
+            state, buf, cnt = self._flush(state, lengths, btabs, drids,
+                                          seed_dev, maxshift)
             rounds += eng.FLUSH_ROUNDS
-            buf = np.asarray(emit)            # (rounds, B, 4)
-            chunks.append(buf.reshape(-1, 4))
-            queue_pos = int(state["queue_pos"])
+            chunks.append(np.asarray(buf))
+            emitted = int(jnp.sum(cnt))
             any_active = bool(np.asarray(state["active"]).any())
-            emitted = bool((buf[..., 0] >= 0).any())
+            claimed_np = np.unpackbits(
+                np.asarray(state["claimed"])[: self.Np // 32].view(np.uint8),
+                bitorder="little")[: self.N].astype(bool)
+            n_claimed = int(claimed_np.sum())
+            qpos = np.asarray(state["queue_pos"])
+            nq_np = np.asarray(state["n_queue"])
+            drained = bool((qpos >= nq_np).all())
             if progress is not None:
-                progress(queue_pos, self.N)
-            if queue_pos >= self.N and not any_active and not emitted:
+                progress(n_claimed, self.N)
+            if drained and not any_active and (emitted == 0
+                                               or n_claimed >= self.N):
                 break
             if max_rounds is not None and rounds >= max_rounds:
                 break
-        return np.concatenate(chunks, axis=0)
+            # endgame queue compaction (host), as in the single-chip run
+            if n_claimed < self.N:
+                remaining = queue[~claimed_np[queue]]
+                if len(remaining) < 0.5 * max(int(nq_np.sum()), 1):
+                    queue = remaining
+                    qslice, nq = self._queue_slices(queue)
+                    seed_dev = jnp.asarray(qslice)
+                    state["n_queue"] = jnp.asarray(nq)
+                    state["queue_pos"] = jnp.zeros((self.n,), jnp.int32)
+        em2 = (np.concatenate(chunks, axis=1).reshape(-1, 2) if chunks
+               else np.empty((0, 2), np.int32))
+        em2 = em2[em2[:, 0] >= 0]
+        out = np.empty((len(em2), 4), np.int32)
+        out[:, 0] = em2[:, 0]
+        out[:, 1] = (em2[:, 1] >> 16) & 0xFF
+        out[:, 2] = em2[:, 1] & 0xFFFF
+        out[:, 3] = (em2[:, 1] >> 24) & 0xFF
+        return out

@@ -59,10 +59,16 @@ def _lloyd_max(hist: np.ndarray, k: int) -> np.ndarray:
         bounds = nb
     level = np.searchsorted(bounds, sym, side="right")
     cent = np.zeros(k)
+    obs = sym[hist > 0]
     for l in range(k):
         m = level == l
         w = hist[m]
-        cent[l] = np.round(np.sum(w * sym[m]) / w.sum()) if w.sum() else 0
+        if w.sum():
+            mean = np.sum(w * sym[m]) / w.sum()
+            # reconstruction points live in the OBSERVED alphabet (QVZ
+            # semantics, src/qvz/src/codebook.cpp) — arbitrary means make
+            # neighbouring columns emit gratuitously distinct symbols
+            cent[l] = obs[np.argmin(np.abs(obs - mean))]
     return cent[level].astype(np.int64)
 
 
@@ -98,20 +104,39 @@ def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
     # few reads the conditional histograms are too noisy, so pool contexts
     nctx = NCTX if n >= NCTX * 64 else 1
 
+    # reference MODE_FIXED semantics (src/util.cpp:151-164 -> MODE_FIXED in
+    # src/qvz/src/codebook.cpp:470-527): the target is an ABSOLUTE entropy
+    # of `ratio` bits per symbol per (column, context); two bracketing
+    # quantizers are mixed (the reference's hi/lo dither) to hit it exactly
+    target = float(ratio)
     out = np.zeros_like(sym)
     ctx = np.zeros(n, np.int32)
     for col in range(L):
         v = valid[:, col]
-        # conditional histogram per context
         idx = ctx * NSYM + sym[:, col]
         hist = np.bincount(idx[v], minlength=nctx * NSYM).reshape(nctx, NSYM)
         p = hist / np.maximum(hist.sum(axis=1, keepdims=True), 1)
         h = _entropy(p)                      # (nctx,)
         maps = np.empty((nctx, NSYM), np.int64)
         for c in range(nctx):
-            k = int(np.clip(np.round(2 ** (h[c] / max(ratio, 1.0) * 1.0)),
-                            1, NSYM))
-            maps[c] = _lloyd_max(hist[c], k)
+            if h[c] <= target:
+                maps[c] = np.arange(NSYM)
+                continue
+            # largest level count whose quantized entropy stays <= target
+            # (the reference's per-value hi/lo dither would inject choice
+            # noise the downstream codec cannot model; a hard floor keeps
+            # the rate budget honest)
+            m_lo = _lloyd_max(hist[c], 1)
+            for k in range(2, NSYM + 1):
+                m_k = _lloyd_max(hist[c], k)
+                pq = np.bincount(m_k, weights=hist[c].astype(np.float64),
+                                 minlength=NSYM)
+                tot = pq.sum()
+                h_k = float(_entropy(pq / tot)) if tot else 0.0
+                if h_k > target:
+                    break
+                m_lo = m_k
+            maps[c] = m_lo
         out[:, col] = maps[ctx, sym[:, col]]
         ctx = np.where(v, (out[:, col] * nctx) // NSYM, ctx).astype(np.int32)
     return np.where(valid, out + QMIN, 0).astype(np.uint8)

@@ -169,15 +169,17 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             engine = dist_mod.DistReorderEngine(
                 packed, c_len, dist_mod.DistConfig(max_readlen=maxlen))
         else:
-            engine = eng.ReorderEngine(
-                packed, c_len, eng.ReorderConfig(max_readlen=maxlen),
-                codes=c_codes)
+            cfg = eng.ReorderConfig(max_readlen=maxlen)
+            walkers_env = os.environ.get("SPRING_TPU_WALKERS")
+            if walkers_env:
+                cfg.num_walkers = int(walkers_env)
+            engine = eng.ReorderEngine(packed, c_len, cfg, codes=c_codes)
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")
         layout, _singles = cons.layout_from_emissions(
             emissions, engine.B, c_len,
-            slots=getattr(engine, "emit_slots", 1))
+            ordered=getattr(engine, "ordered_emissions", False))
         mark("assemble_contigs")
         if layout.seq_len:
             seq_codes = cons.build_consensus(layout, c_codes, c_len)

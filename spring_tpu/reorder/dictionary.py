@@ -255,12 +255,14 @@ def probe_hash(btab, rids, queries: jnp.ndarray,
         crow = row[:, 2 * SLOTS:].astype(jnp.int32)
         hit = (krow == flat[:, None]) & (crow > 0)
         any_hit = hit.any(axis=1)
-        slot = jnp.argmax(hit, axis=1)
+        # masked sums, not take_along_axis: per-element gathers along a
+        # 4-wide minor axis run ~40x below memory speed on TPU (profiled)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        s_hit = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
+        c_hit = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
         take = any_hit & (count == 0)
-        start = jnp.where(take, jnp.take_along_axis(
-            srow, slot[:, None], axis=1)[:, 0], start)
-        count = jnp.where(take, jnp.take_along_axis(
-            crow, slot[:, None], axis=1)[:, 0], count)
+        start = jnp.where(take, s_hit, start)
+        count = jnp.where(take, c_hit, count)
     offs = jnp.arange(max_candidates, dtype=jnp.int32)
     n = rids.shape[0]
     valid = offs[None, :] < jnp.minimum(count, max_candidates)[:, None]

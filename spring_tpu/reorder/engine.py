@@ -130,15 +130,15 @@ class ProbeLayout:
         self.D, self.C, self.SC = D, C, sc
         self.K = sc * D * 2 * C
         k = np.arange(self.K)
-        self.k_c = k % C
-        self.k_o = (k // C) % 2
-        self.k_d = (k // (C * 2)) % D
-        self.k_s = k // (C * 2 * D)
-        self.k_frame = self.k_s * 2 + self.k_o      # index into SC*2 frames
-        # priority: shift > orientation > dict > bin slot (reference search
+        # layout k = ((s*2 + o)*D + d)*C + c: slot index IS the priority
+        # (shift > orientation > dict > bin slot — the reference search
         # order, src/reorder.h:479-557)
-        self.pr_static = (((self.k_s * 2 + self.k_o) * D + self.k_d) * C
-                          + self.k_c).astype(np.int32)
+        self.k_c = k % C
+        self.k_d = (k // C) % D
+        self.k_o = (k // (C * D)) % 2
+        self.k_s = k // (C * D * 2)
+        self.k_frame = self.k_s * 2 + self.k_o      # index into SC*2 frames
+        self.pr_static = k.astype(np.int32)
 
 
 def walker_frames(counts, ref_len, shift_base, sc: int = SHIFT_CHUNK):
@@ -253,14 +253,20 @@ def select_best(cand, pr, t, clen, lay: ProbeLayout):
 
 
 def resolve_conflicts(matched, rid_sel):
-    """First walker (stable sort order) wins each rid; others lose."""
-    B = rid_sel.shape[0]
-    order = jnp.argsort(jnp.where(matched, rid_sel, _BIG), stable=True)
-    rs = jnp.where(matched, rid_sel, _BIG)[order]
-    first = jnp.concatenate([jnp.array([True]), rs[1:] != rs[:-1]])
-    win_sorted = first & (rs != _BIG)
-    winner = jnp.zeros((B,), bool).at[order].set(win_sorted)
-    return matched & winner
+    """First claimant (lowest original index) wins each rid; others lose.
+
+    Two multi-operand lax.sorts (forward by rid, back by original index)
+    instead of argsort + gather + scatter: per-element gathers/scatters on
+    TPU run far below memory speed (profiled ~40x), sorts don't.
+    """
+    n = rid_sel.shape[0]
+    key = jnp.where(matched, rid_sel, _BIG)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ks, orig = jax.lax.sort((key, idx), num_keys=2)
+    first = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
+    win_sorted = first & (ks != _BIG)
+    _, win = jax.lax.sort((orig, win_sorted), num_keys=1)
+    return win
 
 
 def _shift_last_static(x, s: int):
@@ -331,6 +337,8 @@ class ReorderEngine:
     walker-timeline order; see ``assemble_contigs``.
     """
 
+    ordered_emissions = True   # run() returns filtered walker-major rows
+
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
                  cfg: ReorderConfig, codes: np.ndarray | None = None):
         self.cfg = cfg
@@ -400,16 +408,20 @@ class ReorderEngine:
         starts = [d.start for d in self.dicts]
         lay = ProbeLayout(len(starts), C, SC)
         M = min(cfg.accept_slots, lay.K)
-        self.emit_slots = M + 1
 
         def round_fn(state, lengths, dkeys, drids, seed_order,
-                     n_real, maxshift):
+                     n_real, maxshift, room=None):
             counts = state["counts"]
             ref_len = state["ref_len"]
             active = state["active"]
             shift_base = state["shift_base"]
             claimed = state["claimed"]
             packed = state["rows"]
+            if room is None:
+                room = jnp.ones(active.shape, bool)
+            # a walker whose flush emission buffer is nearly full stalls:
+            # it neither searches nor seeds this round (no state advances)
+            searching = active & room
             B = counts.shape[0]
             Lb = counts.shape[2]
             Wl = packed.shape[1] - 1
@@ -441,10 +453,10 @@ class ReorderEngine:
                                            q[:, :, di, :], C)
                 hits_r.append(rids)
                 hits_v.append(hit & v[:, :, di, :, None])
-            # flatten (SC, D, 2, C) -> K in the ProbeLayout order
-            cand = jnp.stack(hits_r, axis=2).reshape(B, lay.K)
-            cvalid = jnp.stack(hits_v, axis=2).reshape(B, lay.K)
-            cvalid &= (cand >= 0) & active[:, None]
+            # flatten (SC, 2, D, C) -> K in the ProbeLayout order
+            cand = jnp.stack(hits_r, axis=3).reshape(B, lay.K)
+            cvalid = jnp.stack(hits_v, axis=3).reshape(B, lay.K)
+            cvalid &= (cand >= 0) & searching[:, None]
 
             # ---- top-M compaction: only the M best-priority valid slots
             # get the expensive packed-row gather (most of the K probe
@@ -489,31 +501,24 @@ class ReorderEngine:
 
             # ---- batch accept: dedup rids within the walker (a read found
             # via both dicts appears twice), then order accepts by t so the
-            # per-round emission deltas chain like sequential accepts ----
-            ord_pr = jnp.argsort(jnp.where(ok, pr_m, _BIG), axis=1,
-                                 stable=True)
+            # per-round emission deltas chain like sequential accepts.
+            # Multi-operand lexicographic lax.sorts carry every per-slot
+            # field through the permutation — no take_along_axis gathers ----
             rid_eff = jnp.where(ok, cand_m, _BIG)
-            rid_p = jnp.take_along_axis(rid_eff, ord_pr, axis=1)
-            ord_r = jnp.argsort(rid_p, axis=1, stable=True)
-            perm_a = jnp.take_along_axis(ord_pr, ord_r, axis=1)
-            rid_s = jnp.take_along_axis(rid_eff, perm_a, axis=1)
+            slot_i = jnp.broadcast_to(
+                jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+            rid_s, _, t_s, ko_s, clen_s, slot_s = jax.lax.sort(
+                (rid_eff, pr_m, t, k_o_m, clen, slot_i),
+                dimension=1, num_keys=2)
             firsts = jnp.concatenate(
                 [jnp.ones((B, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]],
                 axis=1)
             keep_s = (rid_s != _BIG) & firsts
-            t_s = jnp.take_along_axis(t, perm_a, axis=1)
-            ord_t = jnp.argsort(jnp.where(keep_s, t_s, _BIG), axis=1,
-                                stable=True)
-            perm = jnp.take_along_axis(perm_a, ord_t, axis=1)
-
-            def take_p(x):
-                return jnp.take_along_axis(x, perm, axis=1)
-            keep_f = jnp.take_along_axis(keep_s, ord_t, axis=1)
-            rid_f = take_p(cand_m)
-            t_f = take_p(t)
-            ko_f = take_p(k_o_m)
-            clen_f = take_p(clen)
-            rows_f = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
+            tkey = jnp.where(keep_s, t_s, _BIG)
+            (_, _, keep_f, rid_f, t_f, ko_f, clen_f, slot_f) = jax.lax.sort(
+                (tkey, rid_s, keep_s, rid_s, t_s, ko_s, clen_s, slot_s),
+                dimension=1, num_keys=2)
+            rows_f = jnp.take_along_axis(rows, slot_f[:, :, None], axis=1)
 
             # ---- cross-walker conflicts: first walker per rid wins ----
             win = resolve_conflicts(keep_f.reshape(-1),
@@ -562,7 +567,7 @@ class ReorderEngine:
             # exhausted forward walker restarts leftward from the contig's
             # first read, reverse-complemented (reference left search,
             # src/reorder.h:562-571); an exhausted left walker dies
-            missed = active & ~matched_any
+            missed = searching & ~matched_any
             shift_base = jnp.where(missed, shift_base + SC, shift_base)
             death = missed & (shift_base > maxshift)
             start_left = death & ~left_phase
@@ -579,7 +584,7 @@ class ReorderEngine:
 
             # seeding: inactive walkers take the next unclaimed queue reads
             # (reference picks from remainingreads, src/reorder.h:570-592)
-            inactive = ~active
+            inactive = ~active & room
             rank = jnp.cumsum(inactive) - 1
             qidx = state["queue_pos"] + rank
             in_range = inactive & (qidx < n_real)
@@ -595,21 +600,21 @@ class ReorderEngine:
             first_rid = jnp.where(ok_seed, seed_rid, first_rid)
             queue_pos = state["queue_pos"] + jnp.sum(in_range)
 
-            # emissions: (B, M+1, 4); slot 0 seeds (flag 0), slots 1..M the
-            # t-ordered accepted reads with within-round position deltas
+            # emissions: (B, M+1, 2) int32 — slot 0 seeds (flag 0), slots
+            # 1..M the t-ordered accepted reads with within-round position
+            # deltas. Packed to 8 B/slot (word0 rid, word1 delta|flag|rc)
+            # to halve the device->host transfer, which rides a tunnel here
             tw = jnp.where(win, t_f, 0)
             cm = jax.lax.cummax(tw, axis=1)
             prev = jnp.concatenate(
                 [jnp.zeros((B, 1), tw.dtype), cm[:, :-1]], axis=1)
             delta = tw - prev
-            emit_m = jnp.stack(
-                [jnp.where(win, rid_f, -1),
-                 jnp.where(win, jnp.where(lp0[:, None], 2, 1), 0),
-                 jnp.where(win, delta, 0),
-                 jnp.where(win, ko_f, 0)], axis=-1)
+            flagv = jnp.where(lp0[:, None], 2, 1)
+            meta = jnp.where(win, delta + (flagv << 16) + (ko_f << 24), 0)
+            emit_m = jnp.stack([jnp.where(win, rid_f, -1), meta], axis=-1)
             zero = jnp.zeros((B,), jnp.int32)
             emit_seed = jnp.stack(
-                [jnp.where(ok_seed, seed_rid, -1), zero, zero, zero],
+                [jnp.where(ok_seed, seed_rid, -1), zero],
                 axis=-1)[:, None, :]
             emit = jnp.concatenate([emit_seed, emit_m], axis=1)
 
@@ -619,14 +624,37 @@ class ReorderEngine:
                              queue_pos=queue_pos, rows=packed)
             return new_state, emit.astype(jnp.int32)
 
+        S = M + 1
+        CAP = self.emit_cap = FLUSH_ROUNDS * 3 + S
+
         def flush_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
             # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
-            # and especially the TPU tunnel) would otherwise dominate
-            def body(st, _):
-                return round_fn(st, lengths, dkeys, drids,
-                                seed_order, n_real, maxshift)
-            return jax.lax.scan(body, state, None, length=FLUSH_ROUNDS)
+            # and especially the TPU tunnel) would otherwise dominate.
+            # Emissions append into a compact per-walker buffer (average
+            # occupancy ~1-2 slots/round vs the M+1 emitted): the transfer
+            # shrinks ~6x and the host never touches empty slots. A walker
+            # whose buffer is nearly full stalls until the next flush.
+            B = state["counts"].shape[0]
+            buf0 = jnp.full((B, CAP + 1, 2), -1, jnp.int32)
+            cnt0 = jnp.zeros((B,), jnp.int32)
+            bidx = jnp.arange(B)[:, None]
+
+            def body(carry, _):
+                st, buf, cnt = carry
+                room = cnt < CAP - S
+                st2, emit = round_fn(st, lengths, dkeys, drids,
+                                     seed_order, n_real, maxshift, room)
+                valid = emit[:, :, 0] >= 0
+                rank = jnp.cumsum(valid, axis=1) - 1
+                pos = jnp.where(valid, cnt[:, None] + rank, CAP)
+                buf = buf.at[bidx, pos].set(emit)
+                cnt = cnt + jnp.sum(valid, axis=1)
+                return (st2, buf, cnt), None
+
+            (state, buf, cnt), _ = jax.lax.scan(
+                body, (state, buf0, cnt0), None, length=FLUSH_ROUNDS)
+            return state, buf[:, :CAP], cnt
 
         self._round_impl = round_fn   # unjitted, for entry-point/driver use
         return jax.jit(flush_fn, donate_argnums=(0,))
@@ -647,9 +675,10 @@ class ReorderEngine:
     # ---------------- driver loop ----------------
 
     def run(self, progress=None) -> np.ndarray:
-        """Returns emissions (R*B*emit_slots, 4) int32 rows of
-        (rid, flag, pos_delta, rc) in (round, walker, slot) order;
-        rid == -1 rows are empty slots."""
+        """Returns emissions (n_emitted, 4) int32 rows of
+        (rid, flag, pos_delta, rc), WALKER-MAJOR (each walker's timeline is
+        contiguous, flushes concatenated in time order), empty slots already
+        filtered out."""
         import os
         import time
         trace = os.environ.get("SPRING_TPU_TRACE")
@@ -666,53 +695,89 @@ class ReorderEngine:
               if self.N else idx)
         so = np.concatenate(
             [so, np.full(self.Np - len(so), self.Np - 1, np.int32)])
+        queue = so[: self.N].astype(np.int32)   # real rids only, no padding
+        n_real = jnp.asarray(len(queue), jnp.int32)
         seed_order = jnp.asarray(so.astype(np.int32))
-        n_real = jnp.asarray(self.N, jnp.int32)
         maxshift = jnp.asarray(self.cfg.max_shift, jnp.int32)
         chunks = []
         last_claimed = 0
         rounds = accepts = seeds = 0
         t_start = time.time()
+        pending = None               # device emit buffer in flight
         while True:
             t0 = time.time()
-            state, emit = self._round_fn(state, lengths, dkeys,
-                                         drids, seed_order, n_real, maxshift)
-            buf = np.asarray(emit)                        # syncs
-            chunks.append(buf.reshape(-1, 4))
+            state, emit, cnt = self._round_fn(
+                state, lengths, dkeys, drids, seed_order, n_real, maxshift)
+            # overlap the emissions transfer with the bookkeeping below and
+            # with the next flush's device compute
+            try:
+                emit.copy_to_host_async()
+            except Exception:
+                pass
+            if pending is not None:
+                chunks.append(np.asarray(pending))
+            pending = emit
+            emitted = int(jnp.sum(cnt))
             queue_pos = int(state["queue_pos"])
             any_active = bool(np.asarray(state["active"]).any())
-            emitted = bool((buf[..., 0] >= 0).any())
             rounds += FLUSH_ROUNDS
-            if trace:
-                fl_acc = int(((buf[..., 0] >= 0) & (buf[..., 1] > 0)).sum())
-                fl_seed = int(((buf[..., 0] >= 0) & (buf[..., 1] == 0)).sum())
-                accepts += fl_acc
-                seeds += fl_seed
-                print(f"[trace] reorder flush r={rounds} "
-                      f"{time.time() - t0:.3f}s acc={fl_acc} seed={fl_seed} "
-                      f"q={queue_pos}/{self.N}", flush=True)
-            if progress is not None:
-                progress(queue_pos, self.N)
-            if queue_pos >= self.N and not any_active and not emitted:
-                break
             claimed_np = np.unpackbits(
                 np.asarray(state["claimed"])[: self.Np // 32].view(np.uint8),
                 bitorder="little")[: self.N].astype(bool)
             n_claimed = int(claimed_np.sum())
+            if trace:
+                print(f"[trace] reorder flush r={rounds} "
+                      f"{time.time() - t0:.3f}s claimed={n_claimed} "
+                      f"emitted={emitted} q={queue_pos}/{int(n_real)}",
+                      flush=True)
+            if progress is not None:
+                progress(n_claimed, self.N)
+            if (queue_pos >= int(n_real) and not any_active
+                    and (emitted == 0 or n_claimed >= self.N)):
+                break
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
                 drids = self._compact_dicts(drids, claimed_np)
                 last_claimed = n_claimed
+            # compact the seed queue: drop already-claimed reads so the
+            # endgame doesn't burn rounds skipping them one walker-batch
+            # at a time (95% of reads are claimed within a few flushes)
+            if queue_pos > 0 and n_claimed < self.N:
+                remaining = queue[~claimed_np[queue]]
+                if len(remaining) < 0.5 * int(n_real):
+                    queue = remaining
+                    seed_order = jnp.asarray(np.concatenate([
+                        remaining,
+                        np.full(self.Np - len(remaining), self.Np - 1,
+                                np.int32)]).astype(np.int32))
+                    n_real = jnp.asarray(len(remaining), jnp.int32)
+                    state["queue_pos"] = jnp.zeros((), jnp.int32)
+        if pending is not None:
+            chunks.append(np.asarray(pending))
+        dt = time.time() - t_start
+        # walker-major: concatenate per-flush buffers along the slot axis,
+        # flatten per walker, drop empty slots
+        em2 = (np.concatenate(chunks, axis=1).reshape(-1, 2) if chunks
+               else np.empty((0, 2), np.int32))
+        em2 = em2[em2[:, 0] >= 0]
+        # unpack word1 = delta | flag<<16 | rc<<24 -> (rid, flag, delta, rc)
+        out = np.empty((len(em2), 4), np.int32)
+        out[:, 0] = em2[:, 0]
+        out[:, 1] = (em2[:, 1] >> 16) & 0xFF
+        out[:, 2] = em2[:, 1] & 0xFFFF
+        out[:, 3] = (em2[:, 1] >> 24) & 0xFF
         if trace:
-            dt = time.time() - t_start
+            accepts = int((out[:, 1] > 0).sum())
+            seeds = int((out[:, 1] == 0).sum())
             print(f"[trace] reorder done: {rounds} rounds {dt:.2f}s "
                   f"({1000 * dt / max(rounds, 1):.1f} ms/round) "
                   f"accepts={accepts} seeds={seeds}", flush=True)
-        return np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4), np.int32)
+        return out
 
 
-def assemble_contigs(emissions: np.ndarray, num_walkers: int,
+def assemble_contigs(emissions: np.ndarray, num_walkers: int = 0,
                      lengths: np.ndarray | None = None,
-                     slots: int = 1) -> list[dict[str, np.ndarray]]:
+                     slots: int = 1,
+                     ordered: bool = False) -> list[dict[str, np.ndarray]]:
     """Group round-major emissions into per-contig read lists.
 
     Returns a list of contigs, each a dict with:
@@ -725,14 +790,21 @@ def assemble_contigs(emissions: np.ndarray, num_walkers: int,
     the contig's first read — their coordinates fold back as
     o = len(first) - q - len(read) with orientation flipped.
     """
-    R = emissions.shape[0] // (num_walkers * slots)
-    em = emissions.reshape(R, num_walkers, slots, 4)
+    if ordered:
+        # already a filtered walker-major stream: every walker timeline
+        # starts with its seed (flag 0), so contig segmentation alone works
+        cols = [emissions] if len(emissions) else []
+    else:
+        R = emissions.shape[0] // (num_walkers * slots)
+        em = emissions.reshape(R, num_walkers, slots, 4)
+        cols = []
+        for w in range(num_walkers):
+            col = em[:, w].reshape(-1, 4)
+            col = col[col[:, 0] >= 0]
+            if len(col):
+                cols.append(col)
     contigs = []
-    for w in range(num_walkers):
-        col = em[:, w].reshape(-1, 4)
-        col = col[col[:, 0] >= 0]
-        if not len(col):
-            continue
+    for col in cols:
         starts = np.nonzero(col[:, 1] == 0)[0]
         bounds = np.append(starts, len(col))
         for a, b in zip(bounds[:-1], bounds[1:]):

@@ -27,7 +27,7 @@ def test_dist_round_executes_and_places_all_reads(mesh8):
     e = dist.DistReorderEngine(packed, lengths,
                                dist.DistConfig(max_readlen=L), mesh=mesh8)
     em = e.run()
-    contigs = eng.assemble_contigs(em, e.B, lengths)
+    contigs = eng.assemble_contigs(em, lengths=lengths, ordered=True)
     placed = np.concatenate([c["rids"] for c in contigs]) if contigs else []
     assert len(placed) == len(codes)
     assert len(np.unique(placed)) == len(codes)
@@ -58,3 +58,33 @@ def test_dist_end_to_end_roundtrip(tmp_path, mesh8, monkeypatch):
     api.decompress(arc, [out], verbose=False)
     import filecmp
     assert filecmp.cmp(str(fq), out, shallow=False)
+
+
+def test_dist_ratio_parity_with_single_device(tmp_path, mesh8, monkeypatch):
+    # the sharded engine must produce archives of comparable size to the
+    # single-device engine on identical input (VERDICT r1: the old dist
+    # round silently degraded ratio)
+    from spring_tpu import api
+    rng = np.random.default_rng(17)
+    genome = rng.integers(0, 4, size=10000)
+    L, n = 100, 3000
+    starts = rng.integers(0, len(genome) - L, size=n)
+    base = b"ACGT"
+    fq = tmp_path / "p.fastq"
+    with open(fq, "wb") as f:
+        for i, s in enumerate(starts):
+            seg = bytes(base[c] for c in genome[s:s + L])
+            f.write(b"@p%d\n%s\n+\n%s\n" % (i, seg, b"E" * L))
+    arcs = {}
+    for mode in ("single", "dist"):
+        if mode == "dist":
+            monkeypatch.setenv("SPRING_TPU_DIST", "1")
+        else:
+            monkeypatch.delenv("SPRING_TPU_DIST", raising=False)
+        arc = str(tmp_path / f"{mode}.stpu")
+        api.compress([str(fq)], arc,
+                     api.CompressOptions(num_threads=2, verbose=False))
+        arcs[mode] = arc
+    import os
+    s1, s2 = os.path.getsize(arcs["single"]), os.path.getsize(arcs["dist"])
+    assert abs(s2 - s1) <= 0.05 * s1 + 10240, (s1, s2)

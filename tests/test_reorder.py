@@ -121,7 +121,7 @@ def test_engine_overlapping_reads_form_one_contig():
     engine = eng.ReorderEngine(packed, lengths,
                                eng.ReorderConfig(max_readlen=L))
     em = engine.run()
-    contigs = eng.assemble_contigs(em, engine.B, lengths, slots=engine.emit_slots)
+    contigs = eng.assemble_contigs(em, lengths=lengths, ordered=True)
     placed = sum(len(c["rids"]) for c in contigs)
     assert placed == len(codes)
     all_rids = np.concatenate([c["rids"] for c in contigs])
@@ -144,8 +144,8 @@ def test_layout_from_emissions_matches_slow_path():
     engine = eng.ReorderEngine(packed, lengths,
                                eng.ReorderConfig(max_readlen=L))
     em = engine.run()
-    fast, singles_f = cons.layout_from_emissions(em, engine.B, lengths, slots=engine.emit_slots)
-    contigs = eng.assemble_contigs(em, engine.B, lengths, slots=engine.emit_slots)
+    fast, singles_f = cons.layout_from_emissions(em, engine.B, lengths, ordered=True)
+    contigs = eng.assemble_contigs(em, lengths=lengths, ordered=True)
     slow, singles_s = cons.layout_contigs(contigs, lengths)
     np.testing.assert_array_equal(fast.rids, slow.rids)
     np.testing.assert_array_equal(fast.gpos, slow.gpos)
@@ -171,7 +171,7 @@ def test_engine_with_rc_reads():
     engine = eng.ReorderEngine(packed, lengths,
                                eng.ReorderConfig(max_readlen=L))
     em = engine.run()
-    contigs = eng.assemble_contigs(em, engine.B, lengths, slots=engine.emit_slots)
+    contigs = eng.assemble_contigs(em, lengths=lengths, ordered=True)
     placed = sum(len(c["rids"]) for c in contigs)
     assert placed == len(codes)
     singletons = sum(1 for c in contigs if len(c["rids"]) == 1)

@@ -101,7 +101,7 @@ def test_pe_reorder_mode_pairing(tmp_path, fq1, fq2):
 @pytest.mark.parametrize("qmode,kw", [
     ("ill_bin", {}),
     ("binary", {"bin_thresholds": (53, 73, 35)}),
-    ("qvz", {"qvz_ratio": 4.0}),
+    ("qvz", {"qvz_ratio": 1.0}),
 ])
 def test_lossy_quality_modes(tmp_path, fq1, qmode, kw):
     opts = api.CompressOptions(num_threads=2, verbose=False,
@@ -126,7 +126,9 @@ def test_qvz_reduces_entropy_with_enough_data():
     n, L = 2000, 60
     sym = np.clip(rng.normal(35, 6, size=(n, L)), 0, 40).astype(np.uint8)
     quals = [(sym[i] + 33).tobytes() for i in range(n)]
-    out = qvz.quantize_block(quals, ratio=4.0)
+    # MODE_FIXED semantics: the ratio is an absolute per-context entropy
+    # budget in bits (reference src/util.cpp:151-164)
+    out = qvz.quantize_block(quals, ratio=1.0)
 
     def entropy(bs):
         c = np.bincount(np.frombuffer(bs, np.uint8), minlength=256)
@@ -134,7 +136,7 @@ def test_qvz_reduces_entropy_with_enough_data():
         return float(-(p * np.log2(p)).sum())
     h0 = entropy(b"".join(quals))
     h1 = entropy(b"".join(out))
-    assert h1 < h0 * 0.6, (h0, h1)
+    assert h1 < h0 * 0.5, (h0, h1)
     assert all(len(a) == len(b) for a, b in zip(quals, out))
 
 
