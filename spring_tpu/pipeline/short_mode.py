@@ -143,6 +143,47 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     pool = ThreadPoolExecutor(max_workers=num_threads)
     futs = []
 
+    def _submit_quality_ids_se(order):
+        for b in range(cp.num_blocks):
+            sel = order[b * block:(b + 1) * block]
+            if quals is not None:
+                futs.append((f"quality.{b}",
+                             pool.submit(qv.compress_rows, quals[sel],
+                                         lengths[sel], num_threads=1)))
+            if cp.preserve_id:
+                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, sel)
+                futs.append((f"id.{b}",
+                             pool.submit(idcodec.compress_ids_raw, ibuf,
+                                         ilens)))
+
+    def _submit_quality_ids_pe(pairs):
+        nb = -(-per_file // block) if per_file else 0
+        for b in range(nb):
+            p1 = pairs[b * block:(b + 1) * block]
+            p2 = p1 + per_file
+            both = np.concatenate([p1, p2])
+            if quals is not None:
+                futs.append((f"quality.{b}",
+                             pool.submit(qv.compress_rows, quals[both],
+                                         lengths[both], num_threads=1)))
+            if cp.preserve_id:
+                idsel = p1 if cp.paired_id_match else both
+                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, idsel)
+                futs.append((f"id.{b}",
+                             pool.submit(idcodec.compress_ids_raw, ibuf,
+                                         ilens)))
+
+    # in order-preserving mode the output order is known before the reorder
+    # runs — quality/id codec work overlaps the device-side engine
+    quality_ids_submitted = False
+    if cp.preserve_order and n:
+        if paired:
+            cp.num_blocks = -(-per_file // block) if per_file else 0
+            _submit_quality_ids_pe(np.arange(per_file, dtype=np.int64))
+        else:
+            _submit_quality_ids_se(np.arange(n, dtype=np.int64))
+        quality_ids_submitted = True
+
     mark("quantize+idcheck")
     has_n = (codes == packing.N).any(axis=1) if n else np.zeros(0, bool)
     clean = ~has_n
@@ -276,20 +317,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         # paired file-2 read costs ~2 bytes of metadata.
         cp.num_blocks = -(-per_file // block) if per_file else 0
         pairs_out = order_out[:per_file]
+        if not quality_ids_submitted:
+            _submit_quality_ids_pe(pairs_out)
         for b in range(cp.num_blocks):
             p1 = pairs_out[b * block:(b + 1) * block]
             p2 = p1 + per_file
-            both = np.concatenate([p1, p2])
-            if quals is not None:
-                futs.append((f"quality.{b}",
-                             pool.submit(qv.compress_rows, quals[both],
-                                         lengths[both], num_threads=1)))
-            if cp.preserve_id:
-                idsel = p1 if cp.paired_id_match else both
-                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, idsel)
-                futs.append((f"id.{b}",
-                             pool.submit(idcodec.compress_ids_raw, ibuf,
-                                         ilens)))
             f1 = flag[p1] == 1
             f2 = flag[p2] == 1
             pdist = gpos[p2] - gpos[p1]
@@ -324,19 +356,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 futs.append((name,
                              pool.submit(bsc.compress, raw, num_threads=1)))
     else:
-        if quals is not None:
-            for b in range(cp.num_blocks):
-                sel = order_out[b * block:(b + 1) * block]
-                futs.append((f"quality.{b}",
-                             pool.submit(qv.compress_rows, quals[sel],
-                                         lengths[sel], num_threads=1)))
-        if cp.preserve_id:
-            for b in range(cp.num_blocks):
-                sel = order_out[b * block:(b + 1) * block]
-                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, sel)
-                futs.append((f"id.{b}",
-                             pool.submit(idcodec.compress_ids_raw, ibuf,
-                                         ilens)))
+        if not quality_ids_submitted:
+            _submit_quality_ids_se(order_out)
         for b in range(cp.num_blocks):
             s, e = b * block, min((b + 1) * block, n)
             sel = order_out[s:e]
