@@ -561,7 +561,7 @@ class DistReorderEngine:
         self.Lb = self.W * bits.BASES_PER_WORD
         self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64 * n)
         self.B = int(min(cfg.num_walkers,
-                         max(8 * n, self.Np // 32)) // n * n)
+                         max(8 * n, self.Np // 256)) // n * n)
         self.windows = dct.default_windows(cfg.max_readlen)
         from ..io.packing import unpack_codes
         codes_np = unpack_codes(packed, cfg.max_readlen)

@@ -349,8 +349,10 @@ class ReorderEngine:
         # compiled program (padding reads are pre-claimed, never touched)
         self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64)
         # enough walkers to keep the device busy, but few enough that seeds
-        # don't fragment the contig space (each walker owns ~32+ reads)
-        self.B = int(min(cfg.num_walkers, max(8, self.Np // 32)))
+        # don't fragment the contig space: ~256 reads per walker measured
+        # best on v5e (B=4096 at 1M reads beat B=16384 on both speed and
+        # seq-stream size — fewer, longer contigs)
+        self.B = int(min(cfg.num_walkers, max(8, self.Np // 256)))
         self.windows = dct.default_windows(cfg.max_readlen)
         if codes is None:
             from ..io.packing import unpack_codes
