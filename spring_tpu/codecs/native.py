@@ -101,6 +101,25 @@ def load() -> ctypes.CDLL:
         lib.stpu_qv_decompress.argtypes = [c_u8p, ctypes.c_int64, c_u8p,
                                            ctypes.c_int64, c_i32p,
                                            ctypes.c_int64]
+        lib.stpu_consensus.restype = None
+        lib.stpu_consensus.argtypes = [c_u8p, ctypes.c_int64, c_i32p, c_i32p,
+                                       c_i64p, c_u8p, ctypes.c_int64,
+                                       ctypes.c_int64, c_u8p, ctypes.c_int]
+        lib.stpu_noise_count.restype = None
+        lib.stpu_noise_count.argtypes = [c_u8p, ctypes.c_int64, c_i32p,
+                                         c_i32p, c_i64p, c_u8p,
+                                         ctypes.c_int64, c_u8p,
+                                         ctypes.c_int64, c_i32p, ctypes.c_int]
+        lib.stpu_noise_fill.restype = None
+        lib.stpu_noise_fill.argtypes = [c_u8p, ctypes.c_int64, c_i32p, c_i32p,
+                                        c_i64p, c_u8p, ctypes.c_int64, c_u8p,
+                                        ctypes.c_int64, c_i64p, c_i32p,
+                                        c_u8p, ctypes.c_int]
+        lib.stpu_reconstruct.restype = None
+        lib.stpu_reconstruct.argtypes = [c_u8p, ctypes.c_int64, c_i64p,
+                                         c_i32p, c_u8p, c_i32p, c_i64p,
+                                         c_i32p, c_u8p, ctypes.c_int64,
+                                         ctypes.c_int64, c_u8p, ctypes.c_int]
         _lib = lib
         return _lib
 

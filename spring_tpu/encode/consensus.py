@@ -14,11 +14,25 @@ the arrays are laid out so the same code can move to jnp scatter/gather).
 """
 from __future__ import annotations
 
+import ctypes
 from dataclasses import dataclass
 
 import numpy as np
 
+from ..codecs import native
 from ..io import packing
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 _CHUNK = 1 << 17  # reads per vectorized pass (keeps temporaries cache/
                   # allocator-friendly — fresh large allocations fault at
@@ -142,11 +156,30 @@ def _oriented_codes(codes: np.ndarray, lengths: np.ndarray,
 
 
 def build_consensus(layout: ContigLayout, codes: np.ndarray,
-                    lengths: np.ndarray) -> np.ndarray:
-    """Majority-vote consensus over the concatenated contig space.
+                    lengths: np.ndarray,
+                    num_threads: int = 0) -> np.ndarray:
+    """Majority-vote consensus over the concatenated contig space
+    (native span-owned counting kernel, csrc/encoder.cpp).
 
     codes: (N, L) uint8 code rows for ALL reads (indexed by rid).
     Returns (seq_len,) uint8 consensus codes.
+    """
+    lib = native.load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    rids = np.ascontiguousarray(layout.rids, np.int32)
+    gpos = np.ascontiguousarray(layout.gpos, np.int64)
+    rc = np.ascontiguousarray(layout.rc, np.uint8)
+    out = np.zeros(layout.seq_len, np.uint8)
+    lib.stpu_consensus(_u8p(codes), codes.shape[1], _i32p(lengths),
+                       _i32p(rids), _i64p(gpos), _u8p(rc), len(rids),
+                       layout.seq_len, _u8p(out), num_threads)
+    return out
+
+
+def build_consensus_np(layout: ContigLayout, codes: np.ndarray,
+                       lengths: np.ndarray) -> np.ndarray:
+    """numpy reference implementation of build_consensus (parity tests).
 
     layout.gpos is nondecreasing (contig-major, cumulative in-contig
     offsets), so each read chunk touches one contiguous window — the
@@ -185,9 +218,11 @@ def build_consensus(layout: ContigLayout, codes: np.ndarray,
 
 
 def extract_noise(layout: ContigLayout, consensus: np.ndarray,
-                  codes: np.ndarray, lengths: np.ndarray
+                  codes: np.ndarray, lengths: np.ndarray,
+                  num_threads: int = 0
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-read substitution noise against the consensus.
+    """Per-read substitution noise against the consensus (native two-pass
+    kernel, csrc/encoder.cpp).
 
     Returns (nnoise, noisepos, noisechar):
       nnoise:    (M,) int32 mismatch count per aligned read
@@ -195,6 +230,36 @@ def extract_noise(layout: ContigLayout, consensus: np.ndarray,
                  ascending per read, reads in layout order
       noisechar: (K,) uint8 the read's base code at each mismatch
     """
+    lib = native.load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    rids = np.ascontiguousarray(layout.rids, np.int32)
+    gpos = np.ascontiguousarray(layout.gpos, np.int64)
+    rc = np.ascontiguousarray(layout.rc, np.uint8)
+    consensus = np.ascontiguousarray(consensus, np.uint8)
+    M = len(rids)
+    nn = np.zeros(M, np.int32)
+    L = codes.shape[1]
+    lib.stpu_noise_count(_u8p(codes), L, _i32p(lengths), _i32p(rids),
+                         _i64p(gpos), _u8p(rc), M, _u8p(consensus),
+                         len(consensus), _i32p(nn), num_threads)
+    off = np.zeros(M, np.int64)
+    if M > 1:
+        off[1:] = np.cumsum(nn[:-1], dtype=np.int64)
+    K = int(nn.sum())
+    npos = np.empty(max(K, 1), np.int32)
+    nchar = np.empty(max(K, 1), np.uint8)
+    lib.stpu_noise_fill(_u8p(codes), L, _i32p(lengths), _i32p(rids),
+                        _i64p(gpos), _u8p(rc), M, _u8p(consensus),
+                        len(consensus), _i64p(off), _i32p(npos),
+                        _u8p(nchar), num_threads)
+    return nn, npos[:K], nchar[:K]
+
+
+def extract_noise_np(layout: ContigLayout, consensus: np.ndarray,
+                     codes: np.ndarray, lengths: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """numpy reference implementation of extract_noise (parity tests)."""
     L = codes.shape[1]
     nn_l, np_l, nc_l = [], [], []
     for s in range(0, len(layout.rids), _CHUNK):
@@ -223,12 +288,46 @@ def extract_noise(layout: ContigLayout, consensus: np.ndarray,
 def reconstruct_reads(consensus: np.ndarray, gpos: np.ndarray,
                       lengths: np.ndarray, rc: np.ndarray,
                       nnoise: np.ndarray, noisepos: np.ndarray,
-                      noisechar: np.ndarray) -> np.ndarray:
-    """Inverse of build/extract: code rows (M, L) for aligned reads.
+                      noisechar: np.ndarray,
+                      num_threads: int = 0) -> np.ndarray:
+    """Inverse of build/extract: code rows (M, L) for aligned reads
+    (native kernel, csrc/encoder.cpp).
 
     Decoder analog of the read reconstruction hot loop
     (src/decompress.cpp:230-319): seq.substr(pos, len) + noise patch + RC.
     """
+    lib = native.load()
+    M = len(gpos)
+    L = int(lengths.max()) if M else 0
+    consensus = np.ascontiguousarray(consensus, np.uint8)
+    gpos = np.ascontiguousarray(gpos, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    rc = np.ascontiguousarray(rc, np.uint8)
+    nn = np.ascontiguousarray(nnoise, np.int32)
+    npos = np.ascontiguousarray(noisepos, np.int32)
+    nchar = np.ascontiguousarray(noisechar, np.uint8)
+    off = np.zeros(M, np.int64)
+    if M > 1:
+        off[1:] = np.cumsum(nn[:-1], dtype=np.int64)
+    if M and ((gpos < 0).any()
+              or (gpos + lengths.astype(np.int64) > len(consensus)).any()):
+        # the encoder guarantees in-range windows; out-of-range means the
+        # archive is corrupt (numpy path raised IndexError here)
+        raise IndexError("read position outside consensus (corrupt archive)")
+    out = np.empty((M, L), np.uint8)
+    if M and L:
+        lib.stpu_reconstruct(_u8p(consensus), len(consensus), _i64p(gpos),
+                             _i32p(lengths), _u8p(rc), _i32p(nn), _i64p(off),
+                             _i32p(npos), _u8p(nchar), M, L, _u8p(out),
+                             num_threads)
+    return out
+
+
+def reconstruct_reads_np(consensus: np.ndarray, gpos: np.ndarray,
+                         lengths: np.ndarray, rc: np.ndarray,
+                         nnoise: np.ndarray, noisepos: np.ndarray,
+                         noisechar: np.ndarray) -> np.ndarray:
+    """numpy reference implementation of reconstruct_reads (parity tests)."""
     M = len(gpos)
     L = int(lengths.max()) if M else 0
     out = np.zeros((M, L), dtype=np.uint8)
