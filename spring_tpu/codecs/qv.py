@@ -26,18 +26,21 @@ def _i32p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def _compress_blob(blob: np.ndarray, lens: np.ndarray) -> bytes:
+def _compress_blob(blob: np.ndarray, lens: np.ndarray,
+                   num_threads: int = 0) -> bytes:
     lib = native.load()
     n = len(lens)
     cap = int(lib.stpu_qv_bound(len(blob), n))
     dst = np.empty(cap, np.uint8)
-    got = lib.stpu_qv_compress(_u8p(blob), n, _i32p(lens), _u8p(dst), cap)
+    got = lib.stpu_qv_compress(_u8p(blob), n, _i32p(lens), _u8p(dst), cap,
+                               num_threads)
     if got < 0:
         raise RuntimeError(f"qv_compress failed ({got})")
     return dst[:got].tobytes()
 
 
-def _decompress_blob(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+def _decompress_blob(data: bytes,
+                     num_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
     lib = native.load()
     src = np.frombuffer(data, np.uint8)
     n_o, l_o, t_o = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
@@ -48,23 +51,26 @@ def _decompress_blob(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     blob = np.empty(max(total, 1), np.uint8)
     lens = np.zeros(max(n, 1), np.int32)
     got = lib.stpu_qv_decompress(_u8p(src), len(src), _u8p(blob), total,
-                                 _i32p(lens), n)
+                                 _i32p(lens), n, num_threads)
     if got != n:
         raise RuntimeError(f"qv_decompress failed ({got})")
     return blob[:total], lens[:n]
 
 
-def compress_rows(mat: np.ndarray, lens: np.ndarray, **_kw) -> bytes:
+def compress_rows(mat: np.ndarray, lens: np.ndarray,
+                  num_threads: int = 0, **_kw) -> bytes:
     mat = np.ascontiguousarray(mat, dtype=np.uint8)
     lens32 = np.ascontiguousarray(lens, dtype=np.int32)
     L = mat.shape[1] if mat.ndim == 2 else 0
     valid = np.arange(L)[None, :] < lens32[:, None]
-    return _compress_blob(np.ascontiguousarray(mat[valid]), lens32)
+    return _compress_blob(np.ascontiguousarray(mat[valid]), lens32,
+                          num_threads)
 
 
 def decompress_rows(data: bytes, max_len: int | None = None,
+                    num_threads: int = 0,
                     **_kw) -> tuple[np.ndarray, np.ndarray]:
-    blob, lens = _decompress_blob(data)
+    blob, lens = _decompress_blob(data, num_threads)
     n = len(lens)
     L = max_len if max_len is not None else int(lens.max()) if n else 0
     mat = np.zeros((n, max(L, 1)), np.uint8)

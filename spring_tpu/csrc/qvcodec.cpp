@@ -17,14 +17,24 @@
 // and pos the position scaled by the block's max read length.
 //
 // Input rows are concatenated (ragged) so arbitrarily long reads work.
-// Wire format: u32 n, u32 Lmax, u64 total, u32 checksum (FNV-1a of the
-// raw blob, validated on decode — reference parity: libbsc's adler32),
-// 32-byte alphabet bitmap, rc stream of [per read: len (same-as-prev
-// bit, else adaptive gamma), symbols].
+//
+// Wire format: u32 shard count S, then per shard [u64 comp_len][payload].
+// Rows are split into S char-balanced contiguous shards, each encoded as
+// an independent range-coded stream (own model + alphabet), so decode is
+// S-way parallel — an adaptive range coder is inherently serial within a
+// stream, and this is what bounds decompression latency per block.
+// Shard payload: u32 n, u32 Lmax, u64 total, u32 checksum (FNV-1a of the
+// shard's raw chars, validated on decode — reference parity: libbsc's
+// adler32), 32-byte alphabet bitmap, rc stream of [per read: len
+// (same-as-prev bit, else adaptive gamma), symbols].
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 #include "rangecoder.h"
 
@@ -127,9 +137,9 @@ constexpr int kHdr = 20 + 32;
 
 }  // namespace
 
-// blob: concatenated rows, lens[r] chars each.
-int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
-                    std::vector<uint8_t>& out) {
+// blob: concatenated rows, lens[r] chars each. One shard (serial stream).
+static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
+                               const int32_t* lens, std::vector<uint8_t>& out) {
   out.clear();
   out.resize(kHdr, 0);
   int64_t total = 0;
@@ -183,8 +193,9 @@ int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
   return (int64_t)out.size();
 }
 
-int64_t qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
-                      int64_t blob_cap, int32_t* lens, int64_t n_cap) {
+static int64_t qv_decompress_one(const uint8_t* src, int64_t src_len,
+                                 uint8_t* blob, int64_t blob_cap,
+                                 int32_t* lens, int64_t n_cap) {
   if (src_len < kHdr) return -1;
   int64_t n = (int64_t)get_u32p(src);
   uint64_t total = 0;
@@ -235,19 +246,144 @@ int64_t qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
   return n;
 }
 
+namespace {
+
+constexpr int64_t kShardChars = 4 << 20;  // target raw chars per shard
+constexpr int kMaxShards = 16;
+
+inline uint64_t get_u64p(const uint8_t* p) {
+  uint64_t x = 0;
+  for (int i = 0; i < 8; ++i) x |= (uint64_t)p[i] << (8 * i);
+  return x;
+}
+
+// walk the shard framing; fills per-shard (src_off, src_len, n, total).
+// Returns S, or -1 on corrupt framing.
+struct ShardRef {
+  int64_t off, len, n, total;
+};
+
+int shard_walk(const uint8_t* src, int64_t src_len, ShardRef* refs) {
+  if (src_len < 4) return -1;
+  int S = (int)get_u32p(src);
+  if (S < 0 || S > kMaxShards) return -1;
+  int64_t p = 4;
+  for (int s = 0; s < S; ++s) {
+    if (p + 8 > src_len) return -1;
+    int64_t clen = (int64_t)get_u64p(src + p);
+    p += 8;
+    if (clen < kHdr || p + clen > src_len) return -1;
+    refs[s].off = p;
+    refs[s].len = clen;
+    refs[s].n = (int64_t)get_u32p(src + p);
+    refs[s].total = (int64_t)get_u64p(src + p + 8);
+    p += clen;
+  }
+  return S;
+}
+
+}  // namespace
+
+int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
+                    std::vector<uint8_t>& out, int num_threads) {
+  int64_t total = 0;
+  for (int64_t r = 0; r < n; ++r) total += lens[r];
+  int S = (int)std::min<int64_t>(
+      std::min<int64_t>((total + kShardChars - 1) / kShardChars,
+                        std::max<int64_t>(n, 1)),
+      kMaxShards);
+  if (S < 1) S = 1;
+  // char-balanced contiguous row partition
+  std::vector<int64_t> r0(S + 1, 0), b0(S + 1, 0);
+  {
+    int64_t target = (total + S - 1) / S;
+    int64_t acc = 0, row = 0;
+    for (int s = 1; s < S; ++s) {
+      int64_t want = target * s;
+      while (row < n && acc < want) acc += lens[row++];
+      r0[s] = row;
+      b0[s] = acc;
+    }
+    r0[S] = n;
+    b0[S] = total;
+  }
+  std::vector<std::vector<uint8_t>> parts((size_t)S);
+  bool fail = false;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) num_threads(num_threads > 0 ? std::min(num_threads, S) : std::min(S, omp_get_max_threads()))
+#endif
+  for (int s = 0; s < S; ++s) {
+    if (qv_compress_one(blob + b0[s], r0[s + 1] - r0[s], lens + r0[s],
+                        parts[s]) < 0) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+      fail = true;
+    }
+  }
+  if (fail) return -1;
+  int64_t sz = 4;
+  for (auto& p : parts) sz += 8 + (int64_t)p.size();
+  out.resize((size_t)sz);
+  put_u32p(out.data(), (uint32_t)S);
+  int64_t w = 4;
+  for (auto& p : parts) {
+    uint64_t cl = (uint64_t)p.size();
+    for (int i = 0; i < 8; ++i) out[w + i] = (uint8_t)(cl >> (8 * i));
+    w += 8;
+    std::memcpy(out.data() + w, p.data(), p.size());
+    w += (int64_t)p.size();
+  }
+  return sz;
+}
+
+int64_t qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
+                      int64_t blob_cap, int32_t* lens, int64_t n_cap,
+                      int num_threads) {
+  ShardRef refs[kMaxShards];
+  int S = shard_walk(src, src_len, refs);
+  if (S < 0) return -1;
+  int64_t n = 0, total = 0;
+  for (int s = 0; s < S; ++s) {
+    n += refs[s].n;
+    total += refs[s].total;
+  }
+  if (n > n_cap || total > blob_cap) return -2;
+  int64_t rv = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) num_threads(num_threads > 0 ? std::min(num_threads, std::max(S, 1)) : std::min(std::max(S, 1), omp_get_max_threads()))
+#endif
+  for (int s = 0; s < S; ++s) {
+    int64_t nb = 0, bb = 0;
+    for (int t = 0; t < s; ++t) {
+      nb += refs[t].n;
+      bb += refs[t].total;
+    }
+    int64_t got = qv_decompress_one(src + refs[s].off, refs[s].len, blob + bb,
+                                    refs[s].total, lens + nb, refs[s].n);
+    if (got != refs[s].n) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      rv = got < 0 ? got : -1;
+    }
+  }
+  return rv < 0 ? rv : n;
+}
+
 }  // namespace stpu
 
 extern "C" {
 
 // compressed-size upper bound for the caller's dst buffer
 int64_t stpu_qv_bound(int64_t total_chars, int64_t n) {
-  return 128 + total_chars + n;
+  return 256 + total_chars + n + 80 * 16;
 }
 
 int64_t stpu_qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
-                         uint8_t* dst, int64_t cap) {
+                         uint8_t* dst, int64_t cap, int num_threads) {
   std::vector<uint8_t> out;
-  int64_t sz = stpu::qv_compress(blob, n, lens, out);
+  int64_t sz = stpu::qv_compress(blob, n, lens, out, num_threads);
   if (sz < 0) return sz;
   if (sz > cap) return -2;
   std::memcpy(dst, out.data(), (size_t)sz);
@@ -257,20 +393,27 @@ int64_t stpu_qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
 // header peek so the caller can size the outputs: fills n, Lmax, total
 int stpu_qv_dims(const uint8_t* src, int64_t src_len, int64_t* n, int64_t* L,
                  int64_t* total) {
-  if (src_len < 16) return -1;
-  *n = (int64_t)((uint32_t)src[0] | ((uint32_t)src[1] << 8) |
-                 ((uint32_t)src[2] << 16) | ((uint32_t)src[3] << 24));
-  *L = (int64_t)((uint32_t)src[4] | ((uint32_t)src[5] << 8) |
-                 ((uint32_t)src[6] << 16) | ((uint32_t)src[7] << 24));
-  uint64_t t = 0;
-  for (int i = 0; i < 8; ++i) t |= (uint64_t)src[8 + i] << (8 * i);
-  *total = (int64_t)t;
+  stpu::ShardRef refs[stpu::kMaxShards];
+  int S = stpu::shard_walk((const uint8_t*)src, src_len, refs);
+  if (S < 0) return -1;
+  int64_t nn = 0, tt = 0, LL = 0;
+  for (int s = 0; s < S; ++s) {
+    nn += refs[s].n;
+    tt += refs[s].total;
+    LL = std::max<int64_t>(
+        LL, (int64_t)stpu::get_u32p((const uint8_t*)src + refs[s].off + 4));
+  }
+  *n = nn;
+  *L = LL;
+  *total = tt;
   return 0;
 }
 
 int64_t stpu_qv_decompress(const uint8_t* src, int64_t src_len, uint8_t* blob,
-                           int64_t blob_cap, int32_t* lens, int64_t n_cap) {
-  return stpu::qv_decompress(src, src_len, blob, blob_cap, lens, n_cap);
+                           int64_t blob_cap, int32_t* lens, int64_t n_cap,
+                           int num_threads) {
+  return stpu::qv_decompress(src, src_len, blob, blob_cap, lens, n_cap,
+                             num_threads);
 }
 
 }  // extern "C"

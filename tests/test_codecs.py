@@ -125,6 +125,29 @@ def test_qv_edge_cases():
     np.testing.assert_array_equal(m3, mat)
 
 
+def test_qv_multishard_parallel_roundtrip():
+    # >4 MB of chars forces multiple independent shards; decode must
+    # reassemble rows exactly regardless of thread count.
+    from spring_tpu.codecs import qv
+    rng = np.random.default_rng(7)
+    n, L = 90_000, 101  # ~9 MB -> 3 shards
+    mat = (rng.integers(0, 8, (n, L)) * 4 + 33).astype(np.uint8)
+    lens = np.full(n, L, np.int32)
+    lens[::17] = 63  # ragged rows across shard boundaries
+    mat[np.arange(L)[None, :] >= lens[:, None]] = 0
+    z = qv.compress_rows(mat, lens, num_threads=4)
+    assert int.from_bytes(z[:4], "little") >= 2
+    m1, l1 = qv.decompress_rows(z, max_len=L, num_threads=1)
+    m4, l4 = qv.decompress_rows(z, max_len=L, num_threads=4)
+    np.testing.assert_array_equal(l1, lens)
+    np.testing.assert_array_equal(m1, mat)
+    np.testing.assert_array_equal(m4, mat)
+    # serial compress produces identical framing (thread count only
+    # affects scheduling, not the partition)
+    z1 = qv.compress_rows(mat, lens, num_threads=1)
+    assert z1 == z
+
+
 def test_qv_corrupt_stream_raises():
     from spring_tpu.codecs import qv
     import pytest
