@@ -115,6 +115,29 @@ def load() -> ctypes.CDLL:
                                         c_i64p, c_u8p, ctypes.c_int64, c_u8p,
                                         ctypes.c_int64, c_i64p, c_i32p,
                                         c_u8p, ctypes.c_int]
+        lib.stpu_unpack_2bit.restype = None
+        lib.stpu_unpack_2bit.argtypes = [c_u32p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         c_u8p, ctypes.c_int]
+        lib.stpu_consensus_p.restype = None
+        lib.stpu_consensus_p.argtypes = [c_u32p, ctypes.c_int64, c_i32p,
+                                         c_i32p, c_i64p, c_u8p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         c_u8p, ctypes.c_int]
+        lib.stpu_noise_count_p.restype = None
+        lib.stpu_noise_count_p.argtypes = [c_u32p, ctypes.c_int64, c_i32p,
+                                           c_i32p, c_i64p, c_i32p,
+                                           ctypes.c_int64, c_i32p, c_i64p,
+                                           c_u8p, ctypes.c_int64, c_u8p,
+                                           ctypes.c_int64, c_i32p,
+                                           ctypes.c_int]
+        lib.stpu_noise_fill_p.restype = None
+        lib.stpu_noise_fill_p.argtypes = [c_u32p, ctypes.c_int64, c_i32p,
+                                          c_i32p, c_i64p, c_i32p,
+                                          ctypes.c_int64, c_i32p, c_i64p,
+                                          c_u8p, ctypes.c_int64, c_u8p,
+                                          ctypes.c_int64, c_i64p, c_i32p,
+                                          c_u8p, ctypes.c_int]
         lib.stpu_reconstruct.restype = None
         lib.stpu_reconstruct.argtypes = [c_u8p, ctypes.c_int64, c_i64p,
                                          c_i32p, c_u8p, c_i32p, c_i64p,

@@ -8,6 +8,12 @@
 // (encode/consensus.py builds that layout), so the consensus is an
 // embarrassingly parallel span-owned counting pass and noise extraction is
 // a flat parallel-for over reads — no per-contig serial walk.
+//
+// Each kernel is templated on a row accessor so it runs either over an
+// unpacked (n, L) codes matrix (tests / small inputs) or directly over the
+// pipeline's canonical packed 2-bit rows plus a sparse N-position overlay —
+// the packed variants are what lets compression stream without ever
+// materializing a whole-dataset codes matrix.
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -28,31 +34,77 @@ inline int threads_or_default(int num_threads) {
 #endif
 }
 
-// oriented base k of read row (codes 0-3 = ACGT, 4 = N; complement of N = N)
-inline uint8_t oriented_base(const uint8_t* row, int32_t len, uint8_t rc,
-                             int32_t k) {
-  if (!rc) return row[k];
-  uint8_t c = row[len - 1 - k];
+// ---- row accessors ----
+
+// unpacked (n, L) uint8 matrix, codes 0-3 = ACGT, 4 = N
+struct MatrixRows {
+  const uint8_t* codes;
+  int64_t L;
+  struct View {
+    const uint8_t* row;
+    inline uint8_t at(int32_t k) const { return row[k]; }
+  };
+  inline View row(int64_t rid) const { return View{codes + rid * L}; }
+};
+
+// packed 2-bit rows (n, W) uint32 (base i at bits 2*(i%16); N stored as A)
+// plus a sparse overlay of N positions for the rows that contain them:
+//   exc_rows: sorted rids with >=1 N; exc_off/(exc_pos): ragged positions
+struct PackedRows {
+  const uint32_t* packed;
+  int64_t W;
+  const int32_t* exc_rows;
+  const int64_t* exc_off;
+  const int32_t* exc_pos;
+  int64_t n_exc;
+  struct View {
+    const uint32_t* row;
+    const int32_t* np0;
+    const int32_t* np1;
+    inline uint8_t at(int32_t k) const {
+      for (const int32_t* p = np0; p < np1; ++p)
+        if (*p == k) return 4;
+      return (uint8_t)((row[k >> 4] >> (2 * (k & 15))) & 3);
+    }
+  };
+  inline View row(int64_t rid) const {
+    View v{packed + rid * W, nullptr, nullptr};
+    if (n_exc) {
+      const int32_t* e =
+          std::lower_bound(exc_rows, exc_rows + n_exc, (int32_t)rid);
+      if (e != exc_rows + n_exc && *e == (int32_t)rid) {
+        int64_t i = e - exc_rows;
+        v.np0 = exc_pos + exc_off[i];
+        v.np1 = exc_pos + exc_off[i + 1];
+      }
+    }
+    return v;
+  }
+};
+
+// oriented base k of a row view (complement of N = N)
+template <class V>
+inline uint8_t oriented_base(const V& v, int32_t len, uint8_t rc, int32_t k) {
+  if (!rc) return v.at(k);
+  uint8_t c = v.at(len - 1 - k);
   return c < 4 ? (uint8_t)(3 - c) : c;
 }
 
-}  // namespace
+// ---- kernel bodies ----
 
-extern "C" {
-
-// Majority-vote consensus over the concatenated contig space.
-//   codes:  (nrows, L) uint8 code rows, indexed by rids
-//   rids/gpos/rc: layout arrays (M,), gpos nondecreasing
-//   out:    (seq_len,) uint8 consensus codes
-// Each thread owns a disjoint output span; reads overlapping the span are
-// found by binary search (read starts are sorted, window width <= L).
-void stpu_consensus(const uint8_t* codes, int64_t L, const int32_t* lengths,
+template <class Rows>
+void consensus_impl(const Rows& rows, const int32_t* lengths,
                     const int32_t* rids, const int64_t* gpos,
                     const uint8_t* rc, int64_t M, int64_t seq_len,
                     uint8_t* out, int num_threads) {
   if (seq_len <= 0) return;
   int T = threads_or_default(num_threads);
   if (M < 4096) T = 1;
+  // maximum read length bounds how far back a read can reach into a
+  // span; the layout guarantees read starts are nondecreasing
+  int64_t maxl = 0;
+  for (int64_t j = 0; j < M; ++j)
+    if (lengths[rids[j]] > maxl) maxl = lengths[rids[j]];
 #ifdef _OPENMP
 #pragma omp parallel num_threads(T)
 #endif
@@ -66,13 +118,13 @@ void stpu_consensus(const uint8_t* codes, int64_t L, const int32_t* lengths,
     int64_t lo = seq_len * t / nt;
     int64_t hi = seq_len * (t + 1) / nt;
     if (hi > lo) {
-      // first read that can reach into [lo, hi): gpos > lo - L
-      int64_t j0 = std::upper_bound(gpos, gpos + M, lo - L) - gpos;
+      // first read that can reach into [lo, hi): gpos > lo - maxl
+      int64_t j0 = std::upper_bound(gpos, gpos + M, lo - maxl) - gpos;
       // first read starting at or past hi
       int64_t j1 = std::lower_bound(gpos, gpos + M, hi) - gpos;
       std::vector<uint32_t> counts((size_t)(hi - lo) * 4, 0);
       for (int64_t j = j0; j < j1; ++j) {
-        const uint8_t* row = codes + (int64_t)rids[j] * L;
+        auto v = rows.row(rids[j]);
         int32_t len = lengths[rids[j]];
         int64_t g = gpos[j];
         int32_t k0 = g < lo ? (int32_t)(lo - g) : 0;
@@ -81,12 +133,12 @@ void stpu_consensus(const uint8_t* codes, int64_t L, const int32_t* lengths,
         uint32_t* cbase = counts.data() + (size_t)(g - lo) * 4;
         if (!r) {
           for (int32_t k = k0; k < k1; ++k) {
-            uint8_t c = row[k];
+            uint8_t c = v.at(k);
             if (c < 4) cbase[(size_t)k * 4 + c]++;
           }
         } else {
           for (int32_t k = k0; k < k1; ++k) {
-            uint8_t c = row[len - 1 - k];
+            uint8_t c = v.at(len - 1 - k);
             if (c < 4) cbase[(size_t)k * 4 + (3 - c)]++;
           }
         }
@@ -112,7 +164,8 @@ inline uint8_t cons_at(const uint8_t* consensus, int64_t seq_len, int64_t g,
 }
 
 // Pass 1: per-read mismatch count vs the consensus window.
-void stpu_noise_count(const uint8_t* codes, int64_t L, const int32_t* lengths,
+template <class Rows>
+void noise_count_impl(const Rows& rows, const int32_t* lengths,
                       const int32_t* rids, const int64_t* gpos,
                       const uint8_t* rc, int64_t M, const uint8_t* consensus,
                       int64_t seq_len, int32_t* out_nn, int num_threads) {
@@ -121,7 +174,7 @@ void stpu_noise_count(const uint8_t* codes, int64_t L, const int32_t* lengths,
 #pragma omp parallel for schedule(static) num_threads(T)
 #endif
   for (int64_t j = 0; j < M; ++j) {
-    const uint8_t* row = codes + (int64_t)rids[j] * L;
+    auto v = rows.row(rids[j]);
     int32_t len = lengths[rids[j]];
     int64_t g = gpos[j];
     int32_t nn = 0;
@@ -129,10 +182,10 @@ void stpu_noise_count(const uint8_t* codes, int64_t L, const int32_t* lengths,
     if (g >= 0 && g + len <= seq_len) {
       const uint8_t* cons = consensus + g;
       for (int32_t k = 0; k < len; ++k)
-        nn += oriented_base(row, len, r, k) != cons[k];
+        nn += oriented_base(v, len, r, k) != cons[k];
     } else {
       for (int32_t k = 0; k < len; ++k)
-        nn += oriented_base(row, len, r, k) != cons_at(consensus, seq_len, g, k);
+        nn += oriented_base(v, len, r, k) != cons_at(consensus, seq_len, g, k);
     }
     out_nn[j] = nn;
   }
@@ -141,7 +194,8 @@ void stpu_noise_count(const uint8_t* codes, int64_t L, const int32_t* lengths,
 // Pass 2: fill noisepos (position within the oriented read, ascending) and
 // noisechar (rank of the read base among bases != consensus base; N -> 3 —
 // reference enc_noise substitution table, src/encoder.h:517-537).
-void stpu_noise_fill(const uint8_t* codes, int64_t L, const int32_t* lengths,
+template <class Rows>
+void noise_fill_impl(const Rows& rows, const int32_t* lengths,
                      const int32_t* rids, const int64_t* gpos,
                      const uint8_t* rc, int64_t M, const uint8_t* consensus,
                      int64_t seq_len, const int64_t* noise_off,
@@ -151,13 +205,13 @@ void stpu_noise_fill(const uint8_t* codes, int64_t L, const int32_t* lengths,
 #pragma omp parallel for schedule(static) num_threads(T)
 #endif
   for (int64_t j = 0; j < M; ++j) {
-    const uint8_t* row = codes + (int64_t)rids[j] * L;
+    auto v = rows.row(rids[j]);
     int32_t len = lengths[rids[j]];
     int64_t g = gpos[j];
     int64_t o = noise_off[j];
     uint8_t r = rc[j];
     for (int32_t k = 0; k < len; ++k) {
-      uint8_t rd = oriented_base(row, len, r, k);
+      uint8_t rd = oriented_base(v, len, r, k);
       uint8_t rf = cons_at(consensus, seq_len, g, k);
       if (rd != rf) {
         out_npos[o] = k;
@@ -166,6 +220,77 @@ void stpu_noise_fill(const uint8_t* codes, int64_t L, const int32_t* lengths,
       }
     }
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Majority-vote consensus over the concatenated contig space.
+//   codes:  (nrows, L) uint8 code rows, indexed by rids
+//   rids/gpos/rc: layout arrays (M,), gpos nondecreasing
+//   out:    (seq_len,) uint8 consensus codes
+// Each thread owns a disjoint output span; reads overlapping the span are
+// found by binary search (read starts are sorted, window width <= maxlen).
+void stpu_consensus(const uint8_t* codes, int64_t L, const int32_t* lengths,
+                    const int32_t* rids, const int64_t* gpos,
+                    const uint8_t* rc, int64_t M, int64_t seq_len,
+                    uint8_t* out, int num_threads) {
+  consensus_impl(MatrixRows{codes, L}, lengths, rids, gpos, rc, M, seq_len,
+                 out, num_threads);
+}
+
+void stpu_noise_count(const uint8_t* codes, int64_t L, const int32_t* lengths,
+                      const int32_t* rids, const int64_t* gpos,
+                      const uint8_t* rc, int64_t M, const uint8_t* consensus,
+                      int64_t seq_len, int32_t* out_nn, int num_threads) {
+  noise_count_impl(MatrixRows{codes, L}, lengths, rids, gpos, rc, M,
+                   consensus, seq_len, out_nn, num_threads);
+}
+
+void stpu_noise_fill(const uint8_t* codes, int64_t L, const int32_t* lengths,
+                     const int32_t* rids, const int64_t* gpos,
+                     const uint8_t* rc, int64_t M, const uint8_t* consensus,
+                     int64_t seq_len, const int64_t* noise_off,
+                     int32_t* out_npos, uint8_t* out_nchar, int num_threads) {
+  noise_fill_impl(MatrixRows{codes, L}, lengths, rids, gpos, rc, M, consensus,
+                  seq_len, noise_off, out_npos, out_nchar, num_threads);
+}
+
+// Packed-row variants: codes come from (nrows, W) uint32 packed 2-bit rows
+// (N stored as A) with the N positions supplied as a sparse overlay
+// (exc_rows sorted, exc_off/(exc_pos) ragged per exception row).
+void stpu_consensus_p(const uint32_t* packed, int64_t W,
+                      const int32_t* lengths, const int32_t* rids,
+                      const int64_t* gpos, const uint8_t* rc, int64_t M,
+                      int64_t seq_len, uint8_t* out, int num_threads) {
+  consensus_impl(PackedRows{packed, W, nullptr, nullptr, nullptr, 0}, lengths,
+                 rids, gpos, rc, M, seq_len, out, num_threads);
+}
+
+void stpu_noise_count_p(const uint32_t* packed, int64_t W,
+                        const int32_t* lengths, const int32_t* exc_rows,
+                        const int64_t* exc_off, const int32_t* exc_pos,
+                        int64_t n_exc, const int32_t* rids,
+                        const int64_t* gpos, const uint8_t* rc, int64_t M,
+                        const uint8_t* consensus, int64_t seq_len,
+                        int32_t* out_nn, int num_threads) {
+  noise_count_impl(PackedRows{packed, W, exc_rows, exc_off, exc_pos, n_exc},
+                   lengths, rids, gpos, rc, M, consensus, seq_len, out_nn,
+                   num_threads);
+}
+
+void stpu_noise_fill_p(const uint32_t* packed, int64_t W,
+                       const int32_t* lengths, const int32_t* exc_rows,
+                       const int64_t* exc_off, const int32_t* exc_pos,
+                       int64_t n_exc, const int32_t* rids,
+                       const int64_t* gpos, const uint8_t* rc, int64_t M,
+                       const uint8_t* consensus, int64_t seq_len,
+                       const int64_t* noise_off, int32_t* out_npos,
+                       uint8_t* out_nchar, int num_threads) {
+  noise_fill_impl(PackedRows{packed, W, exc_rows, exc_off, exc_pos, n_exc},
+                  lengths, rids, gpos, rc, M, consensus, seq_len, noise_off,
+                  out_npos, out_nchar, num_threads);
 }
 
 // Decoder: rebuild (M, L) oriented code rows from consensus + noise, then

@@ -189,6 +189,22 @@ void stpu_pack_2bit(const uint8_t* codes, int64_t n, int64_t L,
   }
 }
 
+// packed (n, W) uint32 -> codes (n, L) uint8 (0-3; zero padding beyond the
+// packed words — callers overlay N positions separately). Inverse of
+// stpu_pack_2bit for N-free rows.
+void stpu_unpack_2bit(const uint32_t* packed, int64_t n, int64_t W, int64_t L,
+                      uint8_t* codes, int num_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(num_threads > 0 ? num_threads : omp_get_max_threads())
+#endif
+  for (int64_t r = 0; r < n; ++r) {
+    const uint32_t* row = packed + r * W;
+    uint8_t* out = codes + r * L;
+    for (int64_t k = 0; k < L; ++k)
+      out[k] = (uint8_t)((row[k >> 4] >> (2 * (k & 15))) & 3);
+  }
+}
+
 // Format FASTQ/FASTA text from rows: chars (n, L) uint8 (already ASCII),
 // lens, quals (n, L) or null, ids concatenated + idlens. Returns bytes
 // written (caller sizes dst via stpu_fastq_format_bound).

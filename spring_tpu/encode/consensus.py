@@ -146,6 +146,120 @@ def layout_from_emissions(emissions: np.ndarray, num_walkers: int,
     return layout, singles.astype(np.int32)
 
 
+@dataclass
+class NOverlay:
+    """Sparse N-position overlay for packed 2-bit rows (N packs as A).
+
+    rows: sorted int32 rids that contain at least one N
+    off:  (len(rows)+1,) int64 ragged offsets into pos
+    pos:  int32 N positions, per-row ascending
+    """
+    rows: np.ndarray
+    off: np.ndarray
+    pos: np.ndarray
+
+    @staticmethod
+    def empty() -> "NOverlay":
+        return NOverlay(np.empty(0, np.int32), np.zeros(1, np.int64),
+                        np.empty(0, np.int32))
+
+    @staticmethod
+    def from_codes(codes: np.ndarray) -> "NOverlay":
+        r, c = np.nonzero(codes == packing.N)
+        if not len(r):
+            return NOverlay.empty()
+        rows, counts = np.unique(r, return_counts=True)
+        off = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        return NOverlay(rows.astype(np.int32), off, c.astype(np.int32))
+
+    def has_n_mask(self, n: int) -> np.ndarray:
+        m = np.zeros(n, bool)
+        m[self.rows] = True
+        return m
+
+
+def unpack_rows(packed: np.ndarray, rids: np.ndarray, L: int,
+                overlay: NOverlay | None = None,
+                num_threads: int = 0) -> np.ndarray:
+    """Gather + unpack selected packed rows to (len(rids), L) uint8 codes,
+    restoring N positions from the overlay. The on-demand escape hatch for
+    consumers that need byte codes (literal blobs, second-chance rows) —
+    the pipeline's resident representation stays packed."""
+    from ..io import fastq_native
+    sel = np.ascontiguousarray(packed[rids])
+    out = fastq_native.unpack_2bit(sel, L, num_threads)
+    if overlay is not None and len(overlay.rows):
+        idx = np.searchsorted(overlay.rows, rids)
+        idx = np.minimum(idx, len(overlay.rows) - 1)
+        hit = overlay.rows[idx] == rids
+        for j in np.nonzero(hit)[0]:
+            i = idx[j]
+            out[j, overlay.pos[overlay.off[i]:overlay.off[i + 1]]] = packing.N
+    return out
+
+
+def build_consensus_packed(layout: ContigLayout, packed: np.ndarray,
+                           lengths: np.ndarray,
+                           num_threads: int = 0) -> np.ndarray:
+    """build_consensus straight over packed 2-bit rows (native kernel; no
+    codes matrix). Only N-free reads feed the consensus layout, so no
+    overlay is needed (N packs as A but never appears here)."""
+    lib = native.load()
+    packed = np.ascontiguousarray(packed, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    rids = np.ascontiguousarray(layout.rids, np.int32)
+    gpos = np.ascontiguousarray(layout.gpos, np.int64)
+    rc = np.ascontiguousarray(layout.rc, np.uint8)
+    out = np.zeros(layout.seq_len, np.uint8)
+    lib.stpu_consensus_p(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        packed.shape[1], _i32p(lengths), _i32p(rids), _i64p(gpos), _u8p(rc),
+        len(rids), layout.seq_len, _u8p(out), num_threads)
+    return out
+
+
+def extract_noise_packed(layout: ContigLayout, consensus: np.ndarray,
+                         packed: np.ndarray, lengths: np.ndarray,
+                         overlay: NOverlay | None = None,
+                         num_threads: int = 0
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """extract_noise over packed rows + sparse N overlay (native kernels)."""
+    lib = native.load()
+    if overlay is None:
+        overlay = NOverlay.empty()
+    packed = np.ascontiguousarray(packed, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    exc_rows = np.ascontiguousarray(overlay.rows, np.int32)
+    exc_off = np.ascontiguousarray(overlay.off, np.int64)
+    exc_pos = np.ascontiguousarray(overlay.pos, np.int32)
+    rids = np.ascontiguousarray(layout.rids, np.int32)
+    gpos = np.ascontiguousarray(layout.gpos, np.int64)
+    rc = np.ascontiguousarray(layout.rc, np.uint8)
+    consensus = np.ascontiguousarray(consensus, np.uint8)
+    M = len(rids)
+    W = packed.shape[1]
+    pptr = packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    nn = np.zeros(M, np.int32)
+    lib.stpu_noise_count_p(pptr, W, _i32p(lengths), _i32p(exc_rows),
+                           _i64p(exc_off), _i32p(exc_pos), len(exc_rows),
+                           _i32p(rids), _i64p(gpos), _u8p(rc), M,
+                           _u8p(consensus), len(consensus), _i32p(nn),
+                           num_threads)
+    off = np.zeros(M, np.int64)
+    if M > 1:
+        off[1:] = np.cumsum(nn[:-1], dtype=np.int64)
+    K = int(nn.sum())
+    npos = np.empty(max(K, 1), np.int32)
+    nchar = np.empty(max(K, 1), np.uint8)
+    lib.stpu_noise_fill_p(pptr, W, _i32p(lengths), _i32p(exc_rows),
+                          _i64p(exc_off), _i32p(exc_pos), len(exc_rows),
+                          _i32p(rids), _i64p(gpos), _u8p(rc), M,
+                          _u8p(consensus), len(consensus), _i64p(off),
+                          _i32p(npos), _u8p(nchar), num_threads)
+    return nn, npos[:K], nchar[:K]
+
+
 def _oriented_codes(codes: np.ndarray, lengths: np.ndarray,
                     rc: np.ndarray) -> np.ndarray:
     out = codes.copy()

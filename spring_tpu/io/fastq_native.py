@@ -104,6 +104,19 @@ def pack_2bit(codes: np.ndarray, num_threads: int = 0) -> np.ndarray:
     return out
 
 
+def unpack_2bit(packed: np.ndarray, L: int,
+                num_threads: int = 0) -> np.ndarray:
+    """packed (n, W) uint32 -> codes (n, L) uint8 0-3 (inverse of pack_2bit
+    for N-free rows; callers overlay N positions separately)."""
+    n, W = packed.shape
+    out = np.empty((n, L), np.uint8)
+    packed = np.ascontiguousarray(packed)
+    native.load().stpu_unpack_2bit(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, W, L,
+        _u8p(out), num_threads)
+    return out
+
+
 def format_records(chars: np.ndarray, lens: np.ndarray,
                    quals: np.ndarray | None, idbuf: np.ndarray,
                    idlens: np.ndarray) -> bytes:

@@ -122,17 +122,18 @@ def _collect(replies: jnp.ndarray, src: jnp.ndarray, Q: int) -> jnp.ndarray:
     return jnp.zeros(out_shape, replies.dtype).at[tgt].set(replies)[:-1]
 
 
-def build_shard_dicts(codes: np.ndarray, lengths: np.ndarray,
+def build_shard_dicts(packed: np.ndarray, lengths: np.ndarray,
                       windows, n: int):
     """Per-device hash dictionaries: keys split by owner hash; every
     device's table is built at a common bucket count so the stacked arrays
-    shard evenly over the mesh."""
+    shard evenly over the mesh. Keys are extracted from the packed 2-bit
+    rows directly (no codes matrix)."""
     om = int(_OWNER_MULT)
     all_btab, all_rids, starts = [], [], []
     for spec in windows:
         ok = lengths >= spec.end
         rids = np.nonzero(ok)[0].astype(np.int32)
-        keys = dct._window_keys_np(codes[ok], spec.start)
+        keys = dct._window_keys_packed(packed[ok], spec.start)
         if n > 1:
             lg = int(np.log2(n))
             owner = ((keys.astype(np.uint64) * om) & 0xFFFFFFFF) >> (32 - lg)
@@ -563,10 +564,8 @@ class DistReorderEngine:
         self.B = int(min(cfg.num_walkers,
                          max(8 * n, self.Np // 256)) // n * n)
         self.windows = dct.default_windows(cfg.max_readlen)
-        from ..io.packing import unpack_codes
-        codes_np = unpack_codes(packed, cfg.max_readlen)
         self.btabs, self.drids, self.dict_starts = build_shard_dicts(
-            codes_np, lengths, self.windows, n)
+            packed, lengths, self.windows, n)
         packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
         packed_p[: self.N, : self.W] = packed
         lengths_p = np.zeros(self.Np, np.int32)

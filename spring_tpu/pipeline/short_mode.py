@@ -185,9 +185,17 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         quality_ids_submitted = True
 
     mark("quantize+idcheck")
-    has_n = (codes == packing.N).any(axis=1) if n else np.zeros(0, bool)
-    clean = ~has_n
-    clean_rids = np.nonzero(clean)[0].astype(np.int32)
+    # pack ALL reads to 2-bit rows + sparse N overlay, then drop the byte
+    # codes matrix — the packed rows are the resident representation from
+    # here on (4x smaller; reference holds 2-bit bitsets the same way,
+    # src/preprocess.cpp:141-285). Byte rows are unpacked on demand.
+    packed_all = fastq_native.pack_2bit(codes, num_threads) if n else \
+        np.zeros((0, 1), np.uint32)
+    overlay = cons.NOverlay.from_codes(codes) if n else cons.NOverlay.empty()
+    has_n = overlay.has_n_mask(n)
+    clean_rids = np.nonzero(~has_n)[0].astype(np.int32)
+    del codes
+    mark("pack")
 
     flag = np.zeros(n, np.uint8)
     gpos = np.zeros(n, np.int64)
@@ -200,10 +208,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     seq_codes = np.empty(0, np.uint8)
 
     if len(clean_rids) and maxlen >= 32:
-        c_codes = codes[clean_rids]
         c_len = lengths[clean_rids]
-        packed = fastq_native.pack_2bit(c_codes, num_threads)
-        mark("pack")
+        packed = np.ascontiguousarray(packed_all[clean_rids])
         use_dist = os.environ.get("SPRING_TPU_DIST")
         if use_dist:
             from ..parallel import dist as dist_mod
@@ -214,7 +220,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             walkers_env = os.environ.get("SPRING_TPU_WALKERS")
             if walkers_env:
                 cfg.num_walkers = int(walkers_env)
-            engine = eng.ReorderEngine(packed, c_len, cfg, codes=c_codes)
+            engine = eng.ReorderEngine(packed, c_len, cfg)
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")
@@ -223,10 +229,10 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             ordered=getattr(engine, "ordered_emissions", False))
         mark("assemble_contigs")
         if layout.seq_len:
-            seq_codes = cons.build_consensus(layout, c_codes, c_len)
+            seq_codes = cons.build_consensus_packed(layout, packed, c_len)
             mark("consensus")
-            nn, noisepos, noisechar = cons.extract_noise(layout, seq_codes,
-                                                         c_codes, c_len)
+            nn, noisepos, noisechar = cons.extract_noise_packed(
+                layout, seq_codes, packed, c_len)
             mark("noise")
             g = clean_rids[layout.rids]          # layout order -> global rid
             flag[g] = 1
@@ -243,7 +249,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     if len(leftover) and len(seq_codes) >= 16 and maxlen >= 32:
         from ..encode import second_chance as sc
         g2pos, g2rc, placed = sc.align_leftovers(
-            seq_codes, codes[leftover], lengths[leftover])
+            seq_codes, cons.unpack_rows(packed_all, leftover, ml, overlay),
+            lengths[leftover])
         g2 = leftover[placed]
         if len(g2):
             order2 = np.argsort(g2pos[placed], kind="stable")
@@ -254,8 +261,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             lay2 = cons.ContigLayout(rids=g2.astype(np.int32),
                                      gpos=gpos[g2], rc=rc[g2],
                                      seq_len=len(seq_codes))
-            nn2, npos2, nchar2 = cons.extract_noise(lay2, seq_codes,
-                                                    codes, lengths)
+            nn2, npos2, nchar2 = cons.extract_noise_packed(
+                lay2, seq_codes, packed_all, lengths, overlay)
             nn_by_read[g2] = nn2
             noise_off[g2] = len(noisepos) + np.concatenate(
                 [[0], np.cumsum(nn2.astype(np.int64))[:-1]])
@@ -306,7 +313,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         return np.where(inner == 0, npos_b, npos_b - prev), nchar_b
 
     def _literal_blob(lit: np.ndarray) -> bytes:
-        lit_chars = packing.CODE_TO_CHAR[codes[lit]]
+        lit_chars = packing.CODE_TO_CHAR[
+            cons.unpack_rows(packed_all, lit, ml, overlay)]
         lit_valid = np.arange(ml)[None, :] < lengths[lit, None]
         return lit_chars[lit_valid].tobytes()
 

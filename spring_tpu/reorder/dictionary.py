@@ -71,6 +71,17 @@ def _window_keys_np(codes: np.ndarray, start: int) -> np.ndarray:
     return np.bitwise_or.reduce(window << shifts, axis=1)
 
 
+def _window_keys_packed(packed: np.ndarray, start: int) -> np.ndarray:
+    """16-base (= one uint32) window keys straight from packed 2-bit rows —
+    no unpacked (n, L) codes matrix needed (the packed rows are the
+    pipeline's canonical read representation)."""
+    w0, b = divmod(start, 16)
+    lo = packed[:, w0] >> np.uint32(2 * b)
+    if b:
+        lo = lo | (packed[:, w0 + 1] << np.uint32(32 - 2 * b))
+    return lo.astype(np.uint32)
+
+
 def build_dicts(codes: np.ndarray, lengths: np.ndarray,
                 windows: list[DictSpec] | None = None,
                 pad_to_pow2: bool = False) -> list[SortedDict]:
@@ -178,11 +189,27 @@ def build_hash_dicts(codes: np.ndarray, lengths: np.ndarray,
                      pad_to_pow2: bool = True) -> list[HashDict]:
     if windows is None:
         windows = default_windows(codes.shape[1])
+    return _build_hash_dicts(
+        lambda ok, start: _window_keys_np(codes[ok], start),
+        lengths, windows, pad_to_pow2)
+
+
+def build_hash_dicts_packed(packed: np.ndarray, lengths: np.ndarray,
+                            windows: list[DictSpec],
+                            pad_to_pow2: bool = True) -> list[HashDict]:
+    """build_hash_dicts from packed 2-bit rows (no codes matrix)."""
+    return _build_hash_dicts(
+        lambda ok, start: _window_keys_packed(packed[ok], start),
+        lengths, windows, pad_to_pow2)
+
+
+def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
+                      pad_to_pow2: bool = True) -> list[HashDict]:
     out = []
     for spec in windows:
         ok = lengths >= spec.end
         rids = np.nonzero(ok)[0].astype(np.int32)
-        keys = _window_keys_np(codes[ok], spec.start)
+        keys = keyfn(ok, spec.start)
         order = np.argsort(keys, kind="stable")
         keys, rids = keys[order], rids[order]
         if pad_to_pow2:

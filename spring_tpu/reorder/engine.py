@@ -354,11 +354,11 @@ class ReorderEngine:
         # seq-stream size — fewer, longer contigs)
         self.B = int(min(cfg.num_walkers, max(8, self.Np // 256)))
         self.windows = dct.default_windows(cfg.max_readlen)
-        if codes is None:
-            from ..io.packing import unpack_codes
-            codes = unpack_codes(packed, cfg.max_readlen)
-        self.dicts = dct.build_hash_dicts(codes, lengths, self.windows,
-                                          pad_to_pow2=True)
+        # dictionary keys come straight from the packed rows — the pipeline
+        # never materializes an unpacked (n, L) codes matrix for the engine
+        self.dicts = dct.build_hash_dicts_packed(packed, lengths,
+                                                 self.windows,
+                                                 pad_to_pow2=True)
         # packed rows carry the read length as a trailing word so candidate
         # verification needs a single row gather (see verify_candidates);
         # bit 31 of that word is the claimed flag (set for padding rows)

@@ -49,6 +49,37 @@ def test_consensus_noise_parity(with_n):
     np.testing.assert_array_equal(nchar_g, nchar_r)
 
 
+@pytest.mark.parametrize("with_n", [False, True])
+def test_packed_kernels_parity(with_n):
+    """Packed-row kernel variants match the matrix kernels bit for bit."""
+    from spring_tpu.io import fastq_native
+    rng = np.random.default_rng(13)
+    layout, codes, lengths = _random_layout(rng, with_n=False)
+    packed = fastq_native.pack_2bit(codes)
+    ref = cons.build_consensus(layout, codes, lengths)
+    got = cons.build_consensus_packed(layout, packed, lengths)
+    np.testing.assert_array_equal(got, ref)
+
+    if with_n:
+        mask = rng.random(codes.shape) < 0.02
+        codes = np.where(mask, np.uint8(4), codes)
+        packed = fastq_native.pack_2bit(codes)   # N packs as A
+    overlay = cons.NOverlay.from_codes(codes)
+    assert (len(overlay.rows) > 0) == with_n
+    nn_r, npos_r, nchar_r = cons.extract_noise(layout, ref, codes, lengths)
+    nn_g, npos_g, nchar_g = cons.extract_noise_packed(
+        layout, ref, packed, lengths, overlay)
+    np.testing.assert_array_equal(nn_g, nn_r)
+    np.testing.assert_array_equal(npos_g, npos_r)
+    np.testing.assert_array_equal(nchar_g, nchar_r)
+
+    # unpack_rows restores the byte rows including N positions
+    sel = rng.choice(len(codes), 200, replace=False).astype(np.int64)
+    sel.sort()
+    rows = cons.unpack_rows(packed, sel, codes.shape[1], overlay)
+    np.testing.assert_array_equal(rows, codes[sel])
+
+
 def test_reconstruct_parity():
     rng = np.random.default_rng(11)
     layout, codes, lengths = _random_layout(rng, n_reads=2000)

@@ -93,6 +93,12 @@ def test_packed_domain_shifts_and_revcomp():
         got = np.asarray(bits.extract_key_packed(pk, st))
         want = dct._window_keys_np(codes, st)
         np.testing.assert_array_equal(got, want)
+    # host-side packed key extraction matches the codes-domain keys
+    pk_np = np.asarray(pk)
+    for st in (0, 16, 21):
+        got = dct._window_keys_packed(pk_np, st)
+        want = dct._window_keys_np(codes, st)
+        np.testing.assert_array_equal(got, want)
 
 
 def test_dictionary_probe_finds_exact_window():
