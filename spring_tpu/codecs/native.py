@@ -81,6 +81,12 @@ def load() -> ctypes.CDLL:
                                          c_u8p, c_i32p, c_u8p, ctypes.c_int,
                                          c_u8p, c_u32p, c_i64p, c_i64p,
                                          ctypes.c_int]
+        lib.stpu_fastq_parse_packed.restype = ctypes.c_int64
+        lib.stpu_fastq_parse_packed.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64, c_u32p, c_i32p, c_u8p, ctypes.c_int, c_u8p,
+            c_u32p, c_i64p, c_i64p, c_i32p, ctypes.c_int64, c_i64p,
+            ctypes.c_int]
         lib.stpu_pack_2bit.restype = None
         lib.stpu_pack_2bit.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_int64,
                                        ctypes.POINTER(ctypes.c_uint32),

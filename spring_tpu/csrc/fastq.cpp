@@ -169,6 +169,129 @@ int64_t stpu_fastq_parse(const uint8_t* buf, int64_t size, int fasta,
   return bad == INT64_MAX ? 0 : -bad;
 }
 
+// Parse pass writing packed 2-bit rows directly — the byte codes matrix
+// never exists. N bases pack as A and are recorded as (record, pos) pairs
+// in exc_pairs (capacity exc_cap pairs, chunk-reserved via an atomic
+// cursor; order is nondeterministic across chunks — callers sort).
+// Returns 0 ok (exc_count_out = pairs written), -(record+1) on a bad
+// character; if exc_count_out > exc_cap the caller must retry with a
+// larger buffer (pairs beyond the capacity were dropped).
+int64_t stpu_fastq_parse_packed(const uint8_t* buf, int64_t size, int fasta,
+                                int64_t n, int64_t maxlen, uint32_t* packed,
+                                int32_t* lens, uint8_t* quals, int have_quals,
+                                uint8_t* ids, uint32_t* idlens,
+                                const int64_t* ckpt_byte,
+                                const int64_t* ckpt_id, int32_t* exc_pairs,
+                                int64_t exc_cap, int64_t* exc_count_out,
+                                int num_threads) {
+  const int8_t* g_code = code_table();
+  int64_t W = (maxlen + 15) / 16;
+  int64_t nchunks = (n + kCkpt - 1) / kCkpt;
+  int64_t exc_cursor = 0;
+  int64_t bad = INT64_MAX;
+  if (nchunks) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) reduction(min : bad) num_threads(num_threads > 0 ? num_threads : omp_get_max_threads())
+#endif
+    for (int64_t ch = 0; ch < nchunks; ++ch) {
+      int64_t pos = ckpt_byte[ch];
+      int64_t idw = ckpt_id[ch];
+      int64_t r0 = ch * kCkpt;
+      int64_t r1 = r0 + kCkpt < n ? r0 + kCkpt : n;
+      int32_t local_exc[2 * 1024];
+      int64_t nloc = 0;
+      Line id, seq, plus, qual;
+      for (int64_t r = r0; r < r1; ++r) {
+        if (!next_line(buf, size, pos, id) ||
+            !next_line(buf, size, pos, seq)) {
+          bad = bad < r + 1 ? bad : r + 1;
+          break;
+        }
+        if (!fasta &&
+            (!next_line(buf, size, pos, plus) ||
+             !next_line(buf, size, pos, qual))) {
+          bad = bad < r + 1 ? bad : r + 1;
+          break;
+        }
+        if (seq.len > maxlen) {
+          bad = bad < r + 1 ? bad : r + 1;
+          break;
+        }
+        uint32_t* prow = packed + r * W;
+        bool ok = true;
+        uint32_t v = 0;
+        int64_t w = 0;
+        for (int64_t i = 0; i < seq.len; ++i) {
+          int8_t c = g_code[seq.p[i]];
+          if (c < 0) {
+            ok = false;
+            break;
+          }
+          if (c == 4) {
+            // local N buffer flushes to the shared array when full so a
+            // pathological all-N chunk still records every position
+            if (nloc == 2 * 1024) {
+              int64_t at;
+#ifdef _OPENMP
+#pragma omp atomic capture
+              at = exc_cursor += nloc / 2;
+#else
+              at = exc_cursor += nloc / 2;
+#endif
+              at -= nloc / 2;
+              for (int64_t k = 0; k < nloc && at + k / 2 < exc_cap; k += 2) {
+                exc_pairs[(at + k / 2) * 2] = local_exc[k];
+                exc_pairs[(at + k / 2) * 2 + 1] = local_exc[k + 1];
+              }
+              nloc = 0;
+            }
+            local_exc[nloc++] = (int32_t)r;
+            local_exc[nloc++] = (int32_t)i;
+            c = 0;              // N packs as A
+          }
+          v |= (uint32_t)(c & 3) << (2 * (i & 15));
+          if ((i & 15) == 15) {
+            prow[w++] = v;
+            v = 0;
+          }
+        }
+        if (!ok) {
+          bad = bad < r + 1 ? bad : r + 1;
+          break;
+        }
+        if (seq.len & 15) prow[w++] = v;
+        for (; w < W; ++w) prow[w] = 0;
+        lens[r] = (int32_t)seq.len;
+        if (!fasta && have_quals) {
+          uint8_t* qrow = quals + r * maxlen;
+          int64_t ql = qual.len < maxlen ? qual.len : maxlen;
+          memcpy(qrow, qual.p, (size_t)ql);
+          if (ql < maxlen) memset(qrow + ql, 0, (size_t)(maxlen - ql));
+        }
+        memcpy(ids + idw, id.p, (size_t)id.len);
+        idlens[r] = (uint32_t)id.len;
+        idw += id.len;
+      }
+      if (nloc) {
+        int64_t at;
+#ifdef _OPENMP
+#pragma omp atomic capture
+        at = exc_cursor += nloc / 2;
+#else
+        at = exc_cursor += nloc / 2;
+#endif
+        at -= nloc / 2;
+        for (int64_t k = 0; k < nloc && at + k / 2 < exc_cap; k += 2) {
+          exc_pairs[(at + k / 2) * 2] = local_exc[k];
+          exc_pairs[(at + k / 2) * 2 + 1] = local_exc[k + 1];
+        }
+      }
+    }
+  }
+  *exc_count_out = exc_cursor;
+  return bad == INT64_MAX ? 0 : -bad;
+}
+
 // codes (n, L) uint8 -> packed (n, W) uint32, W = ceil(L/16).
 void stpu_pack_2bit(const uint8_t* codes, int64_t n, int64_t L,
                     uint32_t* packed, int num_threads) {

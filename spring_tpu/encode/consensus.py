@@ -164,6 +164,19 @@ class NOverlay:
                         np.empty(0, np.int32))
 
     @staticmethod
+    def from_pairs(pairs: np.ndarray) -> "NOverlay":
+        """(k, 2) int32 (rid, pos) pairs, any order (native parse output)."""
+        if not len(pairs):
+            return NOverlay.empty()
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        p = pairs[order]
+        rows, counts = np.unique(p[:, 0], return_counts=True)
+        off = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        return NOverlay(rows.astype(np.int32), off,
+                        np.ascontiguousarray(p[:, 1], np.int32))
+
+    @staticmethod
     def from_codes(codes: np.ndarray) -> "NOverlay":
         r, c = np.nonzero(codes == packing.N)
         if not len(r):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import gzip
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -39,6 +40,111 @@ class FastqArrays:
 
 def _u8p(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+@dataclass
+class ScanInfo:
+    """Result of the serial scan pass over one input buffer."""
+    n: int
+    maxlen: int
+    idbytes: int
+    ckpt_byte: np.ndarray
+    ckpt_id: np.ndarray
+
+
+def open_buf(path: str) -> np.ndarray:
+    """Input bytes as a uint8 array backed by the page cache, not the heap:
+    plain files are mmap'd; gzip inputs are stream-decompressed to an
+    unlinked temp file and mmap'd (the reference streams gz through zlib
+    the same block-wise way, src/util.h). Peak RSS stays O(output arrays)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic != b"\x1f\x8b":
+        if os.path.getsize(path) == 0:
+            return np.empty(0, np.uint8)
+        return np.memmap(path, dtype=np.uint8, mode="r")
+    import tempfile
+    try:
+        tmp = tempfile.TemporaryFile(dir=os.path.dirname(path) or ".")
+    except OSError:
+        tmp = tempfile.TemporaryFile()
+    with gzip.open(path, "rb") as g:
+        while True:
+            chunk = g.read(1 << 24)
+            if not chunk:
+                break
+            tmp.write(chunk)
+    tmp.flush()
+    size = tmp.tell()
+    if size == 0:
+        return np.empty(0, np.uint8)
+    buf = np.memmap(tmp, dtype=np.uint8, mode="r", shape=(size,))
+    # the memmap holds its own reference to the fd; the unlinked temp file
+    # disappears when the array is garbage collected
+    return buf
+
+
+def scan_buf(buf: np.ndarray, path: str, fasta: bool = False,
+             require_quals: bool = True) -> ScanInfo:
+    """Serial scan pass: counts + parallel-parse checkpoints."""
+    lib = native.load()
+    stride = lib.stpu_fastq_ckpt_stride()
+    cap = len(buf) // (2 * stride) + 2
+    ckpt_b = np.zeros(cap, np.int64)
+    ckpt_i = np.zeros(cap, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = ctypes.c_int64()
+    maxlen = ctypes.c_int64()
+    idbytes = ctypes.c_int64()
+    qmis = ctypes.c_int64()
+    rc = lib.stpu_fastq_scan(_u8p(buf), len(buf), int(fasta),
+                             ctypes.byref(n), ctypes.byref(maxlen),
+                             ctypes.byref(idbytes), ctypes.byref(qmis),
+                             ckpt_b.ctypes.data_as(i64p),
+                             ckpt_i.ctypes.data_as(i64p))
+    if rc != 0:
+        raise ValueError(f"{path}: truncated FASTQ record")
+    if not fasta and require_quals and qmis.value:
+        raise ValueError(f"{path}: quality length != read length "
+                         "(FASTA input needs --fasta-input)")
+    return ScanInfo(n.value, maxlen.value, idbytes.value, ckpt_b, ckpt_i)
+
+
+def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
+                      packed: np.ndarray, lengths: np.ndarray,
+                      quals: np.ndarray | None, idbuf: np.ndarray,
+                      idlens: np.ndarray, fasta: bool = False,
+                      num_threads: int = 0) -> np.ndarray:
+    """Record-parallel parse straight into caller-owned array slices:
+    packed (n, ceil(ml/16)) 2-bit rows (N packs as A), lengths, quality
+    rows at stride ml, id blob. Returns the N-position (rid, pos) pairs
+    (int32 (k, 2), unsorted). The byte codes matrix never exists."""
+    lib = native.load()
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = info.n
+    cap = max(4096, n // 8)
+    for _ in range(2):
+        exc = np.empty((cap, 2), np.int32)
+        exc_n = ctypes.c_int64()
+        rc = lib.stpu_fastq_parse_packed(
+            _u8p(buf), len(buf), int(fasta), n, ml,
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8p(quals) if quals is not None else
+            _u8p(np.empty(1, np.uint8)),
+            int(quals is not None), _u8p(idbuf),
+            idlens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            info.ckpt_byte.ctypes.data_as(i64p),
+            info.ckpt_id.ctypes.data_as(i64p),
+            exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            ctypes.byref(exc_n), num_threads)
+        if rc != 0:
+            raise ValueError(
+                f"{path}: read {-rc} contains a non-ACGTN character")
+        if exc_n.value <= cap:
+            return exc[: exc_n.value]
+        cap = exc_n.value          # rare: N-heavy input; retry exact-size
+    raise AssertionError("unreachable: exact-capacity retry overflowed")
 
 
 def load_file(path: str, fasta: bool = False,

@@ -79,16 +79,23 @@ def compress_short(files: list[str], writer: ArchiveWriter,
 
     block = cp.num_reads_per_block
     want_q = cp.preserve_quality and not cp.fasta_input
-    arrs = [fastq_native.load_file(f, fasta=cp.fasta_input,
-                                   want_quals=want_q) for f in files]
-    counts = [a.n for a in arrs]
+    # streaming load: inputs are mmap'd (gz: stream-decompressed to an
+    # unlinked temp file), scanned serially, then parsed record-parallel
+    # STRAIGHT into the final concatenated arrays — packed 2-bit rows with
+    # a sparse N overlay; the byte codes matrix never exists. Reference
+    # analog: blockwise preprocess into 2-bit bitsets + temp streams
+    # (src/preprocess.cpp:141-285).
+    bufs = [fastq_native.open_buf(f) for f in files]
+    infos = [fastq_native.scan_buf(b, f, fasta=cp.fasta_input)
+             for b, f in zip(bufs, files)]
+    counts = [i.n for i in infos]
     if len(files) == 2 and counts[0] != counts[1]:
         raise ValueError("paired files have different read counts")
-    mark("load+parse")
+    mark("scan")
     n = sum(counts)
     cp.num_reads = n
     cp.num_blocks = -(-n // block) if n else 0
-    maxlen = max((a.maxlen for a in arrs), default=0)
+    maxlen = max((i.maxlen for i in infos), default=0)
     if maxlen > P.MAX_READ_LEN:
         raise ValueError(
             f"read length {maxlen} > {P.MAX_READ_LEN}; use long mode (-l)")
@@ -96,26 +103,39 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     paired = cp.paired_end
     per_file = counts[0] if paired else n
 
-    # concatenate files into one index space (file 1 then file 2, reference
-    # src/preprocess.cpp merges the same way), padded to the common maxlen
+    # one index space: file 1 then file 2 (reference src/preprocess.cpp
+    # merges the same way), rows padded to the common maxlen
     ml = max(maxlen, 1)
-    codes = np.zeros((n, ml), np.uint8)
+    W = -(-ml // 16)
+    packed_all = np.empty((n, W), np.uint32)
     lengths = np.empty(n, np.int32)
-    quals = np.zeros((n, ml), np.uint8) if want_q else None
+    quals = np.empty((n, ml), np.uint8) if want_q else None
+    idbytes = sum(i.idbytes for i in infos)
+    idbuf = np.empty(idbytes, np.uint8)
+    idlens = np.empty(n, np.uint32)
+    exc_parts = []
     off = 0
-    for a in arrs:
-        codes[off:off + a.n, : a.codes.shape[1]] = a.codes
-        lengths[off:off + a.n] = a.lengths
-        if quals is not None and a.quals is not None:
-            quals[off:off + a.n, : a.quals.shape[1]] = a.quals
-        off += a.n
-    idbuf = np.concatenate([a.idbuf[: int(a.idlens.sum())] for a in arrs]) \
-        if n else np.empty(0, np.uint8)
-    idlens = (np.concatenate([a.idlens[: a.n] for a in arrs]).astype(np.uint32)
-              if n else np.empty(0, np.uint32))
+    ido = 0
+    for buf, info, f in zip(bufs, infos, files):
+        if info.n:
+            exc = fastq_native.parse_packed_into(
+                buf, f, info, ml, packed_all[off:off + info.n],
+                lengths[off:off + info.n],
+                quals[off:off + info.n] if quals is not None else None,
+                idbuf[ido:ido + info.idbytes], idlens[off:off + info.n],
+                fasta=cp.fasta_input, num_threads=num_threads)
+            if len(exc):
+                exc[:, 0] += off
+                exc_parts.append(exc)
+        off += info.n
+        ido += info.idbytes
+    del bufs, infos
+    overlay = cons.NOverlay.from_pairs(
+        np.concatenate(exc_parts) if exc_parts else
+        np.empty((0, 2), np.int32))
+    del exc_parts
     idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
-    del arrs
-    mark("concat")
+    mark("load+parse")
 
     # --- quality quantization (inline, reference src/preprocess.cpp:220-229)
     if quals is not None and cp.quality_mode in ("ill_bin", "binary"):
@@ -143,35 +163,34 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     pool = ThreadPoolExecutor(max_workers=num_threads)
     futs = []
 
+    # the per-block row/id gathers run INSIDE the worker so at most
+    # num_threads block-sized copies are live at once (submitting the
+    # gathered arrays directly would materialize every block up front)
+    def _q_task(sel):
+        return qv.compress_rows(quals[sel], lengths[sel], num_threads=1)
+
+    def _id_task(sel):
+        return idcodec.compress_ids_raw(
+            *_gather_ids(idbuf, idoffs, idlens, sel))
+
     def _submit_quality_ids_se(order):
         for b in range(cp.num_blocks):
             sel = order[b * block:(b + 1) * block]
             if quals is not None:
-                futs.append((f"quality.{b}",
-                             pool.submit(qv.compress_rows, quals[sel],
-                                         lengths[sel], num_threads=1)))
+                futs.append((f"quality.{b}", pool.submit(_q_task, sel)))
             if cp.preserve_id:
-                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, sel)
-                futs.append((f"id.{b}",
-                             pool.submit(idcodec.compress_ids_raw, ibuf,
-                                         ilens)))
+                futs.append((f"id.{b}", pool.submit(_id_task, sel)))
 
     def _submit_quality_ids_pe(pairs):
         nb = -(-per_file // block) if per_file else 0
         for b in range(nb):
             p1 = pairs[b * block:(b + 1) * block]
-            p2 = p1 + per_file
-            both = np.concatenate([p1, p2])
+            both = np.concatenate([p1, p1 + per_file])
             if quals is not None:
-                futs.append((f"quality.{b}",
-                             pool.submit(qv.compress_rows, quals[both],
-                                         lengths[both], num_threads=1)))
+                futs.append((f"quality.{b}", pool.submit(_q_task, both)))
             if cp.preserve_id:
                 idsel = p1 if cp.paired_id_match else both
-                ibuf, ilens = _gather_ids(idbuf, idoffs, idlens, idsel)
-                futs.append((f"id.{b}",
-                             pool.submit(idcodec.compress_ids_raw, ibuf,
-                                         ilens)))
+                futs.append((f"id.{b}", pool.submit(_id_task, idsel)))
 
     # in order-preserving mode the output order is known before the reorder
     # runs — quality/id codec work overlaps the device-side engine
@@ -185,17 +204,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         quality_ids_submitted = True
 
     mark("quantize+idcheck")
-    # pack ALL reads to 2-bit rows + sparse N overlay, then drop the byte
-    # codes matrix — the packed rows are the resident representation from
-    # here on (4x smaller; reference holds 2-bit bitsets the same way,
-    # src/preprocess.cpp:141-285). Byte rows are unpacked on demand.
-    packed_all = fastq_native.pack_2bit(codes, num_threads) if n else \
-        np.zeros((0, 1), np.uint32)
-    overlay = cons.NOverlay.from_codes(codes) if n else cons.NOverlay.empty()
     has_n = overlay.has_n_mask(n)
     clean_rids = np.nonzero(~has_n)[0].astype(np.int32)
-    del codes
-    mark("pack")
 
     flag = np.zeros(n, np.uint8)
     gpos = np.zeros(n, np.int64)
@@ -393,6 +403,20 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     mark("codec+write")
 
 
+def _windowed(pool, tasks, window: int):
+    """Submit (fn, *args) tasks keeping at most `window` in flight; yield
+    results in submission order (bounds decoded-block memory: completed
+    blocks can't pile up faster than the writer drains them)."""
+    from collections import deque
+    dq = deque()
+    for t in tasks:
+        dq.append(pool.submit(*t))
+        if len(dq) >= window:
+            yield dq.popleft().result()
+    while dq:
+        yield dq.popleft().result()
+
+
 def decompress_short(reader: ArchiveReader, out_paths: list[str],
                      gzipped: bool, num_threads: int = 8,
                      read_range: tuple[int, int] | None = None) -> None:
@@ -431,11 +455,11 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
             if not single_out and fl[0] == fl[1] and fl[0][0] < fl[0][1]:
                 flo, fhi = fl[0]
                 b0, b1 = flo // block, (fhi - 1) // block
-                futs = [pool.submit(_decode_block_pe, reader, cp, b,
-                                    seq_codes, per_file)
-                        for b in range(b0, b1 + 1)]
-                for b, fut in zip(range(b0, b1 + 1), futs):
-                    halves = fut.result()
+                res = _windowed(pool, ((_decode_block_pe, reader, cp, b,
+                                        seq_codes, per_file)
+                                       for b in range(b0, b1 + 1)),
+                                2 * num_threads)
+                for b, halves in zip(range(b0, b1 + 1), res):
                     s = max(flo - b * block, 0)
                     e = min(fhi - b * block, len(halves[0][3]))
                     for j in (0, 1):
@@ -447,11 +471,12 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
                         continue
                     w = writers[0] if single_out else writers[j]
                     b0, b1 = flo // block, (fhi - 1) // block
-                    futs = [pool.submit(_decode_block_pe, reader, cp, b,
-                                        seq_codes, per_file)
-                            for b in range(b0, b1 + 1)]
-                    for b, fut in zip(range(b0, b1 + 1), futs):
-                        half = fut.result()[j]
+                    res = _windowed(pool, ((_decode_block_pe, reader, cp, b,
+                                            seq_codes, per_file)
+                                           for b in range(b0, b1 + 1)),
+                                    2 * num_threads)
+                    for b, halves in zip(range(b0, b1 + 1), res):
+                        half = halves[j]
                         s = max(flo - b * block, 0)
                         e = min(fhi - b * block, len(half[3]))
                         _emit(w, half, s, e)
@@ -459,11 +484,11 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
             w = writers[0]
             if lo < hi:
                 b0, b1 = lo // block, (hi - 1) // block
-                futs = [pool.submit(_decode_block, reader, cp, b, seq_codes,
-                                    per_file)
-                        for b in range(b0, b1 + 1)]
-                for b, fut in zip(range(b0, b1 + 1), futs):
-                    half = fut.result()
+                res = _windowed(pool, ((_decode_block, reader, cp, b,
+                                        seq_codes, per_file)
+                                       for b in range(b0, b1 + 1)),
+                                2 * num_threads)
+                for b, half in zip(range(b0, b1 + 1), res):
                     s = max(lo - b * block, 0)
                     e = min(hi - b * block, len(half[3]))
                     _emit(w, half, s, e)

@@ -1,0 +1,62 @@
+"""Peak-RSS check for the compression pipeline at scale.
+
+VERDICT r1 #5 done-criterion: compress 10M synthetic reads in < 8 GB RSS.
+Reference behavior for comparison: SPRING compresses NA12878 (560M reads)
+at 32.6 GB peak (logs/8_29_18/NA12878-Rep-1_S1_L001.log:203) by streaming
+blocks (src/preprocess.cpp:141-285); our design keeps packed 2-bit rows +
+quality matrix resident and mmaps the input text.
+
+Usage: python tools/rss_check.py [n_reads] [read_len]
+Runs compress in a child under resource tracking, prints one JSON line.
+"""
+import json
+import os
+import resource
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+L = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+from spring_tpu import api
+t0 = time.time()
+api.compress([%(fq)r], %(out)r)
+print(f"compress {time.time() - t0:.1f}s", flush=True)
+"""
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmpd = tempfile.mkdtemp(prefix="rss_check_")
+    fq = os.path.join(tmpd, "in.fastq")
+    out = os.path.join(tmpd, "out.stpu")
+    print(f"generating {N} x {L}bp synthetic reads ...", flush=True)
+    from spring_tpu.utils import synth
+    synth.make_se(fq, N, read_len=L, seed=5)
+    sz = os.path.getsize(fq)
+    print(f"input {sz / 1e9:.2f} GB; compressing ...", flush=True)
+    rc = subprocess.run(
+        [sys.executable, "-c", CHILD % {"repo": repo, "fq": fq, "out": out}],
+        cwd=repo)
+    peak_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    ok = rc.returncode == 0 and peak_kb * 1024 < 8 << 30
+    print(json.dumps({
+        "n_reads": N, "read_len": L, "input_bytes": sz,
+        "archive_bytes": os.path.getsize(out) if rc.returncode == 0 else -1,
+        "peak_rss_gb": round(peak_kb / 1e6, 3),
+        "limit_gb": 8, "ok": ok}))
+    for f in (fq, out):
+        if os.path.exists(f):
+            os.unlink(f)
+    os.rmdir(tmpd)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
