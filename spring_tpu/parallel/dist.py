@@ -45,6 +45,7 @@ from .. import params as P
 from ..ops import bits
 from ..reorder import dictionary as dct
 from ..reorder import engine as eng
+from . import multihost as mh
 
 try:
     shard_map = jax.shard_map  # jax >= 0.6
@@ -56,6 +57,9 @@ _BIG = eng._BIG
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    # multi-host: spin up jax.distributed first so jax.devices() spans
+    # every process's chips (ICI-major order — see parallel/multihost.py)
+    mh.maybe_initialize()
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     return Mesh(np.array(devices[:n]), axis_names=("shard",))
@@ -598,17 +602,21 @@ class DistReorderEngine:
         pad[self.N:] = True
         claimed[: self.Np // 32] = np.packbits(
             pad, bitorder="little").view(np.uint32)
+        m = self.mesh
+        # every array enters the mesh with its final sharding so the state
+        # builds correctly under multi-process meshes too (multihost.py)
         return dict(
-            counts=jnp.zeros((self.B, 4, self.Lb), jnp.int32),
-            ref_len=jnp.zeros((self.B,), jnp.int32),
-            active=jnp.zeros((self.B,), bool),
-            shift_base=jnp.zeros((self.B,), jnp.int32),
-            first_rid=jnp.zeros((self.B,), jnp.int32),
-            left_phase=jnp.zeros((self.B,), bool),
-            rows=jnp.asarray(self.packed),
-            claimed=jnp.asarray(claimed),
-            queue_pos=jnp.zeros((n,), jnp.int32),
-            n_queue=jnp.zeros((n,), jnp.int32),  # set per flush loop
+            counts=mh.put_sharded(m, np.zeros((self.B, 4, self.Lb),
+                                              np.int32)),
+            ref_len=mh.put_sharded(m, np.zeros(self.B, np.int32)),
+            active=mh.put_sharded(m, np.zeros(self.B, bool)),
+            shift_base=mh.put_sharded(m, np.zeros(self.B, np.int32)),
+            first_rid=mh.put_sharded(m, np.zeros(self.B, np.int32)),
+            left_phase=mh.put_sharded(m, np.zeros(self.B, bool)),
+            rows=mh.put_sharded(m, self.packed),
+            claimed=mh.put_replicated(m, claimed),
+            queue_pos=mh.put_sharded(m, np.zeros(n, np.int32)),
+            n_queue=mh.put_sharded(m, np.zeros(n, np.int32)),
         )
 
     def run(self, max_rounds: int | None = None,
@@ -622,28 +630,29 @@ class DistReorderEngine:
         queue = so.astype(np.int32)
         state = self.init_state()
         qslice, nq = self._queue_slices(queue)
-        state["n_queue"] = jnp.asarray(nq)
-        lengths = jnp.asarray(self.lengths)
-        btabs = [jnp.asarray(b.reshape(-1, b.shape[-1]))
+        m = self.mesh
+        state["n_queue"] = mh.put_sharded(m, nq)
+        lengths = mh.put_replicated(m, self.lengths)
+        btabs = [mh.put_sharded(m, b.reshape(-1, b.shape[-1]))
                  for b in self.btabs]
-        drids = [jnp.asarray(r.reshape(-1)) for r in self.drids]
-        maxshift = jnp.asarray(self.cfg.max_shift, jnp.int32)
+        drids = [mh.put_sharded(m, r.reshape(-1)) for r in self.drids]
+        maxshift = mh.put_replicated(m, np.int32(self.cfg.max_shift))
         chunks = []
         rounds = 0
-        seed_dev = jnp.asarray(qslice)
+        seed_dev = mh.put_sharded(m, qslice)
         while True:
             state, buf, cnt = self._flush(state, lengths, btabs, drids,
                                           seed_dev, maxshift)
             rounds += eng.FLUSH_ROUNDS
-            chunks.append(np.asarray(buf))
-            emitted = int(jnp.sum(cnt))
-            any_active = bool(np.asarray(state["active"]).any())
+            chunks.append(mh.to_host(buf))
+            emitted = int(mh.to_host(cnt).sum())
+            any_active = bool(mh.to_host(state["active"]).any())
             claimed_np = np.unpackbits(
-                np.asarray(state["claimed"])[: self.Np // 32].view(np.uint8),
+                mh.to_host(state["claimed"])[: self.Np // 32].view(np.uint8),
                 bitorder="little")[: self.N].astype(bool)
             n_claimed = int(claimed_np.sum())
-            qpos = np.asarray(state["queue_pos"])
-            nq_np = np.asarray(state["n_queue"])
+            qpos = mh.to_host(state["queue_pos"])
+            nq_np = mh.to_host(state["n_queue"])
             drained = bool((qpos >= nq_np).all())
             if progress is not None:
                 progress(n_claimed, self.N)
@@ -658,9 +667,10 @@ class DistReorderEngine:
                 if len(remaining) < 0.5 * max(int(nq_np.sum()), 1):
                     queue = remaining
                     qslice, nq = self._queue_slices(queue)
-                    seed_dev = jnp.asarray(qslice)
-                    state["n_queue"] = jnp.asarray(nq)
-                    state["queue_pos"] = jnp.zeros((self.n,), jnp.int32)
+                    seed_dev = mh.put_sharded(m, qslice)
+                    state["n_queue"] = mh.put_sharded(m, nq)
+                    state["queue_pos"] = mh.put_sharded(
+                        m, np.zeros(self.n, np.int32))
         em2 = (np.concatenate(chunks, axis=1).reshape(-1, 2) if chunks
                else np.empty((0, 2), np.int32))
         em2 = em2[em2[:, 0] >= 0]

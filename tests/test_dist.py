@@ -1,5 +1,24 @@
 """Multi-device (virtual 8-CPU-device mesh) tests for the sharded reorder."""
 import numpy as np
+
+
+def test_multihost_helpers_single_process():
+    """put_replicated/put_sharded/to_host round-trip on the CPU mesh
+    (the single-process reduction of the multi-host entry points)."""
+    import jax
+    from spring_tpu.parallel import dist, multihost as mh
+    mesh = dist.make_mesh()
+    n = mesh.devices.size
+    x = np.arange(8 * n, dtype=np.int32).reshape(n * 2, 4)
+    xs = mh.put_sharded(mesh, x)
+    assert xs.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("shard")), x.ndim)
+    np.testing.assert_array_equal(mh.to_host(xs), x)
+    xr = mh.put_replicated(mesh, x)
+    np.testing.assert_array_equal(mh.to_host(xr), x)
+    assert not mh.is_multiprocess()
+    assert not mh.maybe_initialize()      # no coordinator env set
 import pytest
 
 jax = pytest.importorskip("jax")
