@@ -644,7 +644,7 @@ class DistReorderEngine:
             state, buf, cnt = self._flush(state, lengths, btabs, drids,
                                           seed_dev, maxshift)
             rounds += eng.FLUSH_ROUNDS
-            chunks.append(mh.to_host(buf))
+            chunks.append(eng._compact_emit(mh.to_host(buf)))
             emitted = int(mh.to_host(cnt).sum())
             any_active = bool(mh.to_host(state["active"]).any())
             claimed_np = np.unpackbits(
@@ -671,12 +671,4 @@ class DistReorderEngine:
                     state["n_queue"] = mh.put_sharded(m, nq)
                     state["queue_pos"] = mh.put_sharded(
                         m, np.zeros(self.n, np.int32))
-        em2 = (np.concatenate(chunks, axis=1).reshape(-1, 2) if chunks
-               else np.empty((0, 2), np.int32))
-        em2 = em2[em2[:, 0] >= 0]
-        out = np.empty((len(em2), 4), np.int32)
-        out[:, 0] = em2[:, 0]
-        out[:, 1] = (em2[:, 1] >> 16) & 0xFF
-        out[:, 2] = em2[:, 1] & 0xFFFF
-        out[:, 3] = (em2[:, 1] >> 24) & 0xFF
-        return out
+        return eng._emissions_from_chunks(chunks)

@@ -717,7 +717,7 @@ class ReorderEngine:
             except Exception:
                 pass
             if pending is not None:
-                chunks.append(np.asarray(pending))
+                chunks.append(_compact_emit(np.asarray(pending)))
             pending = emit
             emitted = int(jnp.sum(cnt))
             queue_pos = int(state["queue_pos"])
@@ -754,19 +754,9 @@ class ReorderEngine:
                     n_real = jnp.asarray(len(remaining), jnp.int32)
                     state["queue_pos"] = jnp.zeros((), jnp.int32)
         if pending is not None:
-            chunks.append(np.asarray(pending))
+            chunks.append(_compact_emit(np.asarray(pending)))
         dt = time.time() - t_start
-        # walker-major: concatenate per-flush buffers along the slot axis,
-        # flatten per walker, drop empty slots
-        em2 = (np.concatenate(chunks, axis=1).reshape(-1, 2) if chunks
-               else np.empty((0, 2), np.int32))
-        em2 = em2[em2[:, 0] >= 0]
-        # unpack word1 = delta | flag<<16 | rc<<24 -> (rid, flag, delta, rc)
-        out = np.empty((len(em2), 4), np.int32)
-        out[:, 0] = em2[:, 0]
-        out[:, 1] = (em2[:, 1] >> 16) & 0xFF
-        out[:, 2] = em2[:, 1] & 0xFFFF
-        out[:, 3] = (em2[:, 1] >> 24) & 0xFF
+        out = _emissions_from_chunks(chunks)
         if trace:
             accepts = int((out[:, 1] > 0).sum())
             seeds = int((out[:, 1] == 0).sum())
@@ -774,6 +764,35 @@ class ReorderEngine:
                   f"({1000 * dt / max(rounds, 1):.1f} ms/round) "
                   f"accepts={accepts} seeds={seeds}", flush=True)
         return out
+
+
+def _compact_emit(buf: np.ndarray) -> np.ndarray:
+    """One flush's (B, CAP, 2) emit buffer -> (k, 3) int32 rows of
+    (walker, rid, word), slot order preserved per walker. Keeping flushes
+    compacted bounds run() host memory by total accepts, not
+    flushes x buffer size (52 MB/flush at B=64k)."""
+    w, s = np.nonzero(buf[:, :, 0] >= 0)
+    out = np.empty((len(w), 3), np.int32)
+    out[:, 0] = w
+    out[:, 1] = buf[w, s, 0]
+    out[:, 2] = buf[w, s, 1]
+    return out
+
+
+def _emissions_from_chunks(chunks: list[np.ndarray]) -> np.ndarray:
+    """Compacted per-flush triples -> filtered walker-major (k, 4) rows of
+    (rid, flag, pos_delta, rc). A stable sort by walker restores the
+    walker-major timeline across flushes."""
+    em3 = (np.concatenate(chunks) if chunks
+           else np.empty((0, 3), np.int32))
+    em3 = em3[np.argsort(em3[:, 0], kind="stable")]
+    # unpack word = delta | flag<<16 | rc<<24
+    out = np.empty((len(em3), 4), np.int32)
+    out[:, 0] = em3[:, 1]
+    out[:, 1] = (em3[:, 2] >> 16) & 0xFF
+    out[:, 2] = em3[:, 2] & 0xFFFF
+    out[:, 3] = (em3[:, 2] >> 24) & 0xFF
+    return out
 
 
 def assemble_contigs(emissions: np.ndarray, num_walkers: int = 0,
