@@ -539,8 +539,10 @@ def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     rlen2 = rlen_i[1::2].astype(np.int32)
     pos1 = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b)))
     pos2u = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos2", b)))
-    pospair = st.decode_u16(
-        bsc.decompress(reader.get_block("pospair", b))).view(np.int16)
+    # raw int16 pair distances (decode_u16 widens to int32 — view first)
+    pospair = np.frombuffer(
+        bsc.decompress(reader.get_block("pospair", b)),
+        np.uint16).view(np.int16).astype(np.int64)
     rcpair = st.decode_u8(bsc.decompress(reader.get_block("rcpair", b)))
     rcs = st.decode_u8(bsc.decompress(reader.get_block("rc", b)))
     nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))

@@ -34,6 +34,32 @@ def test_pe_fastq_lossless(tmp_path, fq1, fq2):
     assert filecmp.cmp(fq2, outs[1], shallow=False)
 
 
+def test_pe_aligned_pairs_lossless(tmp_path):
+    """High-coverage PE data where mates actually align (flag-0 pairs with
+    int16 pair deltas take the pospair/rcpair path — regression: the
+    decoder mis-viewed the pospair stream and only unaligned fixtures ever
+    ran before)."""
+    from spring_tpu.utils import synth
+    p1, p2 = str(tmp_path / "p_1.fastq"), str(tmp_path / "p_2.fastq")
+    synth.make_pe(p1, p2, 4000, genome_size=50_000, seed=3)
+    cp, outs = _roundtrip(tmp_path, [p1, p2], ["o1.fastq", "o2.fastq"])
+    assert cp.paired_end
+    assert filecmp.cmp(p1, outs[0], shallow=False)
+    assert filecmp.cmp(p2, outs[1], shallow=False)
+    # the reordered (-r) path through the same pair-delta layout
+    opts = api.CompressOptions(num_threads=2, verbose=False, reorder=True)
+    arc = str(tmp_path / "r.stpu")
+    api.compress([p1, p2], arc, opts)
+    r1, r2 = str(tmp_path / "r1.fastq"), str(tmp_path / "r2.fastq")
+    api.decompress(arc, [r1, r2], verbose=False)
+
+    def recs(p):
+        ls = open(p).read().splitlines()
+        return list(zip(ls[1::4], ls[3::4]))
+    # pairing invariant: pair k of the output = (file1[k], file2[k])
+    assert sorted(zip(recs(r1), recs(r2))) == sorted(zip(recs(p1), recs(p2)))
+
+
 def test_se_fasta(tmp_path, fa1):
     opts = api.CompressOptions(num_threads=2, verbose=False, fasta_input=True)
     cp, outs = _roundtrip(tmp_path, [fa1], ["o1.fasta"], opts)
