@@ -437,6 +437,10 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
     writers = [fastq.BlockWriter(p, gzipped=gzipped, fasta=cp.fasta_input,
                                  num_threads=num_threads)
                for p in out_paths]
+    # per-block native thread budget: blocks are the outer parallelism, but
+    # a short file (or the tail) has fewer blocks than threads — give the
+    # sharded qv codec the leftover cores
+    bt = max(1, num_threads // max(min(cp.num_blocks, num_threads), 1))
 
     def _emit(w, half, s, e):
         idbuf, idlens, chars, rlen, qmat = half
@@ -456,7 +460,7 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
                 flo, fhi = fl[0]
                 b0, b1 = flo // block, (fhi - 1) // block
                 res = _windowed(pool, ((_decode_block_pe, reader, cp, b,
-                                        seq_codes, per_file)
+                                        seq_codes, per_file, bt)
                                        for b in range(b0, b1 + 1)),
                                 2 * num_threads)
                 for b, halves in zip(range(b0, b1 + 1), res):
@@ -472,7 +476,7 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
                     w = writers[0] if single_out else writers[j]
                     b0, b1 = flo // block, (fhi - 1) // block
                     res = _windowed(pool, ((_decode_block_pe, reader, cp, b,
-                                            seq_codes, per_file)
+                                            seq_codes, per_file, bt)
                                            for b in range(b0, b1 + 1)),
                                     2 * num_threads)
                     for b, halves in zip(range(b0, b1 + 1), res):
@@ -485,7 +489,7 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
             if lo < hi:
                 b0, b1 = lo // block, (hi - 1) // block
                 res = _windowed(pool, ((_decode_block, reader, cp, b,
-                                        seq_codes, per_file)
+                                        seq_codes, per_file, bt)
                                        for b in range(b0, b1 + 1)),
                                 2 * num_threads)
                 for b, half in zip(range(b0, b1 + 1), res):
@@ -526,7 +530,8 @@ def _fill_rows(m, L, rlen, al, aligned_rows, lit):
 
 
 def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
-                     seq_codes: np.ndarray, per_file: int):
+                     seq_codes: np.ndarray, per_file: int,
+                     num_threads: int = 1):
     """Decode one PE pair-block into (file-1 half, file-2 half), each
     (idbuf, idlens, chars, rlen, qmat). Inverse of the pair-delta layout
     (reference src/decompress.cpp:277-318)."""
@@ -585,7 +590,7 @@ def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     qmat1 = qmat2 = None
     if cp.preserve_quality and not cp.fasta_input:
         qmat, _q = qv.decompress_rows(reader.get_block("quality", b),
-                                      max_len=L)
+                                      max_len=L, num_threads=num_threads)
         qmat1, qmat2 = qmat[:m], qmat[m:]
     if cp.preserve_id:
         if cp.paired_id_match:
@@ -609,7 +614,8 @@ def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
 
 
 def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
-                  seq_codes: np.ndarray, per_file: int):
+                  seq_codes: np.ndarray, per_file: int,
+                  num_threads: int = 1):
     trace = os.environ.get("SPRING_TPU_TRACE")
     _t0 = time.time()
     block = cp.num_reads_per_block
@@ -654,7 +660,8 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     qmat = None
     if cp.preserve_quality and not cp.fasta_input:
         qmat, _qlens = qv.decompress_rows(
-            reader.get_block("quality", b), max_len=L, num_threads=1)
+            reader.get_block("quality", b), max_len=L,
+            num_threads=num_threads)
     _t3 = time.time()
     if cp.preserve_id:
         if cp.paired_id_match and s >= per_file:
