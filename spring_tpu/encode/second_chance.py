@@ -32,7 +32,20 @@ _ODD = jnp.uint32(0x55555555)
 _BIG = jnp.iinfo(jnp.int32).max
 CHUNK = 1 << 20      # consensus positions per device pass
 CANDS = 8
-WINDOWS = (0, 16)    # read-local key windows (reference uses 0-20 / 21-41)
+WINDOWS = (0, 16)    # minimum window set (reads >= 32 bases)
+
+
+def windows_for(max_len: int) -> tuple[int, ...]:
+    """Read-local key windows, 16-base aligned (the verify funnel shifts
+    are word-aligned), spread across the read so a read stays placeable
+    unless EVERY window carries an error. The reference uses two 21-base
+    windows at 0-20/21-41 (src/encoder.h:610-620); at 1% error four
+    16-mers miss ~0.05% of reads vs ~3.6% for the reference pair."""
+    ws = [0, 16]
+    for st in (32, 48):
+        if max_len >= st + 16:
+            ws.append(st)
+    return tuple(ws)
 
 
 def _pack_with_nmask(codes: np.ndarray) -> np.ndarray:
@@ -51,9 +64,9 @@ def _pack_with_nmask(codes: np.ndarray) -> np.ndarray:
 _PAD = 16        # leading pad bases so window word -1 is addressable
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _chunk_match(p0, seq_j, rows_j, btabs, encs, total_j, W: int,
-                 thresh: int):
+                 thresh: int, windows: tuple = WINDOWS):
     """One CHUNK of consensus positions probes the leftover-read dicts.
 
     All arrays are arguments (closure constants would be baked into the
@@ -71,13 +84,14 @@ def _chunk_match(p0, seq_j, rows_j, btabs, encs, total_j, W: int,
         hi = seq_j[jnp.clip(wi + off + 1, 0, nw - 1)]
         return jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
 
-    fw = {off: win_word(off) for off in range(-1, W)}
+    max_woff = max(st // 16 for st in windows)
+    fw = {off: win_word(off) for off in range(-max_woff - 1, W)}
     key = fw[0]
 
     best_pr = jnp.full((CHUNK,), _BIG, jnp.int32)
     best_rid = jnp.full((CHUNK,), -1, jnp.int32)
     best_p = jnp.zeros((CHUNK,), jnp.int32)
-    for di, st in enumerate(WINDOWS):
+    for di, st in enumerate(windows):
         woff = st // 16
         cand, hit = dct.probe_hash(btabs[di], encs[di], key, CANDS)
         ok0 = hit & (cand >= 0) & pv[:, None] & (p >= st)[:, None]
@@ -123,18 +137,18 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
         return out_pos, out_rc, out_pos >= 0
 
     # both orientations; dict rid = 2*read + orientation
+    windows = windows_for(int(lengths.max()) if n else 32)
     rcods = packing.revcomp_codes(codes, lengths)
+    # row r < n is read r forward, row n + r is its reverse complement;
+    # dict candidates are row indices, used DIRECTLY to gather rows in the
+    # verify (a 2*r+orient remap here once desynced candidates from rows
+    # and silently killed nearly all placements)
     both = np.concatenate([codes, rcods], axis=0)
     lens2 = np.concatenate([lengths, lengths])
     dicts = dct.build_hash_dicts(both, lens2,
-                                 [dct.DictSpec(st) for st in WINDOWS],
+                                 [dct.DictSpec(st) for st in windows],
                                  pad_to_pow2=True)
-    enc = []
-    for d in dicts:
-        r = np.asarray(d.rids)
-        enc.append(jnp.asarray(np.where(
-            r < 0, -1, np.where(r < n, 2 * r, 2 * (r - n) + 1)
-        ).astype(np.int32)))
+    enc = [d.rids for d in dicts]
 
     L = codes.shape[1]
     W = bits.words_per_read(L)
@@ -159,7 +173,7 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
     match_r, match_p = [], []
     for p0 in range(0, max(total - dct.KEY_BASES + 1, 1), CHUNK):
         rid, pal = _chunk_match(jnp.asarray(p0, jnp.int32), seq_j, rows_j,
-                                btabs, enc, total_j, W, thresh)
+                                btabs, enc, total_j, W, thresh, windows)
         rid_np = np.asarray(rid)
         sel = rid_np >= 0
         if sel.any():
@@ -169,8 +183,8 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
         return out_pos, out_rc, out_pos >= 0
     rids_all = np.concatenate(match_r)
     pos_all = np.concatenate(match_p)
-    read_idx = rids_all >> 1
-    rc_all = (rids_all & 1).astype(np.uint8)
+    read_idx = np.where(rids_all < n, rids_all, rids_all - n)
+    rc_all = (rids_all >= n).astype(np.uint8)
     uniq, first = np.unique(read_idx, return_index=True)
     out_pos[uniq] = pos_all[first]
     out_rc[uniq] = rc_all[first]
