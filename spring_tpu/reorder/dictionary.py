@@ -21,6 +21,7 @@ Hamming verification rejects.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -311,6 +312,139 @@ def probe_hash(btab, rids, queries: jnp.ndarray,
         cand = jnp.take(rids, jnp.minimum(idx, n - 1), axis=0)
     shape = (*queries.shape, max_candidates)
     return cand.reshape(shape), valid.reshape(shape)
+
+
+# ---------------- device-side build & compaction --------------------------
+#
+# The host build costs seconds of numpy sorting at 1M+ reads and the tables
+# then ride the (slow) host->device tunnel (~64 MB/s h2d here). The packed
+# rows are already on device for the reorder engine, so building the
+# dictionary there — one big lax.sort + segment scans + two placement
+# sorts/scatters — removes both the host time and ~60 MB of transfer.
+# The placement order matches _build_hash_dicts exactly (keys processed in
+# ascending order per target bucket), so btab/rids come out bit-identical.
+
+@dataclass
+class DeviceDict:
+    """Device arrays of one hash dictionary (same probe contract as
+    HashDict, plus the key-sorted array for on-device bin compaction)."""
+    btab: jnp.ndarray      # (S, 3*SLOTS) uint32
+    rids: jnp.ndarray      # (Np,) int32, key-sorted bins
+    keys_dev: jnp.ndarray  # (Np,) uint32, sorted (compaction key)
+    start: int
+    dropped: jnp.ndarray   # () int32 — overflowed unique keys
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _build_hash_dict_dev(rows, n_real, start: int, S: int):
+    """Build one bucketed hash dict from packed rows living on device.
+
+    rows: (Np, W+1) uint32 — packed reads + length word (engine layout).
+    Returns (btab, keys_sorted, rids_sorted, dropped)."""
+    Np, Wp1 = rows.shape
+    W = Wp1 - 1
+    lengths = (rows[:, W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    w0, b = divmod(start, 16)
+    lo = rows[:, w0] >> jnp.uint32(2 * b)
+    if b:
+        lo = lo | (rows[:, w0 + 1] << jnp.uint32(32 - 2 * b))
+    rid = jnp.arange(Np, dtype=jnp.int32)
+    ok = (rid < n_real) & (lengths >= start + KEY_BASES)
+    keys = jnp.where(ok, lo.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    # secondary sort key puts padding (-1 rid) after real rids within a bin
+    ridkey = jnp.where(ok, rid, jnp.int32(2**31 - 1))
+    keys_s, _, rids_s = jax.lax.sort(
+        (keys, ridkey, jnp.where(ok, rid, -1)), num_keys=2)
+
+    pos = jnp.arange(Np, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), keys_s[1:] != keys_s[:-1]])
+    # segment end of the bin starting at i = next 'first' position after i
+    marks = jnp.where(first, pos, Np)
+    nxt = jax.lax.cummin(
+        jnp.concatenate([marks[1:], jnp.full(1, Np, jnp.int32)]),
+        reverse=True)
+    ucount = nxt - pos                       # valid where first
+    # drop the all-padding sentinel bin (host build does the same; a real
+    # poly-T bin keeps its leading real rids)
+    entry = first & ~((keys_s == jnp.uint32(0xFFFFFFFF)) & (rids_s == -1))
+
+    shift = 32 - int(np.log2(S))
+    h = ((keys_s * jnp.uint32(_HASH_MULT)) >> shift).astype(jnp.int32)
+
+    fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
+    fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
+    fcount = jnp.zeros(S * SLOTS + 1, jnp.uint32)
+    occ = jnp.zeros(S + 1, jnp.int32)
+
+    def rank_in_groups(bk):
+        f2 = jnp.concatenate([jnp.ones(1, bool), bk[1:] != bk[:-1]])
+        gstart = jax.lax.cummax(jnp.where(f2, pos, 0))
+        return pos - gstart
+
+    # attempt 0: home bucket, slots 0..rank
+    b0 = jnp.where(entry, h, S)
+    bk0, _, uk0, us0, uc0 = jax.lax.sort(
+        (b0, pos, keys_s, pos.astype(jnp.uint32),
+         ucount.astype(jnp.uint32)), num_keys=2)
+    rank0 = rank_in_groups(bk0)
+    live0 = bk0 < S
+    fits0 = live0 & (rank0 < SLOTS)
+    flat0 = jnp.where(fits0, bk0 * SLOTS + rank0, S * SLOTS)
+    fkey = fkey.at[flat0].set(jnp.where(fits0, uk0, 0))
+    fstart = fstart.at[flat0].set(jnp.where(fits0, us0, 0))
+    fcount = fcount.at[flat0].set(jnp.where(fits0, uc0, 0))
+    occ = occ.at[jnp.where(fits0, bk0, S)].add(1)
+
+    # attempt 1: next bucket, slots after its attempt-0 occupancy
+    todo = live0 & ~fits0
+    b1 = jnp.where(todo, (bk0 + 1) & (S - 1), S)
+    bk1, _, uk1, us1, uc1 = jax.lax.sort(
+        (b1, pos, uk0, us0, uc0), num_keys=2)
+    rank1 = rank_in_groups(bk1)
+    live1 = bk1 < S
+    slot1 = occ[jnp.clip(bk1, 0, S - 1)] + rank1
+    fits1 = live1 & (slot1 < SLOTS)
+    flat1 = jnp.where(fits1, bk1 * SLOTS + slot1, S * SLOTS)
+    fkey = fkey.at[flat1].set(jnp.where(fits1, uk1, 0))
+    fstart = fstart.at[flat1].set(jnp.where(fits1, us1, 0))
+    fcount = fcount.at[flat1].set(jnp.where(fits1, uc1, 0))
+    dropped = jnp.sum(live1 & ~fits1).astype(jnp.int32)
+
+    btab = jnp.concatenate(
+        [fkey[: S * SLOTS].reshape(S, SLOTS),
+         fstart[: S * SLOTS].reshape(S, SLOTS),
+         fcount[: S * SLOTS].reshape(S, SLOTS)], axis=1)
+    return btab, keys_s, rids_s, dropped
+
+
+def build_hash_dicts_device(rows, n_real: int,
+                            windows: list[DictSpec]) -> list[DeviceDict]:
+    """Build all dictionaries on device from engine-layout packed rows."""
+    Np = int(rows.shape[0])
+    S = max(1 << int(max(2 * Np // SLOTS, 1) - 1).bit_length(), 64)
+    nr = jnp.asarray(n_real, jnp.int32)
+    out = []
+    for spec in windows:
+        btab, keys_s, rids_s, dropped = _build_hash_dict_dev(
+            rows, nr, spec.start, S)
+        out.append(DeviceDict(btab=btab, rids=rids_s, keys_dev=keys_s,
+                              start=spec.start, dropped=dropped))
+    return out
+
+
+@jax.jit
+def compact_bins_dev(keys_s, rids_s, claimed):
+    """Device-side in-bin compaction: live entries to each bin's front
+    (same contract as compact_bins; claimed is the engine's bitmap)."""
+    Np = rids_s.shape[0]
+    safe = jnp.clip(rids_s, 0, claimed.shape[0] * 32 - 1)
+    bit = (claimed[safe >> 5] >> (safe & 31).astype(jnp.uint32)) & 1
+    dead = ((rids_s < 0) | (bit == 1)).astype(jnp.int32)
+    pos = jnp.arange(Np, dtype=jnp.int32)
+    _, dead_srt, _, rids_srt = jax.lax.sort(
+        (keys_s, dead, pos, rids_s), num_keys=3)
+    return jnp.where(dead_srt == 1, -1, rids_srt)
 
 
 def compact_bins(rids_np, keys_np, claimed_np):

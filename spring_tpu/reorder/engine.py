@@ -33,6 +33,7 @@ device and flushed every FLUSH_ROUNDS rounds so the host loop syncs rarely.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -354,11 +355,11 @@ class ReorderEngine:
         # seq-stream size — fewer, longer contigs)
         self.B = int(min(cfg.num_walkers, max(8, self.Np // 256)))
         self.windows = dct.default_windows(cfg.max_readlen)
-        # dictionary keys come straight from the packed rows — the pipeline
-        # never materializes an unpacked (n, L) codes matrix for the engine
-        self.dicts = dct.build_hash_dicts_packed(packed, lengths,
-                                                 self.windows,
-                                                 pad_to_pow2=True)
+        # dictionaries are built ON DEVICE from the packed rows at run()
+        # (one lax.sort + placement scatters, ~100 ms at 1M reads): the
+        # host build cost seconds of numpy sorting and its tables then rode
+        # the slow host->device tunnel (~60 MB at 64 MB/s)
+        self._dicts = None
         # packed rows carry the read length as a trailing word so candidate
         # verification needs a single row gather (see verify_candidates);
         # bit 31 of that word is the claimed flag (set for padding rows)
@@ -373,7 +374,29 @@ class ReorderEngine:
         # deleted buffer on any second run()
         self.packed_np = packed_p
         self.lengths = jnp.asarray(lengths_p)
-        self._round_fn = self._build_round_fn()
+        # the flush program is cached at module level by its static shape
+        # signature: a per-engine jax.jit would re-trace the (large) round
+        # scan on every compress call (~3 s of pure Python tracing)
+        self._round_impl, self._round_fn, self.emit_cap = _flush_program(
+            self.Np, cfg.candidates, cfg.shift_chunk, cfg.accept_slots,
+            tuple(w.start for w in self.windows), cfg.thresh)
+
+    @property
+    def dicts(self) -> list[dct.DeviceDict]:
+        """Device dictionaries (built lazily from a fresh rows copy when
+        accessed outside run() — run() builds from its own state rows)."""
+        if self._dicts is None:
+            self._build_dicts(jnp.asarray(self.packed_np))
+        return self._dicts
+
+    def _build_dicts(self, rows) -> None:
+        self._dicts = dct.build_hash_dicts_device(rows, self.N, self.windows)
+        for d in self._dicts:
+            nd = int(d.dropped)
+            if nd:
+                import sys
+                print(f"[dict] {nd} keys overflowed the hash table and "
+                      "were dropped", file=sys.stderr)
 
     # ---------------- state ----------------
 
@@ -400,17 +423,30 @@ class ReorderEngine:
             rows=jnp.asarray(self.packed_np),  # fresh device copy per run
         )
 
-    # ---------------- the jitted round ----------------
+    # ---------------- dictionary compaction ----------------
 
-    def _build_round_fn(self):
-        cfg = self.cfg
-        Np = self.Np
-        C = cfg.candidates
-        SC = cfg.shift_chunk
-        starts = [d.start for d in self.dicts]
-        lay = ProbeLayout(len(starts), C, SC)
-        M = min(cfg.accept_slots, lay.K)
+    def _compact_dicts(self, drids, claimed_dev):
+        """Move live entries to the front of every bin (bin starts/counts
+        unchanged). Equivalent of the reference's in-bin deletion
+        (src/bitset_util.cpp:38-63) — runs entirely on device (a host
+        round-trip of the rids costs ~0.5 s each way over the tunnel)."""
+        return [dct.compact_bins_dev(d.keys_dev, r, claimed_dev)
+                for d, r in zip(self._dicts, drids)]
 
+
+# ---------------- the jitted round (module-level, shape-keyed cache) ------
+
+@functools.lru_cache(maxsize=None)
+def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
+                   starts: tuple, thresh: int):
+    """Build (round_impl, jitted flush, emit_cap) for one static shape
+    signature. Cached at MODULE level: a per-engine jax.jit would re-trace
+    the (large) scanned round on every compress call — ~3 s of pure Python
+    tracing per run."""
+    lay = ProbeLayout(len(starts), C, SC)
+    M = min(accept_slots, lay.K)
+
+    if True:
         def round_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift, room=None):
             counts = state["counts"]
@@ -498,7 +534,7 @@ class ReorderEngine:
                     & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
                 ham = ham + jax.lax.population_count(mm & mw).astype(
                     jnp.int32)
-            ok = valid_m & ~claimed_row & (ham <= cfg.thresh) \
+            ok = valid_m & ~claimed_row & (ham <= thresh) \
                 & (t >= 0) & (hi > lo)
 
             # ---- batch accept: dedup rids within the walker (a read found
@@ -627,7 +663,7 @@ class ReorderEngine:
             return new_state, emit.astype(jnp.int32)
 
         S = M + 1
-        CAP = self.emit_cap = FLUSH_ROUNDS * 3 + S
+        CAP = FLUSH_ROUNDS * 3 + S
 
         def flush_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
@@ -658,25 +694,10 @@ class ReorderEngine:
                 body, (state, buf0, cnt0), None, length=FLUSH_ROUNDS)
             return state, buf[:, :CAP], cnt
 
-        self._round_impl = round_fn   # unjitted, for entry-point/driver use
-        return jax.jit(flush_fn, donate_argnums=(0,))
+        return round_fn, jax.jit(flush_fn, donate_argnums=(0,)), CAP
 
-    # ---------------- dictionary compaction ----------------
 
-    def _compact_dicts(self, drids, claimed_np):
-        """Move live entries to the front of every bin (bin starts/counts
-        unchanged). Equivalent of the reference's in-bin deletion
-        (src/bitset_util.cpp:38-63)."""
-        out_r = []
-        for d, r in zip(self.dicts, drids):
-            r_np = np.asarray(r)
-            out_r.append(jnp.asarray(
-                dct.compact_bins(r_np, d.keys_sorted, claimed_np)))
-        return out_r
-
-    # ---------------- driver loop ----------------
-
-    def run(self, progress=None) -> np.ndarray:
+def _engine_run(self, progress=None) -> np.ndarray:
         """Returns emissions (n_emitted, 4) int32 rows of
         (rid, flag, pos_delta, rc), WALKER-MAJOR (each walker's timeline is
         contiguous, flushes concatenated in time order), empty slots already
@@ -684,9 +705,19 @@ class ReorderEngine:
         import os
         import time
         trace = os.environ.get("SPRING_TPU_TRACE")
+        _t0 = time.time()
         state = self._init_state()
-        dkeys = [d.btab for d in self.dicts]
-        drids = [d.rids for d in self.dicts]
+        jax.block_until_ready(state["rows"])
+        _t1 = time.time()
+        # dictionaries are built from the state's own device rows BEFORE the
+        # first flush donates them (reads complete before donation reuses
+        # the buffer); blocks so the build isn't queued behind a flush
+        self._build_dicts(state["rows"])
+        dkeys = [d.btab for d in self._dicts]
+        drids = [d.rids for d in self._dicts]
+        if trace:
+            print(f"[trace] reorder init: state {_t1 - _t0:.3f}s dicts "
+                  f"{time.time() - _t1:.3f}s", flush=True)
         lengths = self.lengths
         # strided seed order: the first B seeds land evenly spread over the
         # input so concurrent walkers claim distinct regions even when the
@@ -738,7 +769,7 @@ class ReorderEngine:
                     and (emitted == 0 or n_claimed >= self.N)):
                 break
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
-                drids = self._compact_dicts(drids, claimed_np)
+                drids = self._compact_dicts(drids, state["claimed"])
                 last_claimed = n_claimed
             # compact the seed queue: drop already-claimed reads so the
             # endgame doesn't burn rounds skipping them one walker-batch
@@ -764,6 +795,9 @@ class ReorderEngine:
                   f"({1000 * dt / max(rounds, 1):.1f} ms/round) "
                   f"accepts={accepts} seeds={seeds}", flush=True)
         return out
+
+
+ReorderEngine.run = _engine_run
 
 
 def _compact_emit(buf: np.ndarray) -> np.ndarray:

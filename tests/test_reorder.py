@@ -183,3 +183,77 @@ def test_engine_with_rc_reads():
     singletons = sum(1 for c in contigs if len(c["rids"]) == 1)
     assert singletons <= len(codes) // 4
     assert max(len(c["rids"]) for c in contigs) >= 5
+
+
+def test_device_dict_build_matches_host():
+    rng = np.random.default_rng(7)
+    n, L = 3000, 100
+    codes = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    # duplicate some windows so bins have multi-entry counts
+    codes[1000:1500] = codes[:500]
+    lengths = np.full(n, L, np.int32)
+    lengths[:50] = 40           # too short for the mid windows
+    packed = packing.pack_codes(codes)
+    windows = dct.default_windows(L)
+    host = dct.build_hash_dicts_packed(packed, lengths, windows,
+                                       pad_to_pow2=True)
+
+    W = packed.shape[1]
+    Np = max(1 << max(n - 1, 1).bit_length(), 64)
+    rows = np.zeros((Np, W + 1), np.uint32)
+    rows[:n, :W] = packed
+    lp = np.zeros(Np, np.int32)
+    lp[:n] = lengths
+    rows[:, W] = lp.view(np.uint32)
+    rows[n:, W] |= np.uint32(1 << 31)
+    dev = dct.build_hash_dicts_device(jnp.asarray(rows), n, windows)
+
+    for hd, dd in zip(host, dev):
+        # bit-identical tables and bins (device mirrors the host placement)
+        np.testing.assert_array_equal(np.asarray(hd.btab),
+                                      np.asarray(dd.btab))
+        np.testing.assert_array_equal(np.asarray(hd.rids),
+                                      np.asarray(dd.rids))
+        # same probe answers for every indexed window key
+        q = np.unique(np.asarray(hd.keys_sorted))
+        q = q[q != 0xFFFFFFFF]
+        qj = jnp.asarray(q)
+        hr, hv = dct.probe_hash(hd.btab, hd.rids, qj, 8)
+        dr, dv = dct.probe_hash(dd.btab, dd.rids, qj, 8)
+        np.testing.assert_array_equal(np.asarray(hv), np.asarray(dv))
+        np.testing.assert_array_equal(
+            np.asarray(hr)[np.asarray(hv)], np.asarray(dr)[np.asarray(dv)])
+
+
+def test_device_bin_compaction_matches_host():
+    rng = np.random.default_rng(8)
+    n, L = 2000, 100
+    codes = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    codes[500:1000] = codes[:500]
+    lengths = np.full(n, L, np.int32)
+    packed = packing.pack_codes(codes)
+    windows = dct.default_windows(L)
+
+    W = packed.shape[1]
+    Np = max(1 << max(n - 1, 1).bit_length(), 64)
+    rows = np.zeros((Np, W + 1), np.uint32)
+    rows[:n, :W] = packed
+    lp = np.zeros(Np, np.int32)
+    lp[:n] = lengths
+    rows[:, W] = lp.view(np.uint32)
+    rows[n:, W] |= np.uint32(1 << 31)
+    dev = dct.build_hash_dicts_device(jnp.asarray(rows), n, windows)
+
+    claimed_np = np.zeros(Np, bool)
+    claimed_np[rng.integers(0, n, size=600)] = True
+    cl = np.zeros(Np // 32 + 2, np.uint32)
+    cl[: Np // 32] = np.packbits(
+        np.concatenate([claimed_np[:n], np.ones(Np - n, bool)]),
+        bitorder="little").view(np.uint32)
+
+    for dd in dev:
+        host_out = dct.compact_bins(np.asarray(dd.rids),
+                                    np.asarray(dd.keys_dev), claimed_np)
+        dev_out = np.asarray(dct.compact_bins_dev(
+            dd.keys_dev, dd.rids, jnp.asarray(cl)))
+        np.testing.assert_array_equal(host_out, dev_out)
