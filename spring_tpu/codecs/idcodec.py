@@ -39,15 +39,22 @@ def compress_ids_raw(idbuf: np.ndarray, lens: np.ndarray) -> bytes:
     return dst.raw[:got]
 
 
-def decompress_ids(data: bytes, expected_count: int,
-                   expected_bytes_hint: int = 0) -> list[bytes]:
+def decompress_ids_raw(data: bytes, expected_count: int,
+                       expected_bytes_hint: int = 0
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Decompress to (concatenated uint8 buffer, uint32 lengths) — the
+    zero-copy shape the decoder pipeline consumes directly. The output
+    buffer starts at a modest guess and regrows on -2 (a fixed 256 B/id
+    cap allocated + sliced ~65 MB per 256k block; ctypes' .raw also
+    copies the WHOLE buffer before slicing — together several seconds of
+    page faults per block on this host)."""
     lib = native.load()
     n = len(data)
     src = (ctypes.c_uint8 * max(n, 1)).from_buffer_copy(data or b"\0")
     srcp = ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8))
-    cap = max(expected_bytes_hint, 256 * max(expected_count, 1))
+    cap = max(expected_bytes_hint, 48 * max(expected_count, 1))
     while True:
-        dst = ctypes.create_string_buffer(cap)
+        dst = (ctypes.c_uint8 * cap)()
         lens = np.zeros(max(expected_count, 1), dtype=np.uint32)
         count = ctypes.c_uint32(0)
         got = lib.stpu_id_decompress(
@@ -59,10 +66,18 @@ def decompress_ids(data: bytes, expected_count: int,
             continue
         if got < 0:
             raise RuntimeError(f"id_decompress failed ({got})")
-        raw = dst.raw[:got]
-        out = []
-        off = 0
-        for l in lens[: count.value]:
-            out.append(raw[off:off + int(l)])
-            off += int(l)
-        return out
+        buf = np.frombuffer(ctypes.string_at(dst, got), np.uint8)
+        return buf, lens[: count.value].copy()
+
+
+def decompress_ids(data: bytes, expected_count: int,
+                   expected_bytes_hint: int = 0) -> list[bytes]:
+    buf, lens = decompress_ids_raw(data, expected_count,
+                                   expected_bytes_hint)
+    raw = buf.tobytes()
+    out = []
+    off = 0
+    for l in lens:
+        out.append(raw[off:off + int(l)])
+        off += int(l)
+    return out

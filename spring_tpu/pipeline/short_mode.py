@@ -107,7 +107,13 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # merges the same way), rows padded to the common maxlen
     ml = max(maxlen, 1)
     W = -(-ml // 16)
-    packed_all = np.empty((n, W), np.uint32)
+    # rows over-allocated to the next power of two: the reorder engine
+    # transfers this array to the device and gathers its subset there, and
+    # a pow2 shape keeps one compiled program per size bucket (np.empty
+    # padding pages are never written -> no host RSS cost)
+    n_pad = max(1 << max(n - 1, 1).bit_length(), 64)
+    packed_buf = np.empty((n_pad, W), np.uint32)
+    packed_all = packed_buf[:n]
     lengths = np.empty(n, np.int32)
     quals = np.empty((n, ml), np.uint8) if want_q else None
     idbytes = sum(i.idbytes for i in infos)
@@ -219,18 +225,23 @@ def compress_short(files: list[str], writer: ArchiveWriter,
 
     if len(clean_rids) and maxlen >= 32:
         c_len = lengths[clean_rids]
-        packed = np.ascontiguousarray(packed_all[clean_rids])
         use_dist = os.environ.get("SPRING_TPU_DIST")
         if use_dist:
             from ..parallel import dist as dist_mod
+            packed = np.ascontiguousarray(packed_all[clean_rids])
             engine = dist_mod.DistReorderEngine(
                 packed, c_len, dist_mod.DistConfig(max_readlen=maxlen))
         else:
             cfg = eng.ReorderConfig(max_readlen=maxlen)
-            walkers_env = os.environ.get("SPRING_TPU_WALKERS")
-            if walkers_env:
-                cfg.num_walkers = int(walkers_env)
-            engine = eng.ReorderEngine(packed, c_len, cfg)
+            for env, attr in (("SPRING_TPU_WALKERS", "num_walkers"),
+                              ("SPRING_TPU_SC", "shift_chunk"),
+                              ("SPRING_TPU_SLOTS", "accept_slots")):
+                v = os.environ.get(env)
+                if v:
+                    setattr(cfg, attr, int(v))
+            # the clean-row gather happens on device (engine `select`)
+            engine = eng.ReorderEngine(packed_buf, lengths, cfg,
+                                       select=clean_rids)
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")
@@ -239,12 +250,16 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             ordered=getattr(engine, "ordered_emissions", False))
         mark("assemble_contigs")
         if layout.seq_len:
-            seq_codes = cons.build_consensus_packed(layout, packed, c_len)
+            g = clean_rids[layout.rids]          # layout order -> global rid
+            glay = cons.ContigLayout(rids=g.astype(np.int32),
+                                     gpos=layout.gpos, rc=layout.rc,
+                                     seq_len=layout.seq_len)
+            seq_codes = cons.build_consensus_packed(glay, packed_all,
+                                                    lengths)
             mark("consensus")
             nn, noisepos, noisechar = cons.extract_noise_packed(
-                layout, seq_codes, packed, c_len)
+                glay, seq_codes, packed_all, lengths)
             mark("noise")
-            g = clean_rids[layout.rids]          # layout order -> global rid
             flag[g] = 1
             gpos[g] = layout.gpos
             rc[g] = layout.rc
@@ -592,23 +607,28 @@ def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
         qmat, _q = qv.decompress_rows(reader.get_block("quality", b),
                                       max_len=L, num_threads=num_threads)
         qmat1, qmat2 = qmat[:m], qmat[m:]
+    def pack_ids(ids):
+        return (np.frombuffer(b"".join(ids), np.uint8),
+                np.fromiter((len(i) for i in ids), np.uint32, len(ids)))
+
     if cp.preserve_id:
         if cp.paired_id_match:
             ids1 = idcodec.decompress_ids(reader.get_block("id", b), m)
             ids2 = [modify_id(i, cp.paired_id_code) for i in ids1]
+            id1buf, id1lens = pack_ids(ids1)
+            id2buf, id2lens = pack_ids(ids2)
         else:
-            both = idcodec.decompress_ids(reader.get_block("id", b), 2 * m)
-            ids1, ids2 = both[:m], both[m:]
+            buf2, lens2 = idcodec.decompress_ids_raw(
+                reader.get_block("id", b), 2 * m)
+            split = int(lens2[:m].sum())
+            id1buf, id1lens = buf2[:split], lens2[:m]
+            id2buf, id2lens = buf2[split:], lens2[m:]
     else:
         pre = ">" if cp.fasta_input else "@"
-        ids1 = [f"{pre}{s + i + 1}/1".encode() for i in range(m)]
-        ids2 = [f"{pre}{s + i + 1}/2".encode() for i in range(m)]
-
-    def pack_ids(ids):
-        return (np.frombuffer(b"".join(ids), np.uint8),
-                np.fromiter((len(i) for i in ids), np.uint32, len(ids)))
-    id1buf, id1lens = pack_ids(ids1)
-    id2buf, id2lens = pack_ids(ids2)
+        id1buf, id1lens = pack_ids(
+            [f"{pre}{s + i + 1}/1".encode() for i in range(m)])
+        id2buf, id2lens = pack_ids(
+            [f"{pre}{s + i + 1}/2".encode() for i in range(m)])
     return ((id1buf, id1lens, chars1, rlen1, qmat1),
             (id2buf, id2lens, chars2, rlen2, qmat2))
 
@@ -666,15 +686,20 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     if cp.preserve_id:
         if cp.paired_id_match and s >= per_file:
             ids = _pe_ids_range(reader, cp, s, s + m, per_file)
-        else:
+            idbuf = np.frombuffer(b"".join(ids), np.uint8)
+            idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
+        elif cp.paired_id_match and s + m > per_file:
+            # block straddles the file boundary: tail ids derive from
+            # file-1 ids
             ids = idcodec.decompress_ids(reader.get_block("id", b), m)
-            if cp.paired_id_match and s + m > per_file:
-                # block straddles the file boundary: tail ids derive from
-                # file-1 ids
-                ids = ids[: per_file - s] + _pe_ids_range(
-                    reader, cp, per_file, s + m, per_file)
-        idbuf = np.frombuffer(b"".join(ids), np.uint8)
-        idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
+            ids = ids[: per_file - s] + _pe_ids_range(
+                reader, cp, per_file, s + m, per_file)
+            idbuf = np.frombuffer(b"".join(ids), np.uint8)
+            idlens = np.fromiter((len(i) for i in ids), np.uint32, len(ids))
+        else:
+            # array fast path: no per-id bytes objects
+            idbuf, idlens = idcodec.decompress_ids_raw(
+                reader.get_block("id", b), m)
     else:
         # fake ids: per-file index + /1 or /2 (reference
         # src/decompress.cpp:374-378); FASTA headers must start with '>'

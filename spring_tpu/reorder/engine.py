@@ -328,6 +328,17 @@ def seed_counts_for(packed, lengths, seed_rid, Lb):
     return _onehot_read(seed_codes, lengths[seed_rid])
 
 
+@jax.jit
+def _assemble_rows(full, sel, lengths_p):
+    """Gather full[sel] and append the length word (claimed bit 31 set
+    where sel < 0, i.e. padding rows)."""
+    n_all = full.shape[0]
+    rows = full[jnp.clip(sel, 0, n_all - 1)]
+    lw = lengths_p.astype(jnp.uint32)
+    lw = jnp.where(sel >= 0, lw, lw | jnp.uint32(1 << 31))
+    return jnp.concatenate([rows, lw[:, None]], axis=1)
+
+
 # --------------- single-device engine ---------------
 
 class ReorderEngine:
@@ -341,9 +352,23 @@ class ReorderEngine:
     ordered_emissions = True   # run() returns filtered walker-major rows
 
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
-                 cfg: ReorderConfig, codes: np.ndarray | None = None):
+                 cfg: ReorderConfig, codes: np.ndarray | None = None,
+                 select: np.ndarray | None = None):
+        """packed: (n, W) uint32 packed rows; lengths: matching lengths.
+        With ``select``, packed covers the FULL read set and the engine
+        operates on packed[select] (the row gather happens ON DEVICE — a
+        host-side fancy-index of 32 MB costs ~1 s on this host's lazily
+        faulted memory, and the rows transfer anyway)."""
         self.cfg = cfg
-        self.N = packed.shape[0]          # real read count
+        if select is None:
+            select = np.arange(packed.shape[0], dtype=np.int32)
+            lengths_sel = lengths
+        else:
+            select = np.ascontiguousarray(select, np.int32)
+            lengths_sel = lengths[select]
+        self._full = packed
+        self._sel = select
+        self.N = len(select)              # real read count
         self.W = packed.shape[1]
         self.Lb = self.W * bits.BASES_PER_WORD
         # pad N to a power of two so datasets of similar size share one
@@ -360,19 +385,8 @@ class ReorderEngine:
         # host build cost seconds of numpy sorting and its tables then rode
         # the slow host->device tunnel (~60 MB at 64 MB/s)
         self._dicts = None
-        # packed rows carry the read length as a trailing word so candidate
-        # verification needs a single row gather (see verify_candidates);
-        # bit 31 of that word is the claimed flag (set for padding rows)
-        packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
-        packed_p[: self.N, : self.W] = packed
         lengths_p = np.zeros(self.Np, np.int32)
-        lengths_p[: self.N] = lengths
-        packed_p[:, self.W] = lengths_p.view(np.uint32)
-        packed_p[self.N:, self.W] |= np.uint32(1 << 31)
-        # keep the initial rows on the host: the jitted round donates its
-        # state (incl. rows), so a device-resident self.packed would be a
-        # deleted buffer on any second run()
-        self.packed_np = packed_p
+        lengths_p[: self.N] = lengths_sel
         self.lengths = jnp.asarray(lengths_p)
         # the flush program is cached at module level by its static shape
         # signature: a per-engine jax.jit would re-trace the (large) round
@@ -386,8 +400,18 @@ class ReorderEngine:
         """Device dictionaries (built lazily from a fresh rows copy when
         accessed outside run() — run() builds from its own state rows)."""
         if self._dicts is None:
-            self._build_dicts(jnp.asarray(self.packed_np))
+            self._build_dicts(self._device_rows())
         return self._dicts
+
+    def _device_rows(self):
+        """Assemble the engine's (Np, W+1) padded row array on device:
+        gather packed[select], append the length word with the claimed flag
+        (bit 31) pre-set on padding rows (see verify_candidates — one row
+        gather fetches data + length + claimed state)."""
+        sel_p = np.full(self.Np, -1, np.int32)
+        sel_p[: self.N] = self._sel
+        return _assemble_rows(jnp.asarray(self._full),
+                              jnp.asarray(sel_p), self.lengths)
 
     def _build_dicts(self, rows) -> None:
         self._dicts = dct.build_hash_dicts_device(rows, self.N, self.windows)
@@ -420,7 +444,7 @@ class ReorderEngine:
             left_phase=jnp.zeros((B,), bool),
             claimed=jnp.asarray(claimed),
             queue_pos=jnp.zeros((), jnp.int32),
-            rows=jnp.asarray(self.packed_np),  # fresh device copy per run
+            rows=self._device_rows(),          # fresh device copy per run
         )
 
     # ---------------- dictionary compaction ----------------
