@@ -6,14 +6,14 @@ bitsets so N never matches) and every contig position probes them, accepting
 Hamming <= THRESH_ENCODER=24 (src/encoder.h:242-351, dicts at
 src/encoder.h:610-624).
 
-TPU-first design: the roles make this embarrassingly parallel — every
-consensus position p extracts a 16-mer key (funnel shift from the packed
-sequence), probes hash dicts built over two windows of the oriented reads
-(bases [0,16) and [16,32) — an error in one window still matches via the
-other), and verifies all candidates in one fixed-shape jitted pass over
-position chunks. N bases ride along as a second 2-bit plane that forces a
-mismatch. Multiple positions matching the same read are resolved on the
-host (lowest position wins). No iteration, no locks.
+TPU-first design: the roles are flipped relative to the reference — ONE
+sliding-window hash dict is built (on device) over every consensus 16-mer,
+and each oriented leftover read probes it at its 16-aligned windows (an
+error in one window still matches via another), verifying candidates with
+N-masked packed popcounts. Work scales with the leftover-read count, not
+the consensus length. N bases ride along as a second 2-bit plane that
+forces a mismatch. Ambiguity resolves by a per-read min over candidates
+(lowest position, forward preferred). No iteration, no locks.
 """
 from __future__ import annotations
 
@@ -30,7 +30,6 @@ from ..reorder import dictionary as dct
 
 _ODD = jnp.uint32(0x55555555)
 _BIG = jnp.iinfo(jnp.int32).max
-CHUNK = 1 << 20      # consensus positions per device pass
 CANDS = 8
 WINDOWS = (0, 16)    # minimum window set (reads >= 32 bases)
 
@@ -65,78 +64,49 @@ _PAD = 16        # leading pad bases so window word -1 is addressable
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
-def _match_all(seq_j, rows_j, btabs, encs, total_j, n_reads, W: int,
-               thresh: int, windows: tuple = WINDOWS):
-    """All consensus positions probe the leftover-read dicts in ONE
-    dispatch: a fori_loop with a data-dependent trip count walks CHUNK-
-    sized position blocks, and matches land in a device-resident per-read
-    scatter-min (value = pos<<1 | rc, so the lowest position wins). Only
-    that (nr+1,) array crosses back to the host — the previous per-chunk
-    transfer of (CHUNK,) results cost ~0.5 s each over the tunnel.
+def _match_reads(seq_j, btab, rids, rows_j, total_j, n_reads, W: int,
+                 thresh: int, windows: tuple = WINDOWS):
+    """Each oriented leftover read probes the consensus sliding-window
+    dict at its 16-aligned windows and Hamming-verifies the candidate
+    placements in place. ONE dispatch, no scatter, and work scales with
+    the number of LEFTOVER reads (~1e5), not consensus positions (~1e7) —
+    the previous positions-probe-read-dicts orientation gathered candidate
+    rows for every consensus position at a ~1% hit rate (gather-bound,
+    ~1.6 s/1M reads on v5e; this form is ~0.1 s).
 
-    All arrays are arguments (closure constants would be baked into the
-    HLO and force a recompile per compress call); seq/rows are pow2-padded
-    by the caller so the compiled program is shared across datasets.
-    """
+    Returns (nr//2,) per-read best = min(pos<<1 | rc) or _BIG; the rc half
+    of rows_j is folded onto the forward half."""
     nr = rows_j.shape[0]
-    max_woff = max(st // 16 for st in windows)
-
-    def chunk_body(ci, best):
-        p = ci * CHUNK + jnp.arange(CHUNK)
-        pv = p < total_j - dct.KEY_BASES + 1
-        wi = (p >> 4) + (_PAD // 16)     # word index of p in padded seq
-        r2 = (2 * (p & 15)).astype(jnp.uint32)
-
-        def win_word(off):   # seq word at base position p + 16*off
-            nw = seq_j.shape[0]
-            lo = seq_j[jnp.clip(wi + off, 0, nw - 1)]
-            hi = seq_j[jnp.clip(wi + off + 1, 0, nw - 1)]
-            return jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
-
-        fw = {off: win_word(off) for off in range(-max_woff - 1, W)}
-        key = fw[0]
-
-        best_pr = jnp.full((CHUNK,), _BIG, jnp.int32)
-        best_rid = jnp.full((CHUNK,), -1, jnp.int32)
-        best_p = jnp.zeros((CHUNK,), jnp.int32)
-        for di, st in enumerate(windows):
-            woff = st // 16
-            cand, hit = dct.probe_hash(btabs[di], encs[di], key, CANDS)
-            ok0 = hit & (cand >= 0) & pv[:, None] & (p >= st)[:, None]
-            safe = jnp.clip(cand, 0, nr - 1)
-            crows = rows_j[safe]                # (P, C, 2W+1)
-            clen = crows[..., 2 * W].astype(jnp.int32)
-            ham = jnp.zeros(cand.shape, jnp.int32)
-            for w in range(W):
-                dd = fw[w - woff][:, None] ^ crows[..., w]
-                m = ((dd | (dd >> 1)) | crows[..., W + w]) & _ODD
-                k = jnp.clip(clen - 16 * w, 0, 16)
-                full = jnp.uint32(0xFFFFFFFF) >> (
-                    32 - 2 * jnp.clip(k, 1, 16)).astype(jnp.uint32)
-                mw = jnp.where(k > 0, full, jnp.uint32(0))
-                ham = ham + jax.lax.population_count(m & mw).astype(
-                    jnp.int32)
-            p_al = (p - st)[:, None]
-            fits = (p_al >= 0) & ((p_al + clen) <= total_j)
-            ok = ok0 & fits & (ham <= thresh)
-            pr = jnp.where(ok, ham, _BIG)
-            sel = jnp.argmin(pr, axis=1)
-            prs = jnp.take_along_axis(pr, sel[:, None], axis=1)[:, 0]
-            rids = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
-            better = prs < best_pr
-            best_pr = jnp.where(better, prs, best_pr)
-            best_rid = jnp.where(better, rids, best_rid)
-            best_p = jnp.where(better, (p - st).astype(jnp.int32), best_p)
-
-        valid = best_rid >= 0
-        ridx = jnp.where(best_rid >= n_reads, best_rid - n_reads, best_rid)
-        rcb = jnp.where(best_rid >= n_reads, 1, 0)
-        val = jnp.where(valid, (best_p << 1) | rcb, _BIG)
-        return best.at[jnp.where(valid, ridx, nr)].min(val)
-
-    nchunks = (jnp.maximum(total_j - dct.KEY_BASES, 0)) // CHUNK + 1
-    best0 = jnp.full((nr + 1,), _BIG, jnp.int32)
-    return jax.lax.fori_loop(0, nchunks, chunk_body, best0)
+    nwords = seq_j.shape[0]
+    clen = rows_j[:, 2 * W].astype(jnp.int32)
+    rcbit = (jnp.arange(nr, dtype=jnp.int32) >= n_reads).astype(jnp.int32)
+    best = jnp.full((nr,), _BIG, jnp.int32)
+    for st in windows:
+        key = rows_j[:, st // 16]            # windows are 16-aligned
+        cand, hit = dct.probe_hash(btab, rids, key, CANDS)  # (nr, C) pos
+        q = cand - st                        # candidate read start in seq
+        okc = (hit & (q >= 0) & ((q + clen[:, None]) <= total_j)
+               & ((st + dct.KEY_BASES) <= clen)[:, None])
+        wi = (q >> 4) + (_PAD // 16)
+        r2 = (2 * (q & 15)).astype(jnp.uint32)
+        ham = jnp.zeros(cand.shape, jnp.int32)
+        for w in range(W):
+            lo = seq_j[jnp.clip(wi + w, 0, nwords - 1)]
+            hi = seq_j[jnp.clip(wi + w + 1, 0, nwords - 1)]
+            fw = jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
+            dd = fw ^ rows_j[:, w][:, None]
+            m = ((dd | (dd >> 1)) | rows_j[:, W + w][:, None]) & _ODD
+            k = jnp.clip(clen[:, None] - 16 * w, 0, 16)
+            full = jnp.uint32(0xFFFFFFFF) >> (
+                32 - 2 * jnp.clip(k, 1, 16)).astype(jnp.uint32)
+            mw = jnp.where(k > 0, full, jnp.uint32(0))
+            ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
+        okc &= ham <= thresh
+        val = jnp.where(okc, (q << 1) | rcbit[:, None], _BIG)
+        best = jnp.minimum(best, jnp.min(val, axis=1))
+    half = nr // 2
+    idx2 = jnp.minimum(jnp.arange(half, dtype=jnp.int32) + n_reads, nr - 1)
+    return jnp.minimum(best[:half], best[idx2])
 
 
 def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
@@ -147,6 +117,18 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
     Returns (gpos, rc, placed) per input read; gpos is the start of the
     oriented read in seq coordinates, -1 if unplaced.
     """
+    import os
+    import time
+    trace = os.environ.get("SPRING_TPU_TRACE")
+    _t = time.time()
+
+    def mark(stage):
+        nonlocal _t
+        if trace:
+            now = time.time()
+            print(f"[trace] sc.{stage}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     n = len(codes)
     out_pos = np.full(n, -1, np.int64)
     out_rc = np.zeros(n, np.uint8)
@@ -154,19 +136,13 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
     if n == 0 or total < dct.KEY_BASES:
         return out_pos, out_rc, out_pos >= 0
 
-    # both orientations; dict rid = 2*read + orientation
+    # both orientations; row r < n is read r forward, row n + r is its
+    # reverse complement
     windows = windows_for(int(lengths.max()) if n else 32)
     rcods = packing.revcomp_codes(codes, lengths)
-    # row r < n is read r forward, row n + r is its reverse complement;
-    # dict candidates are row indices, used DIRECTLY to gather rows in the
-    # verify (a 2*r+orient remap here once desynced candidates from rows
-    # and silently killed nearly all placements)
+    mark("revcomp")
     both = np.concatenate([codes, rcods], axis=0)
     lens2 = np.concatenate([lengths, lengths])
-    dicts = dct.build_hash_dicts(both, lens2,
-                                 [dct.DictSpec(st) for st in windows],
-                                 pad_to_pow2=True)
-    enc = [d.rids for d in dicts]
 
     L = codes.shape[1]
     W = bits.words_per_read(L)
@@ -185,12 +161,21 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
     seq_p = np.zeros(nw, np.uint32)
     seq_p[: len(seq_pk)] = seq_pk
     seq_j = jnp.asarray(seq_p)
+    mark("pack+h2d")
 
-    btabs = tuple(d.btab for d in dicts)
+    # ONE sliding-window dict over the consensus, built on device; the
+    # oriented reads probe it (work scales with reads, not positions)
+    npos = (nw - _PAD // 16) * 16
+    S = max(1 << int(max(2 * npos // dct.SLOTS, 1) - 1).bit_length(), 64)
+    btab, _keys, pos_bins, dropped = dct.build_hash_dict_seq_dev(
+        seq_j, jnp.asarray(total, jnp.int32), _PAD // 16, S)
+    mark("dicts")
+
     total_j = jnp.asarray(total, jnp.int32)
-    best = np.asarray(_match_all(seq_j, rows_j, btabs, tuple(enc), total_j,
-                                 jnp.asarray(n, jnp.int32), W, thresh,
-                                 windows))[:n]
+    best = np.asarray(_match_reads(seq_j, btab, pos_bins, rows_j, total_j,
+                                   jnp.asarray(n, jnp.int32), W, thresh,
+                                   windows))[:n]
+    mark("match")
     placed = best != _BIG
     out_pos[placed] = (best[placed] >> 1).astype(np.int64)
     out_rc[placed] = (best[placed] & 1).astype(np.uint8)

@@ -350,7 +350,34 @@ def _build_hash_dict_dev(rows, n_real, start: int, S: int):
         lo = lo | (rows[:, w0 + 1] << jnp.uint32(32 - 2 * b))
     rid = jnp.arange(Np, dtype=jnp.int32)
     ok = (rid < n_real) & (lengths >= start + KEY_BASES)
-    keys = jnp.where(ok, lo.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    return _hash_build_core(lo.astype(jnp.uint32), ok, S)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def build_hash_dict_seq_dev(seq_words, total, word_offset: int, S: int):
+    """Sliding-window hash dict over a packed flat sequence (device):
+    key[p] = the 16-mer starting at base p, value = p. ``seq_words`` may
+    carry ``word_offset`` leading padding words (second_chance layout).
+    Returns (btab, keys_sorted, pos_sorted, dropped) — probe with
+    probe_hash; candidates are base positions."""
+    nw = seq_words.shape[0]
+    npos = (nw - word_offset) * 16
+    p = jnp.arange(npos, dtype=jnp.int32)
+    wi = (p >> 4) + word_offset
+    r2 = (2 * (p & 15)).astype(jnp.uint32)
+    lo = seq_words[jnp.clip(wi, 0, nw - 1)]
+    hi = seq_words[jnp.clip(wi + 1, 0, nw - 1)]
+    keys = jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
+    ok = p <= total - KEY_BASES
+    return _hash_build_core(keys, ok, S)
+
+
+def _hash_build_core(keys_raw, ok, S: int):
+    """Shared device build: sort (key, id), segment unique keys, place into
+    the two-attempt bucket table. id = position in ``keys_raw``."""
+    Np = keys_raw.shape[0]
+    rid = jnp.arange(Np, dtype=jnp.int32)
+    keys = jnp.where(ok, keys_raw, jnp.uint32(0xFFFFFFFF))
     # secondary sort key puts padding (-1 rid) after real rids within a bin
     ridkey = jnp.where(ok, rid, jnp.int32(2**31 - 1))
     keys_s, _, rids_s = jax.lax.sort(

@@ -45,7 +45,11 @@ from ..ops import bits
 from . import dictionary as dct
 
 SHIFT_CHUNK = 4        # shifts probed per round
-FLUSH_ROUNDS = 32      # rounds between host syncs
+FLUSH_ROUNDS = 32      # rounds between host syncs. 64 was tried: the fixed
+                       # ~0.3 s/flush dispatch cost amortizes better, but
+                       # seed-queue compaction and the endgame exit only
+                       # happen between flushes, and the extra tail rounds
+                       # cost more than the amortization saved
 REBUILD_FRACTION = 0.10  # compact dicts when claimed grew by this fraction
 
 _ODD = jnp.uint32(0x55555555)
@@ -687,7 +691,11 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
             return new_state, emit.astype(jnp.int32)
 
         S = M + 1
-        CAP = FLUSH_ROUNDS * 3 + S
+        # buffer slots per walker per flush: accepts/round scale with the
+        # probed shift span (~3 per 16 shifts at 20-50x coverage); an
+        # undersized CAP silently stalls every walker for the tail of each
+        # flush (measured: SC=32 with the SC=16 CAP gained nothing)
+        CAP = FLUSH_ROUNDS * max(3, 3 * SC // 16) + S
 
         def flush_fn(state, lengths, dkeys, drids, seed_order,
                      n_real, maxshift):
