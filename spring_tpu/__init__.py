@@ -17,6 +17,8 @@ def _enable_compile_cache() -> None:
         cache = _os.environ.get(
             "SPRING_TPU_JAX_CACHE",
             _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        if cache in ("", "0", "off"):      # explicit opt-out
+            return
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # jax missing or too old — cache is an optimization only
