@@ -245,8 +245,15 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         mark("dict_build")
         emissions = engine.run()
         mark("reorder_run")
+        # contigs below MIN_CONTIG_READS don't pay for a consensus copy:
+        # their reads join the leftover pool and re-place against the
+        # surviving consensus in the second-chance pass (walker seed
+        # fragmentation produces many short duplicate contigs; demoting
+        # them shrinks the seq stream at no decoder cost)
+        min_reads = int(os.environ.get("SPRING_TPU_MIN_CONTIG",
+                                       P.MIN_CONTIG_READS))
         layout, _singles = cons.layout_from_emissions(
-            emissions, engine.B, c_len,
+            emissions, engine.B, c_len, min_reads=min_reads,
             ordered=getattr(engine, "ordered_emissions", False))
         mark("assemble_contigs")
         if layout.seq_len:
