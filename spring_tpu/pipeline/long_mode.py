@@ -38,8 +38,18 @@ def compress_long(files: list[str], writer: ArchiveWriter,
     nblocks = [0, 0]
     pool = ThreadPoolExecutor(max_workers=num_threads)
 
-    pending_id2: list[tuple[int, bytes]] = []  # file-2 id blocks, held until
+    pending_id2: list = []  # (bidx, future) of file-2 id blocks, held until
     # the pattern verdict is known (if the pattern holds they are dropped)
+    # codec work stays in flight across blocks (waiting on each block's
+    # futures before reading the next serialized the whole pipeline);
+    # the deque bound caps parsed-but-uncompressed block memory
+    from collections import deque
+    inflight: deque = deque()
+
+    def drain(limit: int) -> None:
+        while len(inflight) > limit:
+            stream, b_i, fut = inflight.popleft()
+            writer.add_block(stream, b_i, fut.result())
     for bidx, blocks in enumerate(itertools.zip_longest(*readers)):
         if paired:
             if (blocks[0] is None) != (blocks[1] is None):
@@ -67,11 +77,11 @@ def compress_long(files: list[str], writer: ArchiveWriter,
             if cp.preserve_id:
                 futs["id"] = pool.submit(idcodec.compress_ids, blk.ids)
             for stream, fut in futs.items():
-                data = fut.result()
                 if stream == "id" and j == 1:
-                    pending_id2.append((bidx, data))
+                    pending_id2.append((bidx, fut))
                 else:
-                    writer.add_block(f"{stream}{j + 1}", bidx, data)
+                    inflight.append((f"{stream}{j + 1}", bidx, fut))
+            drain(3 * num_threads)
         if paired and cp.preserve_id:
             b1, b2 = blocks
             if first_pair and len(b1):
@@ -84,6 +94,7 @@ def compress_long(files: list[str], writer: ArchiveWriter,
                         break
             else:
                 pattern_ok = False
+    drain(0)
     pool.shutdown()
     if paired and counts[0] != counts[1]:
         raise ValueError("paired files have different read counts")
@@ -91,8 +102,8 @@ def compress_long(files: list[str], writer: ArchiveWriter,
                               and pattern_code)
     cp.paired_id_code = pattern_code if cp.paired_id_match else 0
     if not cp.paired_id_match:
-        for bidx, data in pending_id2:
-            writer.add_block("id2", bidx, data)
+        for bidx, fut in pending_id2:
+            writer.add_block("id2", bidx, fut.result())
     cp.num_reads = sum(counts)
     cp.num_blocks = max(nblocks)
 

@@ -38,7 +38,9 @@ def main():
     out = os.path.join(tmpd, "out.stpu")
     print(f"generating {N} x {L}bp synthetic reads ...", flush=True)
     from spring_tpu.utils import synth
-    synth.make_se(fq, N, read_len=L, seed=5)
+    # scale the genome so coverage stays ~50x (SRR554369-like) at any N
+    genome = max(2_000_000, N * L // 50)
+    synth.make_se(fq, N, read_len=L, genome_size=genome, seed=5)
     sz = os.path.getsize(fq)
     print(f"input {sz / 1e9:.2f} GB; compressing ...", flush=True)
     rc = subprocess.run(
