@@ -191,6 +191,32 @@ class NOverlay:
         m[self.rows] = True
         return m
 
+    def nmask_planes(self, rids: np.ndarray, lengths: np.ndarray, L: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Packed N-mask planes (lane value 1 where base is N) for the
+        selected reads, forward and length-reversed (the reverse-complement
+        row's mask) — the packed-domain feed for second-chance verify."""
+        W = -(-L // 16)
+        k = len(rids)
+        nm_f = np.zeros((k, W), np.uint32)
+        nm_r = np.zeros((k, W), np.uint32)
+        if not len(self.rows) or not k:
+            return nm_f, nm_r
+        idx = np.searchsorted(self.rows, rids)
+        idx = np.minimum(idx, len(self.rows) - 1)
+        hit = self.rows[idx] == rids
+        for j in np.nonzero(hit)[0]:        # N-containing reads only
+            i = idx[j]
+            pos = self.pos[self.off[i]:self.off[i + 1]].astype(np.int64)
+            np.bitwise_or.at(nm_f[j], pos >> 4,
+                             np.uint32(1) << (2 * (pos & 15)).astype(
+                                 np.uint32))
+            rp = int(lengths[j]) - 1 - pos
+            np.bitwise_or.at(nm_r[j], rp >> 4,
+                             np.uint32(1) << (2 * (rp & 15)).astype(
+                                 np.uint32))
+        return nm_f, nm_r
+
 
 def unpack_rows(packed: np.ndarray, rids: np.ndarray, L: int,
                 overlay: NOverlay | None = None,

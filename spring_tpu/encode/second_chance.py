@@ -47,24 +47,25 @@ def windows_for(max_len: int) -> tuple[int, ...]:
     return tuple(ws)
 
 
-def _pack_with_nmask(codes: np.ndarray) -> np.ndarray:
-    """(n, L) codes (0..4) -> (n, 2W+1) uint32: 2-bit packed (N as A),
-    N-mask plane (lane 1 where N), plus a length slot."""
-    n, L = codes.shape
-    W = bits.words_per_read(L)
-    pk = packing.pack_codes(codes)                   # masks to 2 bits
-    nm = packing.pack_codes((codes == packing.N).astype(np.uint8))
-    out = np.zeros((n, 2 * W + 1), np.uint32)
-    out[:, :W] = pk
-    out[:, W:2 * W] = nm
-    return out
 
 
 _PAD = 16        # leading pad bases so window word -1 is addressable
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
-def _match_reads(seq_j, btab, rids, rows_j, total_j, n_reads, W: int,
+@jax.jit
+def _assemble_sc_rows(pk, nm_f, nm_r, lens):
+    """Device assembly of the (2*k2, 2W+1) oriented verify rows from packed
+    forward rows + N-mask planes: rc rows via packed revcomp, masks via the
+    host-reversed plane (revcomp would complement mask lanes)."""
+    rcpk = bits.revcomp_packed(pk, lens)
+    lw = lens.astype(jnp.uint32)[:, None]
+    fwd = jnp.concatenate([pk, nm_f, lw], axis=1)
+    rcr = jnp.concatenate([rcpk, nm_r, lw], axis=1)
+    return jnp.concatenate([fwd, rcr], axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
                  thresh: int, windows: tuple = WINDOWS):
     """Each oriented leftover read probes the consensus sliding-window
     dict at its 16-aligned windows and Hamming-verifies the candidate
@@ -75,11 +76,12 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, n_reads, W: int,
     ~1.6 s/1M reads on v5e; this form is ~0.1 s).
 
     Returns (nr//2,) per-read best = min(pos<<1 | rc) or _BIG; the rc half
-    of rows_j is folded onto the forward half."""
+    of rows_j (rows [nr//2, nr)) is folded onto the forward half."""
     nr = rows_j.shape[0]
+    half = nr // 2
     nwords = seq_j.shape[0]
     clen = rows_j[:, 2 * W].astype(jnp.int32)
-    rcbit = (jnp.arange(nr, dtype=jnp.int32) >= n_reads).astype(jnp.int32)
+    rcbit = (jnp.arange(nr, dtype=jnp.int32) >= half).astype(jnp.int32)
     best = jnp.full((nr,), _BIG, jnp.int32)
     for st in windows:
         key = rows_j[:, st // 16]            # windows are 16-aligned
@@ -104,18 +106,20 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, n_reads, W: int,
         okc &= ham <= thresh
         val = jnp.where(okc, (q << 1) | rcbit[:, None], _BIG)
         best = jnp.minimum(best, jnp.min(val, axis=1))
-    half = nr // 2
-    idx2 = jnp.minimum(jnp.arange(half, dtype=jnp.int32) + n_reads, nr - 1)
-    return jnp.minimum(best[:half], best[idx2])
+    return jnp.minimum(best[:half], best[half:])
 
 
-def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
-                    lengths: np.ndarray, thresh: int = P.THRESH_ENCODER
-                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Try to place each read (rows of codes/lengths) on the consensus.
+def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
+                           nm_f: np.ndarray, nm_r: np.ndarray,
+                           lengths: np.ndarray,
+                           thresh: int = P.THRESH_ENCODER
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Try to place each read on the consensus, packed-domain input.
 
-    Returns (gpos, rc, placed) per input read; gpos is the start of the
-    oriented read in seq coordinates, -1 if unplaced.
+    pk: (n, W) packed 2-bit rows (N packed as A); nm_f/nm_r: packed N-mask
+    planes, forward and length-reversed (NOverlay.nmask_planes). Returns
+    (gpos, rc, placed) per input read; gpos is the start of the oriented
+    read in seq coordinates, -1 if unplaced.
     """
     import os
     import time
@@ -129,30 +133,29 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
             print(f"[trace] sc.{stage}: {now - _t:.2f}s", flush=True)
             _t = now
 
-    n = len(codes)
+    n = len(pk)
     out_pos = np.full(n, -1, np.int64)
     out_rc = np.zeros(n, np.uint8)
     total = len(seq_codes)
     if n == 0 or total < dct.KEY_BASES:
         return out_pos, out_rc, out_pos >= 0
 
-    # both orientations; row r < n is read r forward, row n + r is its
-    # reverse complement
     windows = windows_for(int(lengths.max()) if n else 32)
-    rcods = packing.revcomp_codes(codes, lengths)
-    mark("revcomp")
-    both = np.concatenate([codes, rcods], axis=0)
-    lens2 = np.concatenate([lengths, lengths])
+    W = pk.shape[1]
+    # pow2-pad; the oriented rows (fwd half [0, k2), rc half [k2, 2*k2))
+    # are assembled ON DEVICE — the old byte-codes path unpacked, host-
+    # revcomp'd and repacked every leftover read (~20 s at 10M reads)
+    k2 = max(1 << max(n - 1, 1).bit_length(), 64)
 
-    L = codes.shape[1]
-    W = bits.words_per_read(L)
-    rows = _pack_with_nmask(both)
-    rows[:, 2 * W] = lens2.astype(np.uint32)
-    # pow2-pad rows and seq so the compiled program is shared across runs
-    nr = max(1 << max(len(rows) - 1, 1).bit_length(), 64)
-    rows_p = np.zeros((nr, rows.shape[1]), np.uint32)
-    rows_p[: len(rows)] = rows
-    rows_j = jnp.asarray(rows_p)
+    def pad(a, dtype=np.uint32):
+        out = np.zeros((k2, a.shape[1]), dtype)
+        out[: len(a)] = a
+        return out
+
+    lens_p = np.zeros(k2, np.int32)
+    lens_p[:n] = lengths
+    rows_j = _assemble_sc_rows(jnp.asarray(pad(pk)), jnp.asarray(pad(nm_f)),
+                               jnp.asarray(pad(nm_r)), jnp.asarray(lens_p))
 
     seq_pk = packing.pack_codes(np.concatenate(
         [np.zeros(_PAD, np.uint8), seq_codes,
@@ -173,10 +176,27 @@ def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
 
     total_j = jnp.asarray(total, jnp.int32)
     best = np.asarray(_match_reads(seq_j, btab, pos_bins, rows_j, total_j,
-                                   jnp.asarray(n, jnp.int32), W, thresh,
-                                   windows))[:n]
+                                   W, thresh, windows))[:n]
     mark("match")
     placed = best != _BIG
     out_pos[placed] = (best[placed] >> 1).astype(np.int64)
     out_rc[placed] = (best[placed] & 1).astype(np.uint8)
     return out_pos, out_rc, out_pos >= 0
+
+
+def align_leftovers(seq_codes: np.ndarray, codes: np.ndarray,
+                    lengths: np.ndarray, thresh: int = P.THRESH_ENCODER
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Byte-codes convenience wrapper over align_leftovers_packed."""
+    lengths = np.asarray(lengths, np.int32)
+    pk = packing.pack_codes(codes)
+    ind = (codes == packing.N).astype(np.uint8)
+    nm_f = packing.pack_codes(ind)
+    L = codes.shape[1] if codes.ndim == 2 and codes.shape[1] else 1
+    src = lengths[:, None].astype(np.int64) - 1 - np.arange(L)
+    ind_r = np.where(
+        src >= 0,
+        np.take_along_axis(ind, np.clip(src, 0, L - 1), axis=1),
+        0).astype(np.uint8)
+    nm_r = packing.pack_codes(ind_r)
+    return align_leftovers_packed(seq_codes, pk, nm_f, nm_r, lengths, thresh)

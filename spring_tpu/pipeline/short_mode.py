@@ -40,6 +40,17 @@ from ..io.ids import check_id_pattern, find_id_pattern, modify_id
 from . import quality as qual_mod
 
 
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def _gather_ids(idbuf: np.ndarray, idoffs: np.ndarray, idlens: np.ndarray,
                 sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Ragged gather of ids for the reads in ``sel`` (vectorized)."""
@@ -74,7 +85,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         nonlocal _t
         if trace:
             now = time.time()
-            print(f"[trace] {stage}: {now - _t:.2f}s", flush=True)
+            print(f"[trace] {stage}: {now - _t:.2f}s rss={_rss_gb():.2f}G",
+                  flush=True)
             _t = now
 
     block = cp.num_reads_per_block
@@ -280,9 +292,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     leftover = np.nonzero(flag == 0)[0]
     if len(leftover) and len(seq_codes) >= 16 and maxlen >= 32:
         from ..encode import second_chance as sc
-        g2pos, g2rc, placed = sc.align_leftovers(
-            seq_codes, cons.unpack_rows(packed_all, leftover, ml, overlay),
-            lengths[leftover])
+        lens_l = lengths[leftover]
+        nm_f, nm_r = overlay.nmask_planes(leftover, lens_l, ml)
+        g2pos, g2rc, placed = sc.align_leftovers_packed(
+            seq_codes, np.ascontiguousarray(packed_all[leftover]),
+            nm_f, nm_r, lens_l)
         g2 = leftover[placed]
         if len(g2):
             order2 = np.argsort(g2pos[placed], kind="stable")
