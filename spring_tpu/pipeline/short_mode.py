@@ -41,14 +41,23 @@ from . import quality as qual_mod
 
 
 def _rss_gb() -> float:
+    return _vm()[0]
+
+
+def _vm() -> tuple[float, float]:
+    """(VmRSS, VmHWM) in GB — HWM localizes transient peaks between
+    stage marks."""
+    rss = hwm = 0.0
     try:
         with open("/proc/self/status") as f:
             for line in f:
                 if line.startswith("VmRSS"):
-                    return int(line.split()[1]) / 1e6
+                    rss = int(line.split()[1]) / 1e6
+                elif line.startswith("VmHWM"):
+                    hwm = int(line.split()[1]) / 1e6
     except OSError:
         pass
-    return 0.0
+    return rss, hwm
 
 
 def _gather_ids(idbuf: np.ndarray, idoffs: np.ndarray, idlens: np.ndarray,
@@ -85,8 +94,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         nonlocal _t
         if trace:
             now = time.time()
-            print(f"[trace] {stage}: {now - _t:.2f}s rss={_rss_gb():.2f}G",
-                  flush=True)
+            rss, hwm = _vm()
+            print(f"[trace] {stage}: {now - _t:.2f}s rss={rss:.2f}G "
+                  f"hwm={hwm:.2f}G", flush=True)
             _t = now
 
     block = cp.num_reads_per_block

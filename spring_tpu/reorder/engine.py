@@ -791,11 +791,12 @@ def _engine_run(self, progress=None) -> np.ndarray:
                 bitorder="little")[: self.N].astype(bool)
             n_claimed = int(claimed_np.sum())
             if trace:
-                from ..pipeline.short_mode import _rss_gb
+                from ..pipeline.short_mode import _vm
+                rss, hwm = _vm()
                 print(f"[trace] reorder flush r={rounds} "
                       f"{time.time() - t0:.3f}s claimed={n_claimed} "
                       f"emitted={emitted} q={queue_pos}/{int(n_real)} "
-                      f"rss={_rss_gb():.2f}G", flush=True)
+                      f"rss={rss:.2f}G hwm={hwm:.2f}G", flush=True)
             if progress is not None:
                 progress(n_claimed, self.N)
             if (queue_pos >= int(n_real) and not any_active
