@@ -107,7 +107,35 @@ def scan_buf(buf: np.ndarray, path: str, fasta: bool = False,
     if not fasta and require_quals and qmis.value:
         raise ValueError(f"{path}: quality length != read length "
                          "(FASTA input needs --fasta-input)")
+    _drop_pages(buf)          # scan touched every page; parse re-faults
     return ScanInfo(n.value, maxlen.value, idbytes.value, ckpt_b, ckpt_i)
+
+
+def _drop_pages(buf: np.ndarray, start: int = 0, end: int | None = None
+                ) -> None:
+    """madvise(MADV_DONTNEED) a byte range of a file-backed memmap: the
+    pages leave this process's RSS but stay in the kernel page cache, so a
+    later access is a minor fault, not disk I/O. Peak RSS would otherwise
+    hold the whole input text alongside the output arrays. No-op for
+    non-memmap buffers (anonymous DONTNEED would ZERO heap pages)."""
+    mm = getattr(buf, "_mmap", None)
+    if mm is None or not len(buf):
+        return
+    import mmap as _mmap
+    page = _mmap.PAGESIZE
+    end = len(buf) if end is None else end
+    a = -(-start // page) * page          # align start up
+    b = (end // page) * page              # align end down
+    if b > a:
+        try:
+            mm.madvise(_mmap.MADV_DONTNEED, a, b - a)
+        except (AttributeError, OSError, ValueError):
+            pass
+
+
+# records per parse segment; after each segment its input pages are dropped
+# from RSS (multiple of the checkpoint stride)
+_SEG_RECORDS = 1 << 19
 
 
 def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
@@ -118,10 +146,45 @@ def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
     """Record-parallel parse straight into caller-owned array slices:
     packed (n, ceil(ml/16)) 2-bit rows (N packs as A), lengths, quality
     rows at stride ml, id blob. Returns the N-position (rid, pos) pairs
-    (int32 (k, 2), unsorted). The byte codes matrix never exists."""
+    (int32 (k, 2), unsorted). The byte codes matrix never exists, and
+    input pages are released segment by segment (peak RSS = output arrays
+    + one ~128 MB window, not input + outputs)."""
     lib = native.load()
-    i64p = ctypes.POINTER(ctypes.c_int64)
+    stride = lib.stpu_fastq_ckpt_stride()
+    assert _SEG_RECORDS % stride == 0
     n = info.n
+    exc_parts = []
+    for r0 in range(0, max(n, 1), _SEG_RECORDS):
+        n_seg = min(_SEG_RECORDS, n - r0)
+        if n_seg <= 0:
+            break
+        c0 = r0 // stride
+        nck = -(-n_seg // stride)
+        cki = np.ascontiguousarray(
+            info.ckpt_id[c0:c0 + nck] - info.ckpt_id[c0])
+        idbase = int(info.ckpt_id[c0])
+        exc = _parse_segment(
+            lib, buf, path, fasta, ml, n_seg, packed[r0:r0 + n_seg],
+            lengths[r0:r0 + n_seg],
+            quals[r0:r0 + n_seg] if quals is not None else None,
+            idbuf[idbase:], idlens[r0:r0 + n_seg],
+            np.ascontiguousarray(info.ckpt_byte[c0:c0 + nck]), cki,
+            num_threads)
+        if len(exc):
+            exc[:, 0] += r0
+            exc_parts.append(exc)
+        seg_end = (int(info.ckpt_byte[c0 + nck])
+                   if c0 + nck < len(info.ckpt_byte) and r0 + n_seg < n
+                   else len(buf))
+        _drop_pages(buf, int(info.ckpt_byte[c0]), seg_end)
+    return (np.concatenate(exc_parts) if exc_parts
+            else np.empty((0, 2), np.int32))
+
+
+def _parse_segment(lib, buf, path, fasta, ml, n, packed, lengths, quals,
+                   idbuf, idlens, ckpt_byte, ckpt_id,
+                   num_threads) -> np.ndarray:
+    i64p = ctypes.POINTER(ctypes.c_int64)
     cap = max(4096, n // 8)
     for _ in range(2):
         exc = np.empty((cap, 2), np.int32)
@@ -134,8 +197,8 @@ def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
             _u8p(np.empty(1, np.uint8)),
             int(quals is not None), _u8p(idbuf),
             idlens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            info.ckpt_byte.ctypes.data_as(i64p),
-            info.ckpt_id.ctypes.data_as(i64p),
+            ckpt_byte.ctypes.data_as(i64p),
+            ckpt_id.ctypes.data_as(i64p),
             exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
             ctypes.byref(exc_n), num_threads)
         if rc != 0:

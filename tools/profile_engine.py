@@ -79,6 +79,27 @@ def main():
     for name, dur in top:
         print(f"{dur / 1e3:10.1f} ms  {name[:120]}")
 
+    # device-utilization model: the round is memory-bound (gathers +
+    # elementwise over walker tiles), so report achieved HBM traffic vs
+    # the v5e roofline (~819 GB/s) instead of MFU (the MXU is idle by
+    # design — there are no matmuls in the search)
+    dev_s = max((v for k, v in tot.items()
+                 if k.startswith("jit_flush_fn")), default=0) / 1e6
+    if dev_s:
+        B, M, C, SC = e.B, 16, 8, 16
+        W = e.W + 1
+        per_round = (
+            B * M * W * 4                 # candidate row gather
+            + B * SC * 2 * len(e.dicts) * 12 * 4   # btab probe rows
+            + B * C * SC * 2 * len(e.dicts) * 4    # bin rid gathers
+            + B * 4 * e.Lb * 4 * 6        # counts roll/update passes
+            + B * (eng.FLUSH_ROUNDS and 1) * 113 * 8 // eng.FLUSH_ROUNDS)
+        total_bytes = per_round * eng.FLUSH_ROUNDS
+        gbs = total_bytes / dev_s / 1e9
+        print(f"--- roofline: ~{total_bytes / 1e6:.0f} MB modeled traffic "
+              f"in {dev_s:.2f}s device = {gbs:.0f} GB/s "
+              f"({100 * gbs / 819:.0f}% of v5e HBM peak) ---")
+
 
 if __name__ == "__main__":
     main()
