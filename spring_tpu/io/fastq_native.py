@@ -118,8 +118,10 @@ def _drop_pages(buf: np.ndarray, start: int = 0, end: int | None = None
     later access is a minor fault, not disk I/O. Peak RSS would otherwise
     hold the whole input text alongside the output arrays. No-op for
     non-memmap buffers (anonymous DONTNEED would ZERO heap pages)."""
+    # below ~1 GB the whole input comfortably fits beside the outputs and
+    # the re-fault cost (~0.3-0.5 s/GB on this host) isn't worth paying
     mm = getattr(buf, "_mmap", None)
-    if mm is None or not len(buf):
+    if mm is None or len(buf) < (1 << 30):
         return
     import mmap as _mmap
     page = _mmap.PAGESIZE
