@@ -474,259 +474,258 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     lay = ProbeLayout(len(starts), C, SC)
     M = min(accept_slots, lay.K)
 
-    if True:
-        def round_fn(state, lengths, dkeys, drids, seed_order,
-                     n_real, maxshift, room=None):
-            counts = state["counts"]
-            ref_len = state["ref_len"]
-            active = state["active"]
-            shift_base = state["shift_base"]
-            claimed = state["claimed"]
-            packed = state["rows"]
-            if room is None:
-                room = jnp.ones(active.shape, bool)
-            # a walker whose flush emission buffer is nearly full stalls:
-            # it neither searches nor seeds this round (no state advances)
-            searching = active & room
-            B = counts.shape[0]
-            Lb = counts.shape[2]
-            Wl = packed.shape[1] - 1
-            nwords = Np // 32 + 2
-            lp0 = state["left_phase"]
+    def round_fn(state, lengths, dkeys, drids, seed_order,
+                 n_real, maxshift, room=None):
+        counts = state["counts"]
+        ref_len = state["ref_len"]
+        active = state["active"]
+        shift_base = state["shift_base"]
+        claimed = state["claimed"]
+        packed = state["rows"]
+        if room is None:
+            room = jnp.ones(active.shape, bool)
+        # a walker whose flush emission buffer is nearly full stalls:
+        # it neither searches nor seeds this round (no state advances)
+        searching = active & room
+        B = counts.shape[0]
+        Lb = counts.shape[2]
+        Wl = packed.shape[1] - 1
+        nwords = Np // 32 + 2
+        lp0 = state["left_phase"]
 
-            def claimed_bit(idx):
-                w = claimed[idx >> 5]
-                return ((w >> (idx & 31).astype(jnp.uint32)) & 1) == 1
+        def claimed_bit(idx):
+            w = claimed[idx >> 5]
+            return ((w >> (idx & 31).astype(jnp.uint32)) & 1) == 1
 
-            def claim(cond, idx):
-                # bitmap (seed checks + host logic) AND row flag bit 31
-                # (verification reads it from the row gather for free)
-                word = jnp.where(cond, idx >> 5, nwords - 1)
-                bit = jnp.where(
-                    cond, jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
-                    jnp.uint32(0))
-                rflag = jnp.where(cond, jnp.uint32(1) << 31, jnp.uint32(0))
-                return (claimed.at[word].add(bit),
-                        packed.at[jnp.where(cond, idx, Np - 1), Wl]
-                        .add(rflag))
+        def claim(cond, idx):
+            # bitmap (seed checks + host logic) AND row flag bit 31
+            # (verification reads it from the row gather for free)
+            word = jnp.where(cond, idx >> 5, nwords - 1)
+            bit = jnp.where(
+                cond, jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
+                jnp.uint32(0))
+            rflag = jnp.where(cond, jnp.uint32(1) << 31, jnp.uint32(0))
+            return (claimed.at[word].add(bit),
+                    packed.at[jnp.where(cond, idx, Np - 1), Wl]
+                    .add(rflag))
 
-            frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
-            q, v = walker_queries(frames, s_tot, ref_len, starts)
+        frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
+        q, v = walker_queries(frames, s_tot, ref_len, starts)
 
-            hits_r, hits_v = [], []
-            for di in range(len(starts)):
-                rids, hit = dct.probe_hash(dkeys[di], drids[di],
-                                           q[:, :, di, :], C)
-                hits_r.append(rids)
-                hits_v.append(hit & v[:, :, di, :, None])
-            # flatten (SC, 2, D, C) -> K in the ProbeLayout order
-            cand = jnp.stack(hits_r, axis=3).reshape(B, lay.K)
-            cvalid = jnp.stack(hits_v, axis=3).reshape(B, lay.K)
-            cvalid &= (cand >= 0) & searching[:, None]
+        hits_r, hits_v = [], []
+        for di in range(len(starts)):
+            rids, hit = dct.probe_hash(dkeys[di], drids[di],
+                                       q[:, :, di, :], C)
+            hits_r.append(rids)
+            hits_v.append(hit & v[:, :, di, :, None])
+        # flatten (SC, 2, D, C) -> K in the ProbeLayout order
+        cand = jnp.stack(hits_r, axis=3).reshape(B, lay.K)
+        cvalid = jnp.stack(hits_v, axis=3).reshape(B, lay.K)
+        cvalid &= (cand >= 0) & searching[:, None]
 
-            # ---- top-M compaction: only the M best-priority valid slots
-            # get the expensive packed-row gather (most of the K probe
-            # slots are empty at real coverage) ----
-            prio = jnp.where(cvalid, -jnp.asarray(lay.pr_static)[None, :],
-                             -_BIG)
-            _, idx_m = jax.lax.top_k(prio, M)          # (B, M)
+        # ---- top-M compaction: only the M best-priority valid slots
+        # get the expensive packed-row gather (most of the K probe
+        # slots are empty at real coverage) ----
+        prio = jnp.where(cvalid, -jnp.asarray(lay.pr_static)[None, :],
+                         -_BIG)
+        _, idx_m = jax.lax.top_k(prio, M)          # (B, M)
 
-            def take_m(x):
-                return jnp.take_along_axis(x, idx_m, axis=1)
-            cand_m = take_m(cand)
-            valid_m = take_m(cvalid)
-            k_o_m = jnp.asarray(lay.k_o.astype(np.int32))[idx_m]
-            k_frame_m = jnp.asarray(lay.k_frame.astype(np.int32))[idx_m]
-            s_m = shift_base[:, None] + jnp.asarray(
-                lay.k_s.astype(np.int32))[idx_m]
-            pr_m = jnp.asarray(lay.pr_static)[idx_m]
+        def take_m(x):
+            return jnp.take_along_axis(x, idx_m, axis=1)
+        cand_m = take_m(cand)
+        valid_m = take_m(cvalid)
+        k_o_m = jnp.asarray(lay.k_o.astype(np.int32))[idx_m]
+        k_frame_m = jnp.asarray(lay.k_frame.astype(np.int32))[idx_m]
+        s_m = shift_base[:, None] + jnp.asarray(
+            lay.k_s.astype(np.int32))[idx_m]
+        pr_m = jnp.asarray(lay.pr_static)[idx_m]
 
-            # ---- verify: ONE (B, M) row gather + masked popcounts ----
-            safe = jnp.clip(cand_m, 0, Np - 1)
-            rows = packed[safe]                        # (B, M, W+1)
-            lw = rows[..., Wl]
-            claimed_row = (lw >> 31) == 1
-            clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-            rl = ref_len[:, None]
-            lo = jnp.where(k_o_m == 0, 0, s_m)
-            hi = jnp.where(k_o_m == 0, jnp.minimum(rl - s_m, clen),
-                           jnp.minimum(rl + s_m, clen))
-            t = jnp.where(k_o_m == 0, s_m, rl + s_m - clen)
-            fr2 = frames.reshape(B, 2 * SC, -1)
-            frow = jnp.take_along_axis(fr2, k_frame_m[:, :, None], axis=1)
-            ham = jnp.zeros((B, M), jnp.int32)
-            for w in range(Wl):
-                d = frow[..., w] ^ rows[..., w]
-                mm = (d | (d >> 1)) & _ODD
-                mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
-                    & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
-                ham = ham + jax.lax.population_count(mm & mw).astype(
-                    jnp.int32)
-            ok = valid_m & ~claimed_row & (ham <= thresh) \
-                & (t >= 0) & (hi > lo)
+        # ---- verify: ONE (B, M) row gather + masked popcounts ----
+        safe = jnp.clip(cand_m, 0, Np - 1)
+        rows = packed[safe]                        # (B, M, W+1)
+        lw = rows[..., Wl]
+        claimed_row = (lw >> 31) == 1
+        clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        rl = ref_len[:, None]
+        lo = jnp.where(k_o_m == 0, 0, s_m)
+        hi = jnp.where(k_o_m == 0, jnp.minimum(rl - s_m, clen),
+                       jnp.minimum(rl + s_m, clen))
+        t = jnp.where(k_o_m == 0, s_m, rl + s_m - clen)
+        fr2 = frames.reshape(B, 2 * SC, -1)
+        frow = jnp.take_along_axis(fr2, k_frame_m[:, :, None], axis=1)
+        ham = jnp.zeros((B, M), jnp.int32)
+        for w in range(Wl):
+            d = frow[..., w] ^ rows[..., w]
+            mm = (d | (d >> 1)) & _ODD
+            mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
+                & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
+            ham = ham + jax.lax.population_count(mm & mw).astype(
+                jnp.int32)
+        ok = valid_m & ~claimed_row & (ham <= thresh) \
+            & (t >= 0) & (hi > lo)
 
-            # ---- batch accept: dedup rids within the walker (a read found
-            # via both dicts appears twice), then order accepts by t so the
-            # per-round emission deltas chain like sequential accepts.
-            # Multi-operand lexicographic lax.sorts carry every per-slot
-            # field through the permutation — no take_along_axis gathers ----
-            rid_eff = jnp.where(ok, cand_m, _BIG)
-            slot_i = jnp.broadcast_to(
-                jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-            rid_s, _, t_s, ko_s, clen_s, slot_s = jax.lax.sort(
-                (rid_eff, pr_m, t, k_o_m, clen, slot_i),
-                dimension=1, num_keys=2)
-            firsts = jnp.concatenate(
-                [jnp.ones((B, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]],
-                axis=1)
-            keep_s = (rid_s != _BIG) & firsts
-            tkey = jnp.where(keep_s, t_s, _BIG)
-            (_, _, keep_f, rid_f, t_f, ko_f, clen_f, slot_f) = jax.lax.sort(
-                (tkey, rid_s, keep_s, rid_s, t_s, ko_s, clen_s, slot_s),
-                dimension=1, num_keys=2)
-            rows_f = jnp.take_along_axis(rows, slot_f[:, :, None], axis=1)
+        # ---- batch accept: dedup rids within the walker (a read found
+        # via both dicts appears twice), then order accepts by t so the
+        # per-round emission deltas chain like sequential accepts.
+        # Multi-operand lexicographic lax.sorts carry every per-slot
+        # field through the permutation — no take_along_axis gathers ----
+        rid_eff = jnp.where(ok, cand_m, _BIG)
+        slot_i = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+        rid_s, _, t_s, ko_s, clen_s, slot_s = jax.lax.sort(
+            (rid_eff, pr_m, t, k_o_m, clen, slot_i),
+            dimension=1, num_keys=2)
+        firsts = jnp.concatenate(
+            [jnp.ones((B, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]],
+            axis=1)
+        keep_s = (rid_s != _BIG) & firsts
+        tkey = jnp.where(keep_s, t_s, _BIG)
+        (_, _, keep_f, rid_f, t_f, ko_f, clen_f, slot_f) = jax.lax.sort(
+            (tkey, rid_s, keep_s, rid_s, t_s, ko_s, clen_s, slot_s),
+            dimension=1, num_keys=2)
+        rows_f = jnp.take_along_axis(rows, slot_f[:, :, None], axis=1)
 
-            # ---- cross-walker conflicts: first walker per rid wins ----
-            win = resolve_conflicts(keep_f.reshape(-1),
-                                    rid_f.reshape(-1)).reshape(B, M)
-            matched_any = win.any(axis=1)
-            t_roll = jnp.max(jnp.where(win, t_f, 0), axis=1)
+        # ---- cross-walker conflicts: first walker per rid wins ----
+        win = resolve_conflicts(keep_f.reshape(-1),
+                                rid_f.reshape(-1)).reshape(B, M)
+        matched_any = win.any(axis=1)
+        t_roll = jnp.max(jnp.where(win, t_f, 0), axis=1)
 
-            # ---- batched consensus update (updaterefcount semantics,
-            # src/reorder.h:110-220, applied to the whole accepted set:
-            # roll to the last accepted read's start, add each accepted
-            # read's one-hot at its relative offset) ----
-            left_phase = lp0
-            first_rid = state["first_rid"]
-            live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
-            rolled0 = _roll_counts(counts * live, t_roll)
-            len0 = jnp.maximum(ref_len - t_roll, 0)
+        # ---- batched consensus update (updaterefcount semantics,
+        # src/reorder.h:110-220, applied to the whole accepted set:
+        # roll to the last accepted read's start, add each accepted
+        # read's one-hot at its relative offset) ----
+        left_phase = lp0
+        first_rid = state["first_rid"]
+        live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
+        rolled0 = _roll_counts(counts * live, t_roll)
+        len0 = jnp.maximum(ref_len - t_roll, 0)
 
-            def add_slot(j, carry):
-                rolled, new_len = carry
-                rj = jax.lax.dynamic_index_in_dim(
-                    rows_f, j, axis=1, keepdims=False)[:, :Wl]
-                lj = jax.lax.dynamic_index_in_dim(clen_f, j, 1, False)
-                koj = jax.lax.dynamic_index_in_dim(ko_f, j, 1, False)
-                tj = jax.lax.dynamic_index_in_dim(t_f, j, 1, False)
-                wj = jax.lax.dynamic_index_in_dim(win, j, 1, False)
-                pkj = jnp.where((koj == 1)[:, None],
-                                bits.revcomp_packed(rj, lj), rj)
-                dj = jnp.where(wj, t_roll - tj, 0)
-                pkj = bits.shift_bases_left(pkj, dj, Lb)
-                ohj = _onehot_read(bits.unpack(pkj, Lb), lj - dj)
-                rolled = rolled + jnp.where(wj[:, None, None], ohj, 0)
-                new_len = jnp.maximum(new_len, jnp.where(wj, lj - dj, 0))
-                return rolled, new_len
+        def add_slot(j, carry):
+            rolled, new_len = carry
+            rj = jax.lax.dynamic_index_in_dim(
+                rows_f, j, axis=1, keepdims=False)[:, :Wl]
+            lj = jax.lax.dynamic_index_in_dim(clen_f, j, 1, False)
+            koj = jax.lax.dynamic_index_in_dim(ko_f, j, 1, False)
+            tj = jax.lax.dynamic_index_in_dim(t_f, j, 1, False)
+            wj = jax.lax.dynamic_index_in_dim(win, j, 1, False)
+            pkj = jnp.where((koj == 1)[:, None],
+                            bits.revcomp_packed(rj, lj), rj)
+            dj = jnp.where(wj, t_roll - tj, 0)
+            pkj = bits.shift_bases_left(pkj, dj, Lb)
+            ohj = _onehot_read(bits.unpack(pkj, Lb), lj - dj)
+            rolled = rolled + jnp.where(wj[:, None, None], ohj, 0)
+            new_len = jnp.maximum(new_len, jnp.where(wj, lj - dj, 0))
+            return rolled, new_len
 
-            # fori_loop keeps the compiled program M times smaller than an
-            # unrolled python loop (tunnel compiles are minutes per MB)
-            rolled, new_len = jax.lax.fori_loop(0, M, add_slot,
-                                                (rolled0, len0))
-            counts = jnp.where(matched_any[:, None, None], rolled, counts)
-            ref_len = jnp.where(matched_any, new_len, ref_len)
-            claimed, packed = claim(win.reshape(-1),
-                                    jnp.clip(rid_f, 0, Np - 1).reshape(-1))
-            shift_base = jnp.where(matched_any, 0, shift_base)
+        # fori_loop keeps the compiled program M times smaller than an
+        # unrolled python loop (tunnel compiles are minutes per MB)
+        rolled, new_len = jax.lax.fori_loop(0, M, add_slot,
+                                            (rolled0, len0))
+        counts = jnp.where(matched_any[:, None, None], rolled, counts)
+        ref_len = jnp.where(matched_any, new_len, ref_len)
+        claimed, packed = claim(win.reshape(-1),
+                                jnp.clip(rid_f, 0, Np - 1).reshape(-1))
+        shift_base = jnp.where(matched_any, 0, shift_base)
 
-            # walkers that found nothing advance their shift window; an
-            # exhausted forward walker restarts leftward from the contig's
-            # first read, reverse-complemented (reference left search,
-            # src/reorder.h:562-571); an exhausted left walker dies
-            missed = searching & ~matched_any
-            shift_base = jnp.where(missed, shift_base + SC, shift_base)
-            death = missed & (shift_base > maxshift)
-            start_left = death & ~left_phase
-            active = active & ~(death & left_phase)
-            left_phase = left_phase | start_left
-            shift_base = jnp.where(start_left, 0, shift_base)
-            fr_rows = packed[jnp.clip(first_rid, 0, Np - 1)]
-            fr_len = (fr_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)
-                      ).astype(jnp.int32)
-            fr_rc = bits.revcomp_packed(fr_rows[:, :Wl], fr_len)
-            fr_counts = _onehot_read(bits.unpack(fr_rc, Lb), fr_len)
-            counts = jnp.where(start_left[:, None, None], fr_counts, counts)
-            ref_len = jnp.where(start_left, fr_len, ref_len)
+        # walkers that found nothing advance their shift window; an
+        # exhausted forward walker restarts leftward from the contig's
+        # first read, reverse-complemented (reference left search,
+        # src/reorder.h:562-571); an exhausted left walker dies
+        missed = searching & ~matched_any
+        shift_base = jnp.where(missed, shift_base + SC, shift_base)
+        death = missed & (shift_base > maxshift)
+        start_left = death & ~left_phase
+        active = active & ~(death & left_phase)
+        left_phase = left_phase | start_left
+        shift_base = jnp.where(start_left, 0, shift_base)
+        fr_rows = packed[jnp.clip(first_rid, 0, Np - 1)]
+        fr_len = (fr_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)
+                  ).astype(jnp.int32)
+        fr_rc = bits.revcomp_packed(fr_rows[:, :Wl], fr_len)
+        fr_counts = _onehot_read(bits.unpack(fr_rc, Lb), fr_len)
+        counts = jnp.where(start_left[:, None, None], fr_counts, counts)
+        ref_len = jnp.where(start_left, fr_len, ref_len)
 
-            # seeding: inactive walkers take the next unclaimed queue reads
-            # (reference picks from remainingreads, src/reorder.h:570-592)
-            inactive = ~active & room
-            rank = jnp.cumsum(inactive) - 1
-            qidx = state["queue_pos"] + rank
-            in_range = inactive & (qidx < n_real)
-            seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
-            ok_seed = in_range & ~claimed_bit(seed_rid)
-            claimed, packed = claim(ok_seed, seed_rid)
-            seed_cnt = seed_counts_for(packed, lengths, seed_rid, Lb)
-            counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
-            ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
-            shift_base = jnp.where(ok_seed, 0, shift_base)
-            active = active | ok_seed
-            left_phase = jnp.where(ok_seed, False, left_phase)
-            first_rid = jnp.where(ok_seed, seed_rid, first_rid)
-            queue_pos = state["queue_pos"] + jnp.sum(in_range)
+        # seeding: inactive walkers take the next unclaimed queue reads
+        # (reference picks from remainingreads, src/reorder.h:570-592)
+        inactive = ~active & room
+        rank = jnp.cumsum(inactive) - 1
+        qidx = state["queue_pos"] + rank
+        in_range = inactive & (qidx < n_real)
+        seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
+        ok_seed = in_range & ~claimed_bit(seed_rid)
+        claimed, packed = claim(ok_seed, seed_rid)
+        seed_cnt = seed_counts_for(packed, lengths, seed_rid, Lb)
+        counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
+        ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
+        shift_base = jnp.where(ok_seed, 0, shift_base)
+        active = active | ok_seed
+        left_phase = jnp.where(ok_seed, False, left_phase)
+        first_rid = jnp.where(ok_seed, seed_rid, first_rid)
+        queue_pos = state["queue_pos"] + jnp.sum(in_range)
 
-            # emissions: (B, M+1, 2) int32 — slot 0 seeds (flag 0), slots
-            # 1..M the t-ordered accepted reads with within-round position
-            # deltas. Packed to 8 B/slot (word0 rid, word1 delta|flag|rc)
-            # to halve the device->host transfer, which rides a tunnel here
-            tw = jnp.where(win, t_f, 0)
-            cm = jax.lax.cummax(tw, axis=1)
-            prev = jnp.concatenate(
-                [jnp.zeros((B, 1), tw.dtype), cm[:, :-1]], axis=1)
-            delta = tw - prev
-            flagv = jnp.where(lp0[:, None], 2, 1)
-            meta = jnp.where(win, delta + (flagv << 16) + (ko_f << 24), 0)
-            emit_m = jnp.stack([jnp.where(win, rid_f, -1), meta], axis=-1)
-            zero = jnp.zeros((B,), jnp.int32)
-            emit_seed = jnp.stack(
-                [jnp.where(ok_seed, seed_rid, -1), zero],
-                axis=-1)[:, None, :]
-            emit = jnp.concatenate([emit_seed, emit_m], axis=1)
+        # emissions: (B, M+1, 2) int32 — slot 0 seeds (flag 0), slots
+        # 1..M the t-ordered accepted reads with within-round position
+        # deltas. Packed to 8 B/slot (word0 rid, word1 delta|flag|rc)
+        # to halve the device->host transfer, which rides a tunnel here
+        tw = jnp.where(win, t_f, 0)
+        cm = jax.lax.cummax(tw, axis=1)
+        prev = jnp.concatenate(
+            [jnp.zeros((B, 1), tw.dtype), cm[:, :-1]], axis=1)
+        delta = tw - prev
+        flagv = jnp.where(lp0[:, None], 2, 1)
+        meta = jnp.where(win, delta + (flagv << 16) + (ko_f << 24), 0)
+        emit_m = jnp.stack([jnp.where(win, rid_f, -1), meta], axis=-1)
+        zero = jnp.zeros((B,), jnp.int32)
+        emit_seed = jnp.stack(
+            [jnp.where(ok_seed, seed_rid, -1), zero],
+            axis=-1)[:, None, :]
+        emit = jnp.concatenate([emit_seed, emit_m], axis=1)
 
-            new_state = dict(counts=counts, ref_len=ref_len, active=active,
-                             shift_base=shift_base, first_rid=first_rid,
-                             left_phase=left_phase, claimed=claimed,
-                             queue_pos=queue_pos, rows=packed)
-            return new_state, emit.astype(jnp.int32)
+        new_state = dict(counts=counts, ref_len=ref_len, active=active,
+                         shift_base=shift_base, first_rid=first_rid,
+                         left_phase=left_phase, claimed=claimed,
+                         queue_pos=queue_pos, rows=packed)
+        return new_state, emit.astype(jnp.int32)
 
-        S = M + 1
-        # buffer slots per walker per flush: accepts/round scale with the
-        # probed shift span (~3 per 16 shifts at 20-50x coverage); an
-        # undersized CAP silently stalls every walker for the tail of each
-        # flush (measured: SC=32 with the SC=16 CAP gained nothing)
-        CAP = FLUSH_ROUNDS * max(3, 3 * SC // 16) + S
+    S = M + 1
+    # buffer slots per walker per flush: accepts/round scale with the
+    # probed shift span (~3 per 16 shifts at 20-50x coverage); an
+    # undersized CAP silently stalls every walker for the tail of each
+    # flush (measured: SC=32 with the SC=16 CAP gained nothing)
+    CAP = FLUSH_ROUNDS * max(3, 3 * SC // 16) + S
 
-        def flush_fn(state, lengths, dkeys, drids, seed_order,
-                     n_real, maxshift):
-            # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
-            # and especially the TPU tunnel) would otherwise dominate.
-            # Emissions append into a compact per-walker buffer (average
-            # occupancy ~1-2 slots/round vs the M+1 emitted): the transfer
-            # shrinks ~6x and the host never touches empty slots. A walker
-            # whose buffer is nearly full stalls until the next flush.
-            B = state["counts"].shape[0]
-            buf0 = jnp.full((B, CAP + 1, 2), -1, jnp.int32)
-            cnt0 = jnp.zeros((B,), jnp.int32)
-            bidx = jnp.arange(B)[:, None]
+    def flush_fn(state, lengths, dkeys, drids, seed_order,
+                 n_real, maxshift):
+        # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
+        # and especially the TPU tunnel) would otherwise dominate.
+        # Emissions append into a compact per-walker buffer (average
+        # occupancy ~1-2 slots/round vs the M+1 emitted): the transfer
+        # shrinks ~6x and the host never touches empty slots. A walker
+        # whose buffer is nearly full stalls until the next flush.
+        B = state["counts"].shape[0]
+        buf0 = jnp.full((B, CAP + 1, 2), -1, jnp.int32)
+        cnt0 = jnp.zeros((B,), jnp.int32)
+        bidx = jnp.arange(B)[:, None]
 
-            def body(carry, _):
-                st, buf, cnt = carry
-                room = cnt < CAP - S
-                st2, emit = round_fn(st, lengths, dkeys, drids,
-                                     seed_order, n_real, maxshift, room)
-                valid = emit[:, :, 0] >= 0
-                rank = jnp.cumsum(valid, axis=1) - 1
-                pos = jnp.where(valid, cnt[:, None] + rank, CAP)
-                buf = buf.at[bidx, pos].set(emit)
-                cnt = cnt + jnp.sum(valid, axis=1)
-                return (st2, buf, cnt), None
+        def body(carry, _):
+            st, buf, cnt = carry
+            room = cnt < CAP - S
+            st2, emit = round_fn(st, lengths, dkeys, drids,
+                                 seed_order, n_real, maxshift, room)
+            valid = emit[:, :, 0] >= 0
+            rank = jnp.cumsum(valid, axis=1) - 1
+            pos = jnp.where(valid, cnt[:, None] + rank, CAP)
+            buf = buf.at[bidx, pos].set(emit)
+            cnt = cnt + jnp.sum(valid, axis=1)
+            return (st2, buf, cnt), None
 
-            (state, buf, cnt), _ = jax.lax.scan(
-                body, (state, buf0, cnt0), None, length=FLUSH_ROUNDS)
-            return state, buf[:, :CAP], cnt
+        (state, buf, cnt), _ = jax.lax.scan(
+            body, (state, buf0, cnt0), None, length=FLUSH_ROUNDS)
+        return state, buf[:, :CAP], cnt
 
-        return round_fn, jax.jit(flush_fn, donate_argnums=(0,)), CAP
+    return round_fn, jax.jit(flush_fn, donate_argnums=(0,)), CAP
 
 
 def _engine_run(self, progress=None) -> np.ndarray:
