@@ -94,3 +94,33 @@ def test_binary_binning_table():
     t = quality.binary_binning_table(20, 40, 6)
     assert t[33 + 19] == 33 + 6
     assert t[33 + 20] == 33 + 40
+
+
+def test_multi_segment_parse_matches_single(tmp_path, monkeypatch):
+    """parse_packed_into in >1 segment (page-release path) must produce
+    byte-identical arrays to the single-segment parse."""
+    import numpy as np
+    from spring_tpu.io import fastq_native as fn
+    from spring_tpu.utils import synth
+    fq = str(tmp_path / "seg.fastq")
+    synth.make_se(fq, 20000, read_len=73)
+
+    def parse_all():
+        buf = fn.open_buf(fq)
+        info = fn.scan_buf(buf, fq)
+        ml, n = info.maxlen, info.n
+        W = -(-ml // 16)
+        packed = np.empty((n, W), np.uint32)
+        lengths = np.empty(n, np.int32)
+        quals = np.empty((n, ml), np.uint8)
+        idbuf = np.empty(info.idbytes, np.uint8)
+        idlens = np.empty(n, np.uint32)
+        exc = fn.parse_packed_into(buf, fq, info, ml, packed, lengths,
+                                   quals, idbuf, idlens)
+        return packed, lengths, quals, idbuf, idlens, exc
+
+    one = parse_all()
+    monkeypatch.setattr(fn, "_SEG_RECORDS", 4096)
+    many = parse_all()
+    for a, b in zip(one, many):
+        np.testing.assert_array_equal(a, b)
