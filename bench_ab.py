@@ -35,11 +35,14 @@ def ensure_ref_binary() -> str:
     return REF_BIN
 
 
-def run_reference(infiles, outfile, workdir, reorder=False, threads=8):
+def run_reference(infiles, outfile, workdir, reorder=False, threads=8,
+                  long_mode=False):
     cmd = [ensure_ref_binary(), "-c", "-i", *infiles, "-o", outfile,
            "-w", workdir, "-t", str(threads)]
     if reorder:
         cmd.append("-r")
+    if long_mode:
+        cmd.append("-l")
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, check=True)
     dt = time.time() - t0
@@ -61,11 +64,12 @@ def run_reference(infiles, outfile, workdir, reorder=False, threads=8):
             "streams": streams, "roundtrip_ok": ok}
 
 
-def run_ours(infiles, outfile, reorder=False, threads=8):
+def run_ours(infiles, outfile, reorder=False, threads=8,
+             long_mode=False):
     from spring_tpu import api
     from spring_tpu.io.container import ArchiveReader
     opts = api.CompressOptions(num_threads=threads, verbose=False,
-                               reorder=reorder)
+                               reorder=reorder, long_mode=long_mode)
     # warm-up (compile) pass, then the timed pass
     api.compress(list(infiles), outfile, opts)
     t0 = time.time()
@@ -76,9 +80,11 @@ def run_ours(infiles, outfile, reorder=False, threads=8):
     streams = {
         "reads": sum(v for k, v in sizes.items()
                      if k in ("pos", "seq", "npos", "literal", "nn", "nchar",
-                              "rc", "flag", "rlen", "order", "pair")),
-        "quality": sizes.get("quality", 0),
-        "id": sizes.get("id", 0),
+                              "rc", "flag", "rlen", "order", "pair",
+                              "read1", "read2", "rlen1", "rlen2")),
+        "quality": sum(v for k, v in sizes.items()
+                       if k.startswith("quality")),
+        "id": sum(v for k, v in sizes.items() if k.startswith("id")),
     }
     outs = [outfile + f".out_{i}.fastq" for i in range(len(infiles))]
     t1 = time.time()
@@ -134,18 +140,21 @@ def main():
     for mode in args.modes.split(","):
         base = mode.split("-")[0]
         reorder = mode.endswith("-r")
+        long_mode = mode.endswith("-l")
         infiles = datasets[base]
         nbases = n * 100
         log(f"--- mode {mode}: reference ---")
         wd = os.path.join(tmp, f"ref_{mode}")
         os.makedirs(wd, exist_ok=True)
         ref = run_reference(infiles, os.path.join(wd, "a.spring"), wd,
-                            reorder=reorder, threads=args.threads)
+                            reorder=reorder, threads=args.threads,
+                            long_mode=long_mode)
         log(f"    ref: {ref['time_c']:.1f}s c / {ref['time_d']:.1f}s d, "
             f"{ref['size']} B, ok={ref['roundtrip_ok']}")
         log(f"--- mode {mode}: spring_tpu ---")
         ours = run_ours(infiles, os.path.join(tmp, f"ours_{mode}.stpu"),
-                        reorder=reorder, threads=args.threads)
+                        reorder=reorder, threads=args.threads,
+                        long_mode=long_mode)
         log(f"    ours: {ours['time_c']:.1f}s c / {ours['time_d']:.1f}s d, "
             f"{ours['size']} B, ok={ours['roundtrip_ok']}")
         rows.append((mode, ref, ours, nbases))

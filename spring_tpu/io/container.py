@@ -13,6 +13,7 @@ Per-block streams are named `<stream>.<block>` so random-access decompression
 from __future__ import annotations
 
 import io
+import os
 import tarfile
 from typing import Iterator, Optional
 
@@ -54,6 +55,10 @@ class ArchiveReader:
     def __init__(self, path: str):
         self._tar = tarfile.open(path, "r")
         self._members = {m.name: m for m in self._tar.getmembers()}
+        # member reads use os.pread at the recorded data offset: tarfile's
+        # extractfile().read() seeks a SHARED file object and is not
+        # thread-safe — the block-parallel decoder read corrupt bytes
+        self._fd = os.open(path, os.O_RDONLY)
         raw = self.get(MANIFEST_NAME)
         self.params = CompressionParams.from_json(raw.decode())
 
@@ -64,8 +69,7 @@ class ArchiveReader:
         m = self._members.get(name)
         if m is None:
             raise KeyError(f"archive member {name} not found")
-        f = self._tar.extractfile(m)
-        return f.read()
+        return os.pread(self._fd, m.size, m.offset_data)
 
     def get_block(self, stream: str, block: int) -> bytes:
         return self.get(f"{stream}.{block}")
@@ -87,6 +91,9 @@ class ArchiveReader:
 
     def close(self) -> None:
         self._tar.close()
+        if self._fd >= 0:
+            os.close(self._fd)
+            self._fd = -1
 
     def __enter__(self):
         return self

@@ -147,3 +147,24 @@ def test_corrupt_archive_errors(fq1, tmp_path):
     with pytest.raises(Exception):
         api.decompress(str(tmp_path / "bad.spring"),
                        [str(tmp_path / "out.fastq")], verbose=False)
+
+
+def test_archive_reader_thread_safety(tmp_path):
+    """tarfile's shared-handle reads are racy; ArchiveReader must serve
+    concurrent get() calls with correct bytes (os.pread)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spring_tpu.io.container import ArchiveReader, ArchiveWriter
+    from spring_tpu.params import CompressionParams
+
+    arc = str(tmp_path / "t.stpu")
+    blobs = {f"m.{i}": bytes([i % 251]) * (1000 + 37 * i) for i in range(64)}
+    with ArchiveWriter(arc) as w:
+        for k, v in blobs.items():
+            w.add(k, v)
+        w.finish(CompressionParams())
+    with ArchiveReader(arc) as r:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for _ in range(5):
+                got = list(pool.map(lambda k: (k, r.get(k)), blobs))
+                assert all(blobs[k] == v for k, v in got)
