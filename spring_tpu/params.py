@@ -31,9 +31,11 @@ THRESH_ENCODER = 24           # max Hamming distance in second-chance alignment
 MAX_SEARCH = 1000             # max candidates scanned per dictionary bin
 MAX_SHIFT_CAP = 24            # shift-scan cap (reference scans maxlen/2;
                               # see ReorderConfig.max_shift)
-MIN_CONTIG_READS = 8          # contigs below this read count are demoted:
+MIN_CONTIG_READS = 2          # contigs below this read count are demoted:
                               # their reads re-place via second chance
-                              # (walker seed fragmentation cure)
+                              # (low-coverage contigs are legitimately
+                              # short: K>2 helped 50x coverage by 0.1% but
+                              # cost 1.6% at 5x — default stays 2)
 
 # --- blocking (reference src/params.h:35-36) ---
 NUM_READS_PER_BLOCK = 256000        # short mode block (random-access unit)
