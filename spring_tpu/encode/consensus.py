@@ -124,8 +124,16 @@ def layout_from_emissions(emissions: np.ndarray, num_walkers: int,
     o = l0[seg] - q - lengths[rid].astype(np.int64)
     pos = np.where(left, o, pos)
     rc = np.where(left, 1 - rc, rc).astype(np.uint8)
-    # per-contig min -> 0
-    order0 = np.lexsort((pos, seg))
+    # per-contig min -> 0. Single combined-key introsort instead of
+    # np.lexsort: ~3x faster at 10M entries (falls back when the key
+    # would overflow int64)
+    pmin = pos.min() if len(pos) else 0
+    prange = int(pos.max()) - int(pmin) + 1 if len(pos) else 1
+    nseg = int(seg[-1]) + 1
+    if nseg * prange < (1 << 62):
+        order0 = np.argsort(seg * prange + (pos - pmin))
+    else:
+        order0 = np.lexsort((pos, seg))
     seg_s, pos_s = seg[order0], pos[order0]
     first_idx = np.searchsorted(seg_s, np.arange(seg[-1] + 1), side="left")
     pos_s = pos_s - pos_s[first_idx][seg_s]
