@@ -169,7 +169,7 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
     # ONE sliding-window dict over the consensus, built on device; the
     # oriented reads probe it (work scales with reads, not positions)
     npos = (nw - _PAD // 16) * 16
-    S = max(1 << int(max(2 * npos // dct.SLOTS, 1) - 1).bit_length(), 64)
+    S = dct.table_buckets(npos)
     btab, _keys, pos_bins, dropped = dct.build_hash_dict_seq_dev(
         seq_j, jnp.asarray(total, jnp.int32), _PAD // 16, S)
     mark("dicts")

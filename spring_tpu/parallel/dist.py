@@ -159,8 +159,7 @@ def build_shard_dicts(packed: np.ndarray, lengths: np.ndarray,
             rp = np.concatenate([r, np.full(npad - len(r), -1, np.int32)])
             built.append((kp, rp))
             uk_max = max(uk_max, len(np.unique(k)))
-        S = max(1 << int(max(2 * uk_max // dct.SLOTS, 1) - 1).bit_length(),
-                64)
+        S = dct.table_buckets(uk_max)
         btabs, ridss = [], []
         for kp, rp in built:
             btab, rids_p = _build_table(kp, rp, S)
@@ -184,27 +183,19 @@ def _build_table(keys: np.ndarray, rids: np.ndarray, S: int):
     bstart = np.zeros((S, dct.SLOTS), np.int32)
     bcount = np.zeros((S, dct.SLOTS), np.int32)
     h = ((uk * dct._HASH_MULT) >> np.uint32(shift)).astype(np.int64)
-    placed = np.zeros(len(uk), bool)
-    for attempt in range(2):
-        b = (h + attempt) % S
-        todo = np.nonzero(~placed)[0]
-        if not len(todo):
-            break
-        order2 = np.argsort(b[todo], kind="stable")
-        tb = b[todo][order2]
-        first = np.concatenate([[True], tb[1:] != tb[:-1]])
-        grp = np.cumsum(first) - 1
-        first_idx = np.nonzero(first)[0]
-        rank = np.arange(len(tb)) - first_idx[grp]
-        free_base = (bcount[tb, :] > 0).sum(axis=1)
-        slot = free_base + rank
-        fits = slot < dct.SLOTS
-        ki = todo[order2[fits]]
-        bi, si = tb[fits], slot[fits]
-        bkey[bi, si] = uk[ki]
-        bstart[bi, si] = kstarts[ki]
-        bcount[bi, si] = counts[ki]
-        placed[ki] = True
+    # single-attempt placement (same rule as dct._build_hash_dicts)
+    b = h % S
+    order2 = np.argsort(b, kind="stable")
+    tb = b[order2]
+    first = np.concatenate([[True], tb[1:] != tb[:-1]])
+    grp = np.cumsum(first) - 1
+    first_idx = np.nonzero(first)[0]
+    rank = np.arange(len(tb)) - first_idx[grp]
+    fits = rank < dct.SLOTS
+    ki = order2[fits]
+    bkey[tb[fits], rank[fits]] = uk[ki]
+    bstart[tb[fits], rank[fits]] = kstarts[ki]
+    bcount[tb[fits], rank[fits]] = counts[ki]
     btab = np.concatenate([bkey, bstart.view(np.uint32),
                            bcount.view(np.uint32)], axis=1)
     return btab, rids
@@ -240,22 +231,15 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         S = btab.shape[0]
         shift = 32 - int(np.log2(S))
         h = (keys.astype(jnp.uint32) * jnp.uint32(dct._HASH_MULT)) >> shift
-        start = jnp.zeros(keys.shape, jnp.int32)
-        count = jnp.zeros(keys.shape, jnp.int32)
-        for attempt in range(2):
-            b = (h + attempt) & (S - 1)
-            row = btab[b]
-            krow = row[:, :dct.SLOTS]
-            srow = row[:, dct.SLOTS:2 * dct.SLOTS].astype(jnp.int32)
-            crow = row[:, 2 * dct.SLOTS:].astype(jnp.int32)
-            hit = (krow == keys.astype(jnp.uint32)[:, None]) & (crow > 0)
-            any_hit = hit.any(axis=1)
-            first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
-            s_hit = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
-            c_hit = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
-            take = any_hit & (count == 0)
-            start = jnp.where(take, s_hit, start)
-            count = jnp.where(take, c_hit, count)
+        b = h & (S - 1)
+        row = btab[b]                    # single home-bucket attempt
+        krow = row[:, :dct.SLOTS]
+        srow = row[:, dct.SLOTS:2 * dct.SLOTS].astype(jnp.int32)
+        crow = row[:, 2 * dct.SLOTS:].astype(jnp.int32)
+        hit = (krow == keys.astype(jnp.uint32)[:, None]) & (crow > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        start = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
+        count = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
         offs = jnp.arange(C, dtype=jnp.int32)
         nr = rids_local.shape[0]
         valid = offs[None, :] < jnp.minimum(count, C)[:, None]

@@ -46,7 +46,13 @@ CODEC_BLOCK_SIZE = 64 * 1024 * 1024
 
 # --- TPU batch geometry (no reference analog; ours) ---
 REORDER_BATCH = 16384         # max parallel contig walkers per device
-DICT_PROBE_CANDIDATES = 8     # candidates gathered per dictionary probe
+DICT_PROBE_CANDIDATES = 2     # candidates fetched per selected probe group.
+                              # Bins are shallow (a bin = reads starting at
+                              # ONE genome position, ~coverage/readlen
+                              # entries), so narrow fetches across MORE
+                              # groups beat wide fetches: C=2 x 8 groups
+                              # matched C=8 x 2 groups' claims at 0.65x the
+                              # round time (A/B-measured at 1M reads)
                               # (bin scan cap; compaction refreshes bins)
 
 QUALITY_MODES = ("lossless", "qvz", "ill_bin", "binary")

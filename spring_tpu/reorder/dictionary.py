@@ -160,15 +160,42 @@ def probe(d: SortedDict, queries: jnp.ndarray, max_candidates: int
 # ---------------- bucketed hash dictionary (single-device fast path) ------
 #
 # The binary-search probe costs log2(n) sequential scattered gathers; a
-# bucketed open hash answers in 1-2 contiguous row gathers. Each bucket
-# holds SLOTS (key, start, count) entries; an overflowing key goes to the
-# next bucket; keys that overflow both are dropped (load factor <= 0.5
-# makes this < 1e-4 — those reads just stay singletons, matching is a
-# heuristic). Reference analog: the BooPHF mphf + CSR bins
-# (src/bitset_util.h:74-221), redesigned for vector probing.
+# bucketed open hash answers in contiguous row gathers. Each bucket holds
+# SLOTS entries — wide enough (8) that a SINGLE home-bucket attempt
+# suffices; keys that overflow their bucket are dropped (load factor
+# <= 0.25 keeps this ~1e-4 — those reads just stay singletons, matching is
+# a heuristic). Scattered row gathers on v5e are BYTE-bound (~7 GB/s
+# measured), so the probe row is kept small: the compact layout stores
+# 16-bit key tags + (start | count) packed words, 48 B per bucket.
+# Reference analog: the BooPHF mphf + CSR bins (src/bitset_util.h:74-221),
+# redesigned for vector probing.
 
-SLOTS = 4
+SLOTS = 8
 _HASH_MULT = np.uint32(0x9E3779B1)
+_TAG_MULT = np.uint32(0x85EBCA6B)
+# compact btab row: SLOTS/2 words of packed 16-bit key tags + SLOTS words of
+# (start << 6 | min(count, 63)). Probe gathers are BYTE-bound on TPU
+# (~7 GB/s measured) so halving the row halves the probe cost; a 16-bit tag
+# false-positive (~2^-16/slot) only adds candidates that Hamming verification
+# rejects. start fits 26 bits -> tables cap at 2^26 entries.
+COMPACT_WORDS = SLOTS // 2 + SLOTS
+MAX_COMPACT_ENTRIES = 1 << 26
+
+
+def table_buckets(n_keys: int) -> int:
+    """Bucket count for n_keys (pow2, ~2 slots per key: bucket-overflow
+    drop rate ~1e-4 at SLOTS=8)."""
+    return max(1 << int(max(4 * n_keys // SLOTS, 1) - 1).bit_length(), 64)
+
+
+def pairs_from_rids(rids: jnp.ndarray) -> jnp.ndarray:
+    """(n,) rids -> (n/8, 16) overlapping pair rows: row i holds
+    rids[8i : 8i+16]. Duplicates memory 2x so a probe's up-to-8 candidates
+    at any bin offset land in ONE gathered row (two 8-wide row gathers +
+    the same select chain otherwise)."""
+    r8 = rids.reshape(-1, 8)
+    nxt = jnp.concatenate([r8[1:], jnp.full((1, 8), -1, r8.dtype)], axis=0)
+    return jnp.concatenate([r8, nxt], axis=1)
 
 
 @dataclass
@@ -187,25 +214,28 @@ class HashDict:
 
 def build_hash_dicts(codes: np.ndarray, lengths: np.ndarray,
                      windows: list[DictSpec] | None = None,
-                     pad_to_pow2: bool = True) -> list[HashDict]:
+                     pad_to_pow2: bool = True,
+                     compact: bool = True) -> list[HashDict]:
     if windows is None:
         windows = default_windows(codes.shape[1])
     return _build_hash_dicts(
         lambda ok, start: _window_keys_np(codes[ok], start),
-        lengths, windows, pad_to_pow2)
+        lengths, windows, pad_to_pow2, compact)
 
 
 def build_hash_dicts_packed(packed: np.ndarray, lengths: np.ndarray,
                             windows: list[DictSpec],
-                            pad_to_pow2: bool = True) -> list[HashDict]:
+                            pad_to_pow2: bool = True,
+                            compact: bool = True) -> list[HashDict]:
     """build_hash_dicts from packed 2-bit rows (no codes matrix)."""
     return _build_hash_dicts(
         lambda ok, start: _window_keys_packed(packed[ok], start),
-        lengths, windows, pad_to_pow2)
+        lengths, windows, pad_to_pow2, compact)
 
 
 def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
-                      pad_to_pow2: bool = True) -> list[HashDict]:
+                      pad_to_pow2: bool = True,
+                      compact: bool = True) -> list[HashDict]:
     out = []
     for spec in windows:
         ok = lengths >= spec.end
@@ -224,36 +254,38 @@ def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
         # drop the sentinel bin (rid -1 padding)
         if len(uk) and uk[-1] == 0xFFFFFFFF and rids[starts[-1]] == -1:
             uk, starts, counts = uk[:-1], starts[:-1], counts[:-1]
-        S = max(1 << int(max(2 * len(uk) // SLOTS, 1) - 1).bit_length(), 64)
+        S = table_buckets(len(uk))
         shift = 32 - int(np.log2(S))
         bkey = np.zeros((S, SLOTS), np.uint32)
         bstart = np.zeros((S, SLOTS), np.int32)
         bcount = np.zeros((S, SLOTS), np.int32)
         h = ((uk * _HASH_MULT) >> np.uint32(shift)).astype(np.int64)
-        placed = np.zeros(len(uk), bool)
-        dropped = 0
-        for attempt in range(2):               # home bucket, then next
-            b = (h + attempt) % S
-            todo = np.nonzero(~placed)[0]
-            if not len(todo):
-                break
-            # rank of each key within its target bucket this round
-            order2 = np.argsort(b[todo], kind="stable")
-            tb = b[todo][order2]
-            first = np.concatenate([[True], tb[1:] != tb[:-1]])
-            grp = np.cumsum(first) - 1
-            first_idx = np.nonzero(first)[0]
-            rank = np.arange(len(tb)) - first_idx[grp]
-            free_base = (bcount[tb, :] > 0).sum(axis=1)
-            slot = free_base + rank
-            fits = slot < SLOTS
-            ki = todo[order2[fits]]
-            bi, si = tb[fits], slot[fits]
-            bkey[bi, si] = uk[ki]
-            bstart[bi, si] = starts[ki]
-            bcount[bi, si] = counts[ki]
-            placed[ki] = True
-        dropped = int((~placed).sum())
+        # single-attempt placement: rank of each key within its home bucket
+        b = h % S
+        order2 = np.argsort(b, kind="stable")
+        tb = b[order2]
+        first = np.concatenate([[True], tb[1:] != tb[:-1]])
+        grp = np.cumsum(first) - 1
+        first_idx = np.nonzero(first)[0]
+        rank = np.arange(len(tb)) - first_idx[grp]
+        fits = rank < SLOTS
+        ki = order2[fits]
+        bi, si = tb[fits], rank[fits]
+        bkey[bi, si] = uk[ki]
+        bstart[bi, si] = starts[ki]
+        bcount[bi, si] = counts[ki]
+        dropped = int((~fits).sum())
+        if compact:
+            assert len(keys) <= MAX_COMPACT_ENTRIES
+            t8 = ((bkey * _TAG_MULT) >> np.uint32(16)) & np.uint32(0xFFFF)
+            tagw = t8[:, 0::2] | (t8[:, 1::2] << np.uint32(16))
+            scw = (bstart.astype(np.uint32) << np.uint32(6)) \
+                | np.minimum(bcount, 63).astype(np.uint32)
+            btab = np.concatenate([tagw, scw], axis=1)
+            out.append(HashDict(
+                btab=jnp.asarray(btab), rids=jnp.asarray(rids),
+                start=spec.start, keys_sorted=keys))
+            continue
         if dropped:
             import sys
             print(f"[dict] {dropped}/{len(uk)} keys overflowed the hash "
@@ -266,37 +298,66 @@ def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
     return out
 
 
-def probe_hash(btab, rids, queries: jnp.ndarray,
-               max_candidates: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Hash-probe a batch of uint32 keys. Same contract as ``probe``."""
+def probe_meta(btab, queries: jnp.ndarray
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hash-probe a batch of uint32 keys for bin metadata only.
+
+    Returns (start, count) per query, both int32 with count 0 on miss.
+    Accepts either btab layout: classic (S, 3*SLOTS) full-key rows or
+    compact (S, COMPACT_WORDS) tag rows."""
     S = btab.shape[0]
     shift = 32 - int(np.log2(S))
     flat = queries.reshape(-1)
-    h = (flat * jnp.uint32(_HASH_MULT)) >> shift
-    start = jnp.zeros(flat.shape, jnp.int32)
-    count = jnp.zeros(flat.shape, jnp.int32)
-    for attempt in range(2):
-        b = (h + attempt) & (S - 1)
-        row = btab[b]                       # (Q, 3*SLOTS) one row gather
+    b = (flat * jnp.uint32(_HASH_MULT)) >> shift
+    row = btab[b]                       # one row gather
+    if btab.shape[1] == COMPACT_WORDS:
+        tagw = row[:, :SLOTS // 2]
+        scw = row[:, SLOTS // 2:]
+        tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
+                         axis=2).reshape(-1, SLOTS)
+        qtag = ((flat * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+        hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(63)) > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
+        start = (sc >> 6).astype(jnp.int32)
+        count = (sc & jnp.uint32(63)).astype(jnp.int32)
+    else:
         krow = row[:, :SLOTS]
         srow = row[:, SLOTS:2 * SLOTS].astype(jnp.int32)
         crow = row[:, 2 * SLOTS:].astype(jnp.int32)
         hit = (krow == flat[:, None]) & (crow > 0)
-        any_hit = hit.any(axis=1)
         # masked sums, not take_along_axis: per-element gathers along a
-        # 4-wide minor axis run ~40x below memory speed on TPU (profiled)
+        # narrow minor axis run ~40x below memory speed on TPU (profiled)
         first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
-        s_hit = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
-        c_hit = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
-        take = any_hit & (count == 0)
-        start = jnp.where(take, s_hit, start)
-        count = jnp.where(take, c_hit, count)
+        start = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
+        count = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
+    return start.reshape(queries.shape), count.reshape(queries.shape)
+
+
+def probe_hash(btab, rids, queries: jnp.ndarray,
+               max_candidates: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hash-probe a batch of uint32 keys. Same contract as ``probe``.
+
+    ``rids`` may be the flat (n,) CSR payload or the (n/8, 16) overlapping
+    pair rows from ``pairs_from_rids`` — the pair layout answers each probe
+    with ONE row gather (candidates <= 8 only)."""
+    start, count = probe_meta(btab, queries)
+    start = start.reshape(-1)
+    count = count.reshape(-1)
     offs = jnp.arange(max_candidates, dtype=jnp.int32)
-    n = rids.shape[0]
     valid = offs[None, :] < jnp.minimum(count, max_candidates)[:, None]
-    if max_candidates <= 8 and n % 8 == 0:
-        # two contiguous 8-wide row gathers + an offset select chain —
-        # ~10x cheaper than per-element gathers on TPU
+    if rids.ndim == 2:
+        # overlapping pair rows: one gather covers [start & ~7, +16)
+        assert max_candidates <= 8
+        nrows = rids.shape[0]
+        both = rids[jnp.clip(start >> 3, 0, nrows - 1)]      # (Q, 16)
+        off = start & 7
+        cand = both[:, :max_candidates]
+        for o in range(1, 8):
+            cand = jnp.where((off == o)[:, None],
+                             both[:, o:o + max_candidates], cand)
+    elif max_candidates <= 8 and rids.shape[0] % 8 == 0:
+        # two contiguous 8-wide row gathers + an offset select chain
         r2d = rids.reshape(-1, 8)
         nrows = r2d.shape[0]
         b0 = jnp.clip(start >> 3, 0, nrows - 1)
@@ -308,6 +369,7 @@ def probe_hash(btab, rids, queries: jnp.ndarray,
             cand = jnp.where((off == o)[:, None],
                              both[:, o:o + max_candidates], cand)
     else:
+        n = rids.shape[0]
         idx = start[:, None] + offs[None, :]
         cand = jnp.take(rids, jnp.minimum(idx, n - 1), axis=0)
     shape = (*queries.shape, max_candidates)
@@ -340,7 +402,7 @@ def _build_hash_dict_dev(rows, n_real, start: int, S: int):
     """Build one bucketed hash dict from packed rows living on device.
 
     rows: (Np, W+1) uint32 — packed reads + length word (engine layout).
-    Returns (btab, keys_sorted, rids_sorted, dropped)."""
+    Returns (btab, keys_sorted, rids_sorted, dropped); btab is COMPACT."""
     Np, Wp1 = rows.shape
     W = Wp1 - 1
     lengths = (rows[:, W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
@@ -350,7 +412,7 @@ def _build_hash_dict_dev(rows, n_real, start: int, S: int):
         lo = lo | (rows[:, w0 + 1] << jnp.uint32(32 - 2 * b))
     rid = jnp.arange(Np, dtype=jnp.int32)
     ok = (rid < n_real) & (lengths >= start + KEY_BASES)
-    return _hash_build_core(lo.astype(jnp.uint32), ok, S)
+    return _hash_build_core(lo.astype(jnp.uint32), ok, S, compact=True)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -372,9 +434,9 @@ def build_hash_dict_seq_dev(seq_words, total, word_offset: int, S: int):
     return _hash_build_core(keys, ok, S)
 
 
-def _hash_build_core(keys_raw, ok, S: int):
+def _hash_build_core(keys_raw, ok, S: int, compact: bool = False):
     """Shared device build: sort (key, id), segment unique keys, place into
-    the two-attempt bucket table. id = position in ``keys_raw``."""
+    the single-attempt bucket table. id = position in ``keys_raw``."""
     Np = keys_raw.shape[0]
     rid = jnp.arange(Np, dtype=jnp.int32)
     keys = jnp.where(ok, keys_raw, jnp.uint32(0xFFFFFFFF))
@@ -402,14 +464,13 @@ def _hash_build_core(keys_raw, ok, S: int):
     fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fcount = jnp.zeros(S * SLOTS + 1, jnp.uint32)
-    occ = jnp.zeros(S + 1, jnp.int32)
 
     def rank_in_groups(bk):
         f2 = jnp.concatenate([jnp.ones(1, bool), bk[1:] != bk[:-1]])
         gstart = jax.lax.cummax(jnp.where(f2, pos, 0))
         return pos - gstart
 
-    # attempt 0: home bucket, slots 0..rank
+    # single-attempt placement: home bucket, slots 0..rank
     b0 = jnp.where(entry, h, S)
     bk0, _, uk0, us0, uc0 = jax.lax.sort(
         (b0, pos, keys_s, pos.astype(jnp.uint32),
@@ -421,27 +482,18 @@ def _hash_build_core(keys_raw, ok, S: int):
     fkey = fkey.at[flat0].set(jnp.where(fits0, uk0, 0))
     fstart = fstart.at[flat0].set(jnp.where(fits0, us0, 0))
     fcount = fcount.at[flat0].set(jnp.where(fits0, uc0, 0))
-    occ = occ.at[jnp.where(fits0, bk0, S)].add(1)
+    dropped = jnp.sum(live0 & ~fits0).astype(jnp.int32)
 
-    # attempt 1: next bucket, slots after its attempt-0 occupancy
-    todo = live0 & ~fits0
-    b1 = jnp.where(todo, (bk0 + 1) & (S - 1), S)
-    bk1, _, uk1, us1, uc1 = jax.lax.sort(
-        (b1, pos, uk0, us0, uc0), num_keys=2)
-    rank1 = rank_in_groups(bk1)
-    live1 = bk1 < S
-    slot1 = occ[jnp.clip(bk1, 0, S - 1)] + rank1
-    fits1 = live1 & (slot1 < SLOTS)
-    flat1 = jnp.where(fits1, bk1 * SLOTS + slot1, S * SLOTS)
-    fkey = fkey.at[flat1].set(jnp.where(fits1, uk1, 0))
-    fstart = fstart.at[flat1].set(jnp.where(fits1, us1, 0))
-    fcount = fcount.at[flat1].set(jnp.where(fits1, uc1, 0))
-    dropped = jnp.sum(live1 & ~fits1).astype(jnp.int32)
-
-    btab = jnp.concatenate(
-        [fkey[: S * SLOTS].reshape(S, SLOTS),
-         fstart[: S * SLOTS].reshape(S, SLOTS),
-         fcount[: S * SLOTS].reshape(S, SLOTS)], axis=1)
+    k8 = fkey[: S * SLOTS].reshape(S, SLOTS)
+    s8 = fstart[: S * SLOTS].reshape(S, SLOTS)
+    c8 = fcount[: S * SLOTS].reshape(S, SLOTS)
+    if compact:
+        t8 = ((k8 * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+        tagw = t8[:, 0::2] | (t8[:, 1::2] << 16)
+        scw = (s8 << 6) | jnp.minimum(c8, jnp.uint32(63))
+        btab = jnp.concatenate([tagw, scw], axis=1)
+    else:
+        btab = jnp.concatenate([k8, s8, c8], axis=1)
     return btab, keys_s, rids_s, dropped
 
 
@@ -449,7 +501,7 @@ def build_hash_dicts_device(rows, n_real: int,
                             windows: list[DictSpec]) -> list[DeviceDict]:
     """Build all dictionaries on device from engine-layout packed rows."""
     Np = int(rows.shape[0])
-    S = max(1 << int(max(2 * Np // SLOTS, 1) - 1).bit_length(), 64)
+    S = table_buckets(Np)
     nr = jnp.asarray(n_real, jnp.int32)
     out = []
     for spec in windows:

@@ -472,9 +472,12 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     the (large) scanned round on every compress call — ~3 s of pure Python
     tracing per run."""
     lay = ProbeLayout(len(starts), C, SC)
-    M = min(accept_slots, lay.K)
+    D = len(starts)
+    G = SC * 2 * D                     # probe groups: (shift, orient, dict)
+    GSEL = max(1, min(accept_slots, G * C) // C)
+    M = GSEL * C
 
-    def round_fn(state, lengths, dkeys, drids, seed_order,
+    def round_fn(state, lengths, dkeys, pairs_all, seed_order,
                  n_real, maxshift, room=None):
         counts = state["counts"]
         ref_len = state["ref_len"]
@@ -512,33 +515,59 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
         q, v = walker_queries(frames, s_tot, ref_len, starts)
 
-        hits_r, hits_v = [], []
-        for di in range(len(starts)):
-            rids, hit = dct.probe_hash(dkeys[di], drids[di],
-                                       q[:, :, di, :], C)
-            hits_r.append(rids)
-            hits_v.append(hit & v[:, :, di, :, None])
-        # flatten (SC, 2, D, C) -> K in the ProbeLayout order
-        cand = jnp.stack(hits_r, axis=3).reshape(B, lay.K)
-        cvalid = jnp.stack(hits_v, axis=3).reshape(B, lay.K)
-        cvalid &= (cand >= 0) & searching[:, None]
+        # ---- metadata-only probe: (start, count) per (shift, orient,
+        # dict) group; NO candidate rids are fetched yet. Probe gathers
+        # are byte-bound (~7 GB/s), so fetching C rids for all G groups
+        # eagerly cost more than the whole rest of the round ----
+        st_d, ct_d = [], []
+        for di in range(D):
+            st, ct = dct.probe_meta(dkeys[di], q[:, :, di, :])
+            ct = jnp.where(v[:, :, di, :], ct, 0)
+            st_d.append(st)
+            ct_d.append(ct)
+        # group axis g = ((s*2 + o)*D + d): slot order IS the priority
+        # (shift > orientation > dict — the reference search order,
+        # src/reorder.h:479-557)
+        start_g = jnp.stack(st_d, axis=3).reshape(B, G)
+        count_g = jnp.stack(ct_d, axis=3).reshape(B, G)
+        hit_g = (count_g > 0) & searching[:, None]
 
-        # ---- top-M compaction: only the M best-priority valid slots
-        # get the expensive packed-row gather (most of the K probe
-        # slots are empty at real coverage) ----
-        prio = jnp.where(cvalid, -jnp.asarray(lay.pr_static)[None, :],
+        # ---- pick the GSEL best-priority hitting groups; only those
+        # fetch candidate rows (one pairs-row gather each) ----
+        negp = jnp.where(hit_g, -jnp.arange(G, dtype=jnp.int32)[None, :],
                          -_BIG)
-        _, idx_m = jax.lax.top_k(prio, M)          # (B, M)
-
-        def take_m(x):
-            return jnp.take_along_axis(x, idx_m, axis=1)
-        cand_m = take_m(cand)
-        valid_m = take_m(cvalid)
-        k_o_m = jnp.asarray(lay.k_o.astype(np.int32))[idx_m]
-        k_frame_m = jnp.asarray(lay.k_frame.astype(np.int32))[idx_m]
-        s_m = shift_base[:, None] + jnp.asarray(
-            lay.k_s.astype(np.int32))[idx_m]
-        pr_m = jnp.asarray(lay.pr_static)[idx_m]
+        negg, _ = jax.lax.top_k(negp, GSEL)        # (B, GSEL)
+        gok = negg != -_BIG
+        g_id = jnp.where(gok, -negg, 0)
+        st_sel = jnp.take_along_axis(start_g, g_id, axis=1)
+        ct_sel = jnp.where(gok,
+                           jnp.take_along_axis(count_g, g_id, axis=1), 0)
+        d_sel = g_id % D
+        o_sel = (g_id // D) % 2
+        srel = g_id // (2 * D)
+        nprow = Np // 8
+        rowid = d_sel * nprow + (st_sel >> 3)
+        both = pairs_all[jnp.clip(rowid, 0, D * nprow - 1).reshape(-1)]
+        both = both.reshape(B, GSEL, 16)
+        off = st_sel & 7
+        candg = both[:, :, :C]
+        for o in range(1, 8):
+            candg = jnp.where((off == o)[:, :, None],
+                              both[:, :, o:o + C], candg)
+        vcand = (jnp.arange(C, dtype=jnp.int32)[None, None, :]
+                 < jnp.minimum(ct_sel, C)[:, :, None]) & gok[:, :, None]
+        cand_m = candg.reshape(B, M)
+        valid_m = (vcand & (candg >= 0)).reshape(B, M)
+        # per-slot fields are pure arithmetic on the group id — the
+        # per-element table gathers they replace cost ~0.6 ms each
+        co = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        k_o_m = jnp.broadcast_to(
+            o_sel[:, :, None], (B, GSEL, C)).reshape(B, M)
+        k_frame_m = jnp.broadcast_to(
+            (srel * 2 + o_sel)[:, :, None], (B, GSEL, C)).reshape(B, M)
+        s_m = shift_base[:, None] + jnp.broadcast_to(
+            srel[:, :, None], (B, GSEL, C)).reshape(B, M)
+        pr_m = (g_id[:, :, None] * C + co).reshape(B, M)
 
         # ---- verify: ONE (B, M) row gather + masked popcounts ----
         safe = jnp.clip(cand_m, 0, Np - 1)
@@ -601,27 +630,22 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         rolled0 = _roll_counts(counts * live, t_roll)
         len0 = jnp.maximum(ref_len - t_roll, 0)
 
-        def add_slot(j, carry):
-            rolled, new_len = carry
-            rj = jax.lax.dynamic_index_in_dim(
-                rows_f, j, axis=1, keepdims=False)[:, :Wl]
-            lj = jax.lax.dynamic_index_in_dim(clen_f, j, 1, False)
-            koj = jax.lax.dynamic_index_in_dim(ko_f, j, 1, False)
-            tj = jax.lax.dynamic_index_in_dim(t_f, j, 1, False)
-            wj = jax.lax.dynamic_index_in_dim(win, j, 1, False)
-            pkj = jnp.where((koj == 1)[:, None],
-                            bits.revcomp_packed(rj, lj), rj)
-            dj = jnp.where(wj, t_roll - tj, 0)
-            pkj = bits.shift_bases_left(pkj, dj, Lb)
-            ohj = _onehot_read(bits.unpack(pkj, Lb), lj - dj)
-            rolled = rolled + jnp.where(wj[:, None, None], ohj, 0)
-            new_len = jnp.maximum(new_len, jnp.where(wj, lj - dj, 0))
-            return rolled, new_len
-
-        # fori_loop keeps the compiled program M times smaller than an
-        # unrolled python loop (tunnel compiles are minutes per MB)
-        rolled, new_len = jax.lax.fori_loop(0, M, add_slot,
-                                            (rolled0, len0))
+        # all M slots at once (a fori_loop here cost ~0.6 ms/slot of pure
+        # per-op overhead — half the round at M=16; the batched form is a
+        # handful of (B, M, ·) fusions XLA reduces over M in place)
+        pk_all = rows_f[..., :Wl]                        # (B, M, W)
+        pk_all = jnp.where((ko_f == 1)[:, :, None],
+                           bits.revcomp_packed(pk_all, clen_f), pk_all)
+        d_all = jnp.where(win, t_roll[:, None] - t_f, 0)  # (B, M)
+        pk_all = bits.shift_bases_left(pk_all, d_all, Lb)
+        codes_all = bits.unpack(pk_all, Lb)               # (B, M, Lb)
+        len_all = jnp.where(win, clen_f - d_all, 0)
+        validp = (jnp.arange(Lb)[None, None, :] < len_all[:, :, None])
+        oh = ((codes_all[:, :, None, :]
+               == jnp.arange(4)[None, None, :, None])
+              & validp[:, :, None, :])
+        rolled = rolled0 + oh.astype(jnp.int32).sum(axis=1)
+        new_len = jnp.maximum(len0, len_all.max(axis=1))
         counts = jnp.where(matched_any[:, None, None], rolled, counts)
         ref_len = jnp.where(matched_any, new_len, ref_len)
         claimed, packed = claim(win.reshape(-1),
@@ -696,34 +720,44 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     # flush (measured: SC=32 with the SC=16 CAP gained nothing)
     CAP = FLUSH_ROUNDS * max(3, 3 * SC // 16) + S
 
-    def flush_fn(state, lengths, dkeys, drids, seed_order,
+    def flush_fn(state, lengths, dkeys, pairs_all, seed_order,
                  n_real, maxshift):
         # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
         # and especially the TPU tunnel) would otherwise dominate.
-        # Emissions append into a compact per-walker buffer (average
-        # occupancy ~1-2 slots/round vs the M+1 emitted): the transfer
-        # shrinks ~6x and the host never touches empty slots. A walker
-        # whose buffer is nearly full stalls until the next flush.
+        # Per-round emissions are stacked by the scan (a cheap contiguous
+        # dynamic-update-slice) and compacted ONCE per flush with a stable
+        # sort that pushes empty slots to the back — the per-round
+        # buf.at[bidx, pos].set scatter this replaces cost 2.8 ms/round,
+        # ~17% of the whole round. The transfer still ships only CAP
+        # slots/walker. A walker whose buffer is nearly full stalls until
+        # the next flush.
         B = state["counts"].shape[0]
-        buf0 = jnp.full((B, CAP + 1, 2), -1, jnp.int32)
         cnt0 = jnp.zeros((B,), jnp.int32)
-        bidx = jnp.arange(B)[:, None]
 
         def body(carry, _):
-            st, buf, cnt = carry
+            st, cnt = carry
             room = cnt < CAP - S
-            st2, emit = round_fn(st, lengths, dkeys, drids,
+            st2, emit = round_fn(st, lengths, dkeys, pairs_all,
                                  seed_order, n_real, maxshift, room)
-            valid = emit[:, :, 0] >= 0
-            rank = jnp.cumsum(valid, axis=1) - 1
-            pos = jnp.where(valid, cnt[:, None] + rank, CAP)
-            buf = buf.at[bidx, pos].set(emit)
-            cnt = cnt + jnp.sum(valid, axis=1)
-            return (st2, buf, cnt), None
+            cnt = cnt + jnp.sum(emit[:, :, 0] >= 0, axis=1)
+            return (st2, cnt), emit
 
-        (state, buf, cnt), _ = jax.lax.scan(
-            body, (state, buf0, cnt0), None, length=FLUSH_ROUNDS)
-        return state, buf[:, :CAP], cnt
+        (state, cnt), ys = jax.lax.scan(
+            body, (state, cnt0), None, length=FLUSH_ROUNDS)
+        em = jnp.moveaxis(ys, 0, 1).reshape(B, FLUSH_ROUNDS * S, 2)
+        empty = (em[:, :, 0] < 0).astype(jnp.int32)
+        _, w0, w1 = jax.lax.sort(
+            (empty, em[:, :, 0], em[:, :, 1]), dimension=1, num_keys=1)
+        buf = jnp.stack([w0[:, :CAP], w1[:, :CAP]], axis=-1)
+        # per-flush stats as ONE tiny transfer: pulling the 4 MB claimed
+        # bitmap every flush cost ~60 ms of tunnel time per flush
+        stats = jnp.stack([
+            jnp.sum(jax.lax.population_count(
+                state["claimed"][: Np // 32])).astype(jnp.int32),
+            state["queue_pos"],
+            jnp.sum(state["active"]).astype(jnp.int32),
+            jnp.sum(cnt)])
+        return state, buf, stats
 
     return round_fn, jax.jit(flush_fn, donate_argnums=(0,)), CAP
 
@@ -745,7 +779,11 @@ def _engine_run(self, progress=None) -> np.ndarray:
         # the buffer); blocks so the build isn't queued behind a flush
         self._build_dicts(state["rows"])
         dkeys = [d.btab for d in self._dicts]
-        drids = [d.rids for d in self._dicts]
+        drids1 = [d.rids for d in self._dicts]
+        # stacked overlapping pair rows (dict d at row offset d*Np/8):
+        # the round's bin fetch is ONE row gather across both dicts
+        pairs_all = jnp.concatenate(
+            [dct.pairs_from_rids(r) for r in drids1], axis=0)
         if trace:
             print(f"[trace] reorder init: state {_t1 - _t0:.3f}s dicts "
                   f"{time.time() - _t1:.3f}s", flush=True)
@@ -770,8 +808,9 @@ def _engine_run(self, progress=None) -> np.ndarray:
         pending = None               # device emit buffer in flight
         while True:
             t0 = time.time()
-            state, emit, cnt = self._round_fn(
-                state, lengths, dkeys, drids, seed_order, n_real, maxshift)
+            state, emit, stats = self._round_fn(
+                state, lengths, dkeys, pairs_all, seed_order, n_real,
+                maxshift)
             # overlap the emissions transfer with the bookkeeping below and
             # with the next flush's device compute
             try:
@@ -781,14 +820,14 @@ def _engine_run(self, progress=None) -> np.ndarray:
             if pending is not None:
                 chunks.append(_compact_emit(np.asarray(pending)))
             pending = emit
-            emitted = int(jnp.sum(cnt))
-            queue_pos = int(state["queue_pos"])
-            any_active = bool(np.asarray(state["active"]).any())
+            # ONE small transfer syncs the flush; the claimed bitmap (4 MB
+            # over the tunnel) is pulled only when compaction triggers
+            stats_np = np.asarray(stats)
+            n_claimed = int(stats_np[0]) - (self.Np - self.N)
+            queue_pos = int(stats_np[1])
+            any_active = stats_np[2] > 0
+            emitted = int(stats_np[3])
             rounds += FLUSH_ROUNDS
-            claimed_np = np.unpackbits(
-                np.asarray(state["claimed"])[: self.Np // 32].view(np.uint8),
-                bitorder="little")[: self.N].astype(bool)
-            n_claimed = int(claimed_np.sum())
             if trace:
                 from ..pipeline.short_mode import _vm
                 rss, hwm = _vm()
@@ -802,21 +841,28 @@ def _engine_run(self, progress=None) -> np.ndarray:
                     and (emitted == 0 or n_claimed >= self.N)):
                 break
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
-                drids = self._compact_dicts(drids, state["claimed"])
+                drids1 = self._compact_dicts(drids1, state["claimed"])
+                pairs_all = jnp.concatenate(
+                    [dct.pairs_from_rids(r) for r in drids1], axis=0)
                 last_claimed = n_claimed
             # compact the seed queue: drop already-claimed reads so the
             # endgame doesn't burn rounds skipping them one walker-batch
-            # at a time (95% of reads are claimed within a few flushes)
-            if queue_pos > 0 and n_claimed < self.N:
-                remaining = queue[~claimed_np[queue]]
-                if len(remaining) < 0.5 * int(n_real):
-                    queue = remaining
-                    seed_order = jnp.asarray(np.concatenate([
-                        remaining,
-                        np.full(self.Np - len(remaining), self.Np - 1,
-                                np.int32)]).astype(np.int32))
-                    n_real = jnp.asarray(len(remaining), jnp.int32)
-                    state["queue_pos"] = jnp.zeros((), jnp.int32)
+            # at a time (95% of reads are claimed within a few flushes).
+            # The queue always holds every unclaimed read, so the trigger
+            # (live queue half-consumed) needs no bitmap transfer.
+            if (queue_pos > 0 and n_claimed < self.N
+                    and self.N - n_claimed < 0.5 * int(n_real)):
+                claimed_np = np.unpackbits(
+                    np.asarray(state["claimed"])[: self.Np // 32]
+                    .view(np.uint8), bitorder="little")[: self.N]
+                remaining = queue[~claimed_np[queue].astype(bool)]
+                queue = remaining
+                seed_order = jnp.asarray(np.concatenate([
+                    remaining,
+                    np.full(self.Np - len(remaining), self.Np - 1,
+                            np.int32)]).astype(np.int32))
+                n_real = jnp.asarray(len(remaining), jnp.int32)
+                state["queue_pos"] = jnp.zeros((), jnp.int32)
         if pending is not None:
             chunks.append(_compact_emit(np.asarray(pending)))
         dt = time.time() - t_start

@@ -39,7 +39,7 @@ def main():
 
     state = e._init_state()
     dkeys = [d.btab for d in e.dicts]
-    drids = [d.rids for d in e.dicts]
+    drids = eng.jnp.concatenate([eng.dct.pairs_from_rids(d.rids) for d in e.dicts], axis=0)
     stride = max(e.N // e.B, 1)
     idx = np.arange(e.N, dtype=np.int32)
     so = np.concatenate([idx[r::stride] for r in range(stride)])
@@ -50,12 +50,12 @@ def main():
             jnp.asarray(e.N, jnp.int32), jnp.asarray(e.cfg.max_shift, jnp.int32))
 
     t0 = time.time()
-    state, emit, cnt = e._round_fn(state, *args)   # compile + run
+    state, emit, stats = e._round_fn(state, *args)   # compile + run
     jax.block_until_ready(emit)
     print(f"first flush (incl compile) {time.time() - t0:.1f}s")
     t0 = time.time()
     with jax.profiler.trace(out):
-        state, emit, cnt = e._round_fn(state, *args)
+        state, emit, stats = e._round_fn(state, *args)
         jax.block_until_ready(emit)
     dt = time.time() - t0
     print(f"profiled flush {dt:.2f}s ({1000 * dt / eng.FLUSH_ROUNDS:.1f} ms/round)")
