@@ -381,8 +381,13 @@ class ReorderEngine:
         # enough walkers to keep the device busy, but few enough that seeds
         # don't fragment the contig space: ~256 reads per walker measured
         # best on v5e (B=4096 at 1M reads beat B=16384 on both speed and
-        # seq-stream size — fewer, longer contigs)
-        self.B = int(min(cfg.num_walkers, max(8, self.Np // 256)))
+        # seq-stream size — fewer, longer contigs). An explicit
+        # num_walkers below the REORDER_BATCH cap is honored as-is (up to
+        # Np/8) so the knob can push B both ways.
+        auto = max(8, self.Np // 256)
+        self.B = int(min(cfg.num_walkers, auto)
+                     if cfg.num_walkers >= P.REORDER_BATCH
+                     else min(cfg.num_walkers, max(8, self.Np // 8)))
         self.windows = dct.default_windows(cfg.max_readlen)
         # dictionaries are built ON DEVICE from the packed rows at run()
         # (one lax.sort + placement scatters, ~100 ms at 1M reads): the
@@ -805,24 +810,35 @@ def _engine_run(self, progress=None) -> np.ndarray:
         last_claimed = 0
         rounds = accepts = seeds = 0
         t_start = time.time()
-        pending = None               # device emit buffer in flight
-        while True:
-            t0 = time.time()
+
+        def dispatch():
+            nonlocal state
             state, emit, stats = self._round_fn(
                 state, lengths, dkeys, pairs_all, seed_order, n_real,
                 maxshift)
-            # overlap the emissions transfer with the bookkeeping below and
-            # with the next flush's device compute
             try:
                 emit.copy_to_host_async()
             except Exception:
                 pass
-            if pending is not None:
-                chunks.append(_compact_emit(np.asarray(pending)))
-            pending = emit
-            # ONE small transfer syncs the flush; the claimed bitmap (4 MB
-            # over the tunnel) is pulled only when compaction triggers
-            stats_np = np.asarray(stats)
+            return emit, stats
+
+        # pipelined loop: flush k+1 is DISPATCHED before flush k's stats
+        # are read, so the device runs flushes back to back while the host
+        # processes results one flush behind. The one speculative flush
+        # after the exit condition runs on a finished state (no live
+        # walkers, queue drained) and emits nothing. Compaction decisions
+        # lag one flush — harmless, claims are monotone.
+        inflight = dispatch()
+        while True:
+            t0 = time.time()
+            nxt = dispatch()
+            emit_k, stats_k = inflight
+            inflight = nxt
+            # ONE small transfer syncs flush k (k+1 is already running);
+            # the claimed bitmap (4 MB over the tunnel) is pulled only
+            # when seed-queue compaction triggers
+            stats_np = np.asarray(stats_k)
+            chunks.append(_compact_emit(np.asarray(emit_k)))
             n_claimed = int(stats_np[0]) - (self.Np - self.N)
             queue_pos = int(stats_np[1])
             any_active = stats_np[2] > 0
@@ -863,10 +879,17 @@ def _engine_run(self, progress=None) -> np.ndarray:
                             np.int32)]).astype(np.int32))
                 n_real = jnp.asarray(len(remaining), jnp.int32)
                 state["queue_pos"] = jnp.zeros((), jnp.int32)
-        if pending is not None:
-            chunks.append(_compact_emit(np.asarray(pending)))
+        _t2 = time.time()
+        # drain the speculative in-flight flush (its rounds found nothing
+        # but its buffer must be harvested for ordering consistency)
+        emit_k, _ = inflight
+        chunks.append(_compact_emit(np.asarray(emit_k)))
+        _t3 = time.time()
         dt = time.time() - t_start
         out = _emissions_from_chunks(chunks)
+        if trace:
+            print(f"[trace] reorder tail: last-buf {_t3 - _t2:.3f}s "
+                  f"assemble {time.time() - _t3:.3f}s", flush=True)
         if trace:
             accepts = int((out[:, 1] > 0).sum())
             seeds = int((out[:, 1] == 0).sum())
