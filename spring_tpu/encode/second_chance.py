@@ -91,10 +91,24 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
                & ((st + dct.KEY_BASES) <= clen)[:, None])
         wi = (q >> 4) + (_PAD // 16)
         r2 = (2 * (q & 15)).astype(jnp.uint32)
+        # fetch the W+1 consensus words per candidate as TWO 8-wide row
+        # gathers + an offset select chain (the per-word single-element
+        # gathers this replaces paid per element, ~2x the whole match)
+        s8 = seq_j.reshape(-1, 8)
+        nrows8 = s8.shape[0]
+        b0 = jnp.clip(wi >> 3, 0, nrows8 - 2)
+        both = jnp.concatenate(
+            [s8[b0.reshape(-1)], s8[b0.reshape(-1) + 1]],
+            axis=-1).reshape(*wi.shape, 16)
+        woff = wi & 7
+        wrows = both[..., : W + 1]
+        for o in range(1, 8):
+            wrows = jnp.where((woff == o)[..., None],
+                              both[..., o: o + W + 1], wrows)
         ham = jnp.zeros(cand.shape, jnp.int32)
         for w in range(W):
-            lo = seq_j[jnp.clip(wi + w, 0, nwords - 1)]
-            hi = seq_j[jnp.clip(wi + w + 1, 0, nwords - 1)]
+            lo = wrows[..., w]
+            hi = wrows[..., w + 1]
             fw = jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
             dd = fw ^ rows_j[:, w][:, None]
             m = ((dd | (dd >> 1)) | rows_j[:, W + w][:, None]) & _ODD
