@@ -46,6 +46,11 @@ class ContigLayout:
     gpos: np.ndarray       # (M,) int64 read start in concatenated seq coords
     rc: np.ndarray         # (M,) uint8
     seq_len: int           # total concatenated consensus length
+    # optional per-contig segmentation (filled by layout_from_emissions;
+    # needed by the stitching pass)
+    cbase: np.ndarray | None = None    # (nc,) int64 contig start in seq
+    clen: np.ndarray | None = None     # (nc,) int64 contig length
+    ccount: np.ndarray | None = None   # (nc,) int64 reads per contig
 
 
 def layout_contigs(contigs: list[dict], lengths: np.ndarray,
@@ -150,7 +155,10 @@ def layout_from_emissions(emissions: np.ndarray, num_walkers: int,
     layout = ContigLayout(rids=rid_s[km].astype(np.int32),
                           gpos=gpos[km].astype(np.int64),
                           rc=rc_s[km],
-                          seq_len=int(np.where(keep, clen, 0).sum()))
+                          seq_len=int(np.where(keep, clen, 0).sum()),
+                          cbase=bases[keep].astype(np.int64),
+                          clen=clen[keep].astype(np.int64),
+                          ccount=counts[keep].astype(np.int64))
     return layout, singles.astype(np.int32)
 
 

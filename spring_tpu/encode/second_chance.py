@@ -66,7 +66,8 @@ def _assemble_sc_rows(pk, nm_f, nm_r, lens):
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
-                 thresh: int, windows: tuple = WINDOWS):
+                 thresh: int, windows: tuple = WINDOWS,
+                 exclude=None):
     """Each oriented leftover read probes the consensus sliding-window
     dict at its 16-aligned windows and Hamming-verifies the candidate
     placements in place. ONE dispatch, no scatter, and work scales with
@@ -89,6 +90,9 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
         q = cand - st                        # candidate read start in seq
         okc = (hit & (q >= 0) & ((q + clen[:, None]) <= total_j)
                & ((st + dct.KEY_BASES) <= clen)[:, None])
+        if exclude is not None:
+            # self-placement veto (contig stitching probes its own head)
+            okc &= q != exclude[:, None]
         wi = (q >> 4) + (_PAD // 16)
         r2 = (2 * (q & 15)).astype(jnp.uint32)
         # fetch the W+1 consensus words per candidate as TWO 8-wide row
@@ -126,7 +130,8 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
 def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
                            nm_f: np.ndarray, nm_r: np.ndarray,
                            lengths: np.ndarray,
-                           thresh: int = P.THRESH_ENCODER
+                           thresh: int = P.THRESH_ENCODER,
+                           exclude: np.ndarray | None = None
                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Try to place each read on the consensus, packed-domain input.
 
@@ -189,8 +194,13 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
     mark("dicts")
 
     total_j = jnp.asarray(total, jnp.int32)
+    ex_j = None
+    if exclude is not None:
+        ex_p = np.full(k2, -2, np.int32)
+        ex_p[:n] = exclude
+        ex_j = jnp.asarray(np.concatenate([ex_p, ex_p]))  # both orient rows
     best = np.asarray(_match_reads(seq_j, btab, pos_bins, rows_j, total_j,
-                                   W, thresh, windows))[:n]
+                                   W, thresh, windows, ex_j))[:n]
     mark("match")
     placed = best != _BIG
     out_pos[placed] = (best[placed] >> 1).astype(np.int64)

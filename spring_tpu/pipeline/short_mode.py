@@ -282,16 +282,30 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             g = clean_rids[layout.rids]          # layout order -> global rid
             glay = cons.ContigLayout(rids=g.astype(np.int32),
                                      gpos=layout.gpos, rc=layout.rc,
-                                     seq_len=layout.seq_len)
+                                     seq_len=layout.seq_len,
+                                     cbase=layout.cbase, clen=layout.clen,
+                                     ccount=layout.ccount)
             seq_codes = cons.build_consensus_packed(glay, packed_all,
                                                     lengths)
             mark("consensus")
+            # stitch contigs whose heads re-align inside other contigs so
+            # overlapping coverage pays for one consensus copy, then
+            # re-vote the merged consensus (overlaps gain votes)
+            if os.environ.get("SPRING_TPU_STITCH", "1") != "0":
+                from ..encode import stitch as stch
+                glay2, n_st = stch.stitch_layout(glay, seq_codes, lengths)
+                if n_st:
+                    glay = glay2
+                    g = glay.rids
+                    seq_codes = cons.build_consensus_packed(
+                        glay, packed_all, lengths)
+                mark(f"stitch[{n_st}]")
             nn, noisepos, noisechar = cons.extract_noise_packed(
                 glay, seq_codes, packed_all, lengths)
             mark("noise")
             flag[g] = 1
-            gpos[g] = layout.gpos
-            rc[g] = layout.rc
+            gpos[g] = glay.gpos
+            rc[g] = glay.rc
             nn_by_read[g] = nn
             noise_off[g] = np.concatenate(
                 [[0], np.cumsum(nn.astype(np.int64))[:-1]])
