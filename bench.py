@@ -93,10 +93,10 @@ def main() -> None:
     t0 = time.time()
     api.compress([fq], arc, opts)
     log(f"warm-up compress (incl. compile): {time.time() - t0:.2f}s")
-    # best of two timed passes: this VM's lazily-restored memory swings
-    # host stage times up to 30% between otherwise identical runs
+    # best of three timed passes: this VM's lazily-restored memory and the
+    # TPU tunnel swing stage times up to 30% between identical runs
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         api.compress([fq], arc, opts)
         dt = min(dt, time.time() - t0)

@@ -54,11 +54,11 @@ class _AffineUF:
         while self.parent[i] != i:
             path.append(i)
             i = int(self.parent[i])
+        # walk back down: each node's map to root = (its map to parent)
+        # composed under the accumulated parent-to-root map
         f, o = 0, 0
         for j in reversed(path):
             f, o = _compose(f, o, int(self.f[j]), int(self.o[j]))
-            # hmm: compose order — map j->root = map parent->root AFTER
-            # j->parent; accumulate top-down so each j gets its full map
             self.parent[j] = i
             self.f[j], self.o[j] = f, o
         return i, f, o
@@ -161,12 +161,16 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
     if n_stitched == 0:
         return layout, 0
 
-    # resolve every contig's map to its root
-    root = np.empty(nc, np.int64)
-    fr = np.empty(nc, np.int8)
-    orr = np.empty(nc, np.int64)
-    for i in range(nc):
-        root[i], fr[i], orr[i] = uf.find(i)
+    # resolve every contig's map to its root: vectorized pointer doubling
+    # (composes each node's map with its parent's, halving path lengths)
+    root = uf.parent.copy()
+    fr = uf.f.astype(np.int64)
+    orr = uf.o.copy()
+    while (root[root] != root).any():
+        f2, o2 = fr[root], orr[root]
+        orr = np.where(f2 == 0, o2 + orr, o2 - orr)
+        fr = fr ^ f2
+        root = root[root]
 
     # per-read transform
     cid = np.repeat(np.arange(nc), counts)
