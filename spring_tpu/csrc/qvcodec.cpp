@@ -56,7 +56,11 @@ struct QVModel {
   int abits = 1;    // tree depth
   int tsz = 2;      // probs per tree (1 << abits)
   int q1n = 1;      // q1 context cardinality
-  std::vector<uint16_t> trees;  // q1n*8*16 trees of tsz probs
+  int posn = 16;    // position-context buckets (finer for small alphabets:
+                    // quantized data is near-deterministic per COLUMN, and
+                    // 16 buckets left ~0.04 bits/sym of per-column
+                    // structure unmodeled on qvz-quantized input)
+  std::vector<uint16_t> trees;  // q1n*8*posn trees of tsz probs
   uint16_t len_same[2];
   std::vector<uint16_t> len_tree;  // 32-bit adaptive tree
 
@@ -65,7 +69,8 @@ struct QVModel {
     abits = std::max(bit_len((uint32_t)(A - 1)), 1);
     tsz = 1 << abits;
     q1n = A <= 64 ? A : (A + 1) / 2;
-    trees.assign((size_t)q1n * 8 * 16 * tsz, kProbInit);
+    posn = A <= 8 ? 128 : (A <= 16 ? 32 : 16);
+    trees.assign((size_t)q1n * 8 * posn * tsz, kProbInit);
     len_same[0] = len_same[1] = kProbInit;
     // lengths: 5-bit bit-count tree + per-position mantissa probs
     len_tree.assign(32 + 32, kProbInit);
@@ -74,7 +79,7 @@ struct QVModel {
   inline uint16_t* ctx_tree(int q1, int q2, int posb) {
     int q1c = A <= 64 ? q1 : (q1 >> 1);
     int q2b = (q2 * 8) / A;  // A >= 1
-    return trees.data() + (((size_t)q1c * 8 + q2b) * 16 + posb) * tsz;
+    return trees.data() + (((size_t)q1c * 8 + q2b) * posn + posb) * tsz;
   }
 };
 
@@ -181,8 +186,8 @@ static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
     int q1 = 0, q2 = 0;
     for (int32_t i = 0; i < len; ++i) {
       int d = dense[row[i]];
-      int posb = (int)(((int64_t)i * 16) / Lm);
-      if (posb > 15) posb = 15;
+      int posb = (int)(((int64_t)i * mdl.posn) / Lm);
+      if (posb > mdl.posn - 1) posb = mdl.posn - 1;
       tree_encode(rc, mdl.ctx_tree(q1, q2, posb), mdl.abits, (uint32_t)d);
       q2 = q1;
       q1 = d;
@@ -230,8 +235,8 @@ static int64_t qv_decompress_one(const uint8_t* src, int64_t src_len,
     lens[r] = len;
     int q1 = 0, q2 = 0;
     for (int32_t i = 0; i < len; ++i) {
-      int posb = (int)(((int64_t)i * 16) / Lm);
-      if (posb > 15) posb = 15;
+      int posb = (int)(((int64_t)i * mdl.posn) / Lm);
+      if (posb > mdl.posn - 1) posb = mdl.posn - 1;
       uint32_t d = tree_decode(rc, mdl.ctx_tree(q1, q2, posb), mdl.abits);
       if ((int)d >= A) return -1;
       row[i] = from_dense[d];

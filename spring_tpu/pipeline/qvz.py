@@ -100,9 +100,14 @@ def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
     valid = np.arange(L)[None, :] < np.asarray(lengths)[:, None]
     sym = np.where(valid, np.clip(mat.astype(np.int32) - QMIN, 0, NSYM - 1), 0)
 
-    # context: previous column's quantized value bucketed into NCTX; with
-    # few reads the conditional histograms are too noisy, so pool contexts
-    nctx = NCTX if n >= NCTX * 64 else 1
+    # context: the previous column's quantized value, as its RANK in that
+    # column's output alphabet (the reference conditions codebooks on the
+    # exact quantized previous symbol, src/qvz/src/codebook.cpp:494-527;
+    # value-bucket contexts blurred that and cost ~20% rate at mid
+    # ratios). With few reads the conditional histograms are too noisy,
+    # so pool contexts.
+    pool = n < NCTX * 64
+    max_ctx = 16
 
     # reference MODE_FIXED semantics (src/util.cpp:151-164 -> MODE_FIXED in
     # src/qvz/src/codebook.cpp:470-527): the target is an ABSOLUTE entropy
@@ -111,6 +116,7 @@ def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
     target = float(ratio)
     out = np.zeros_like(sym)
     ctx = np.zeros(n, np.int32)
+    nctx = 1
     for col in range(L):
         v = valid[:, col]
         idx = ctx * NSYM + sym[:, col]
@@ -138,5 +144,10 @@ def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
                 m_lo = m_k
             maps[c] = m_lo
         out[:, col] = maps[ctx, sym[:, col]]
-        ctx = np.where(v, (out[:, col] * nctx) // NSYM, ctx).astype(np.int32)
+        if pool:
+            continue
+        alpha = np.unique(out[v, col]) if v.any() else np.zeros(1, np.int64)
+        nctx = int(max(1, min(len(alpha), max_ctx)))
+        rank = np.searchsorted(alpha, out[:, col]).clip(0, nctx - 1)
+        ctx = np.where(v, rank, ctx).astype(np.int32)
     return np.where(valid, out + QMIN, 0).astype(np.uint8)
