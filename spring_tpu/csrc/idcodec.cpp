@@ -73,19 +73,23 @@ bool delta_representable(const Token& prev, const Token& cur, uint64_t* delta) {
   return false;
 }
 
-// simple fixed-depth tree coders over a prob slab
+// simple fixed-depth tree coders over a prob slab. Ids are
+// near-deterministic streams (fixed prefix + incrementing counters), so
+// they use the high-precision probabilities: the 12-bit adaptation floor
+// alone cost 0.30 bits/id on sequential ids (see rangecoder.h)
 inline void tree_encode(RangeEncoder& rc, uint16_t* probs, int nbits, uint32_t sym) {
   uint32_t node = 1;
   for (int i = nbits - 1; i >= 0; --i) {
     int bit = (sym >> i) & 1;
-    rc.encode_bit(&probs[node], bit);
+    rc.encode_bit_pb<kProbBitsHi>(&probs[node], bit);
     node = (node << 1) | bit;
   }
 }
 
 inline uint32_t tree_decode(RangeDecoder& rc, uint16_t* probs, int nbits) {
   uint32_t node = 1;
-  for (int i = 0; i < nbits; ++i) node = (node << 1) | rc.decode_bit(&probs[node]);
+  for (int i = 0; i < nbits; ++i)
+    node = (node << 1) | rc.decode_bit_pb<kProbBitsHi>(&probs[node]);
   return node - (1u << nbits);
 }
 
@@ -98,12 +102,12 @@ struct Models {
   std::vector<uint16_t> dlt_p;    // 17-bit... too big; use gamma coding probs
   std::vector<uint16_t> dlt_unary, dlt_bits;
   Models()
-      : type_p((size_t)kMaxTokCtx * 8, kProbInit),
-        len_p((size_t)kMaxTokCtx * 512, kProbInit),
-        chr_p((size_t)kMaxTokCtx * 512, kProbInit),
-        dig_p((size_t)kMaxTokCtx * 32, kProbInit),
-        dlt_unary((size_t)kMaxTokCtx * 20, kProbInit),
-        dlt_bits((size_t)kMaxTokCtx * 20, kProbInit) {}
+      : type_p((size_t)kMaxTokCtx * 8, kProbInitHi),
+        len_p((size_t)kMaxTokCtx * 512, kProbInitHi),
+        chr_p((size_t)kMaxTokCtx * 512, kProbInitHi),
+        dig_p((size_t)kMaxTokCtx * 32, kProbInitHi),
+        dlt_unary((size_t)kMaxTokCtx * 20, kProbInitHi),
+        dlt_bits((size_t)kMaxTokCtx * 20, kProbInitHi) {}
 };
 
 inline int bit_len(uint64_t v) {
@@ -120,19 +124,20 @@ inline void gamma_encode(RangeEncoder& rc, uint16_t* unary, uint16_t* bits,
                          int nctx, uint64_t v) {
   uint64_t x = v + 1;
   int k = bit_len(x);
-  for (int j = 0; j < k - 1; ++j) rc.encode_bit(&unary[j < nctx ? j : nctx - 1], 1);
-  rc.encode_bit(&unary[(k - 1) < nctx ? (k - 1) : nctx - 1], 0);
+  for (int j = 0; j < k - 1; ++j)
+    rc.encode_bit_pb<kProbBitsHi>(&unary[j < nctx ? j : nctx - 1], 1);
+  rc.encode_bit_pb<kProbBitsHi>(&unary[(k - 1) < nctx ? (k - 1) : nctx - 1], 0);
   for (int j = k - 2; j >= 0; --j)
-    rc.encode_bit(&bits[j < nctx ? j : nctx - 1], (int)((x >> j) & 1));
+    rc.encode_bit_pb<kProbBitsHi>(&bits[j < nctx ? j : nctx - 1], (int)((x >> j) & 1));
 }
 
 inline uint64_t gamma_decode(RangeDecoder& rc, uint16_t* unary, uint16_t* bits,
                              int nctx) {
   int k = 1;
-  while (rc.decode_bit(&unary[(k - 1) < nctx ? (k - 1) : nctx - 1])) ++k;
+  while (rc.decode_bit_pb<kProbBitsHi>(&unary[(k - 1) < nctx ? (k - 1) : nctx - 1])) ++k;
   uint64_t x = 1;
   for (int j = k - 2; j >= 0; --j)
-    x = (x << 1) | (uint64_t)rc.decode_bit(&bits[j < nctx ? j : nctx - 1]);
+    x = (x << 1) | (uint64_t)rc.decode_bit_pb<kProbBitsHi>(&bits[j < nctx ? j : nctx - 1]);
   return x - 1;
 }
 

@@ -15,8 +15,19 @@
 
 namespace stpu {
 
+// Probability precision trades an adaptation FLOOR against a rare-symbol
+// CEILING: updates stall when (max-p) >> kAdaptShift rounds to 0, so a
+// fully-predicted bit costs -log2(1 - 2^kAdaptShift / 2^kProbBits), while
+// the minimum reachable probability (worst-case surprise cost) also
+// scales with 2^-kProbBits. 12 bits suits noisy streams (quality: 15-bit
+// probs cost +1.2% — rare symbols get pushed too cheap); 15 bits suits
+// near-deterministic streams (sequential read ids: the 12-bit floor of
+// 0.011 bits/bit x 27 coded bits was 0.30 bits/id; 15-bit is 6.7x
+// smaller). Per-codec choice via the templated *_pb entry points.
 static constexpr int kProbBits = 12;
-static constexpr uint16_t kProbInit = 1u << (kProbBits - 1);  // 2048
+static constexpr uint16_t kProbInit = 1u << (kProbBits - 1);
+static constexpr int kProbBitsHi = 15;
+static constexpr uint16_t kProbInitHi = 1u << (kProbBitsHi - 1);
 static constexpr int kAdaptShift = 5;
 static constexpr uint32_t kTopValue = 1u << 24;
 
@@ -44,11 +55,12 @@ struct RangeEncoder {
     low = (low << 8) & 0xFFFFFFFFull;
   }
 
-  inline void encode_bit(uint16_t* prob, int bit) {
-    uint32_t bound = (range >> kProbBits) * (*prob);
+  template <int PB>
+  inline void encode_bit_pb(uint16_t* prob, int bit) {
+    uint32_t bound = (range >> PB) * (*prob);
     if (!bit) {
       range = bound;
-      *prob += (uint16_t)(((1u << kProbBits) - *prob) >> kAdaptShift);
+      *prob += (uint16_t)(((1u << PB) - *prob) >> kAdaptShift);
     } else {
       low += bound;
       range -= bound;
@@ -58,6 +70,10 @@ struct RangeEncoder {
       range <<= 8;
       shift_low();
     }
+  }
+
+  inline void encode_bit(uint16_t* prob, int bit) {
+    encode_bit_pb<kProbBits>(prob, bit);
   }
 
   // encode `nbits` raw bits of v, MSB first, at probability 1/2 (no model)
@@ -91,12 +107,13 @@ struct RangeDecoder {
 
   inline uint8_t next_byte() { return pos < size ? in[pos++] : 0; }
 
-  inline int decode_bit(uint16_t* prob) {
-    uint32_t bound = (range >> kProbBits) * (*prob);
+  template <int PB>
+  inline int decode_bit_pb(uint16_t* prob) {
+    uint32_t bound = (range >> PB) * (*prob);
     int bit;
     if (code < bound) {
       range = bound;
-      *prob += (uint16_t)(((1u << kProbBits) - *prob) >> kAdaptShift);
+      *prob += (uint16_t)(((1u << PB) - *prob) >> kAdaptShift);
       bit = 0;
     } else {
       code -= bound;
@@ -109,6 +126,10 @@ struct RangeDecoder {
       code = (code << 8) | next_byte();
     }
     return bit;
+  }
+
+  inline int decode_bit(uint16_t* prob) {
+    return decode_bit_pb<kProbBits>(prob);
   }
 
   inline uint32_t decode_direct(int nbits) {

@@ -85,6 +85,18 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
                   ) -> tuple[cons.ContigLayout, int]:
     """Merge re-alignable contigs. Returns (new_layout, n_stitched);
     n_stitched == 0 returns the input layout unchanged."""
+    import os
+    import time
+    trace = os.environ.get("SPRING_TPU_TRACE")
+    _t = time.time()
+
+    def mark(stage):
+        nonlocal _t
+        if trace:
+            now = time.time()
+            print(f"[trace] stitch.{stage}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     if layout.cbase is None or len(layout.cbase) < 2:
         return layout, 0
     bases = layout.cbase
@@ -100,9 +112,11 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
         idx, len(seq_codes) - 1)], 0).astype(np.uint8)
     pk = packing.pack_codes(heads)
     nm0 = np.zeros_like(pk)
+    mark("heads")
     hpos, hrc, placed = sc.align_leftovers_packed(
         seq_codes, pk, nm0, nm0, np.where(ok_head, hl, 0),
         thresh=thresh, exclude=bases.astype(np.int32))
+    mark("match")
     placed &= ok_head
     if not placed.any():
         return layout, 0
@@ -158,6 +172,7 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
             f_ij, o_ij = 1, int(q) + int(hl[i]) - int(bases[j])
         if uf.union(i, j, f_ij, o_ij):
             n_stitched += 1
+    mark("union")
     if n_stitched == 0:
         return layout, 0
 
@@ -211,4 +226,5 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
         cbase=gbase.astype(np.int64),
         clen=glen_ranked.astype(np.int64),
         ccount=new_counts.astype(np.int64))
+    mark("relayout")
     return layout2, n_stitched

@@ -134,6 +134,28 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # a pow2 shape keeps one compiled program per size bucket (np.empty
     # padding pages are never written -> no host RSS cost)
     n_pad = max(1 << max(n - 1, 1).bit_length(), 64)
+    # prewarm the device dictionary-build program while the host parses:
+    # at 10M+ reads the tunnel server may re-JIT the deserialized build
+    # executable (~50-100 s) and the device is otherwise idle here. The
+    # clean-read count usually shares n_pad's power of two; a mismatch
+    # only wastes the warmup.
+    if n >= 2_000_000 and maxlen >= 32 and not os.environ.get(
+            "SPRING_TPU_DIST"):
+        def _prewarm_dict_build(np2=n_pad, w2=W, ml2=maxlen):
+            try:
+                import jax.numpy as jnp
+                from ..reorder import dictionary as dct2
+                rows = jnp.zeros((np2, w2 + 1), jnp.uint32)
+                ws = dct2.default_windows(ml2)
+                if ws:
+                    out = dct2._build_hash_dict_dev(
+                        rows, jnp.asarray(0, jnp.int32), ws[0].start,
+                        dct2.table_buckets(np2))
+                    out[0].block_until_ready()
+            except Exception:
+                pass
+        import threading
+        threading.Thread(target=_prewarm_dict_build, daemon=True).start()
     packed_buf = np.empty((n_pad, W), np.uint32)
     packed_all = packed_buf[:n]
     lengths = np.empty(n, np.int32)

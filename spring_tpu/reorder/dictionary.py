@@ -397,19 +397,24 @@ class DeviceDict:
     dropped: jnp.ndarray   # () int32 — overflowed unique keys
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _build_hash_dict_dev(rows, n_real, start: int, S: int):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _build_hash_dict_dev(rows, n_real, start, S: int):
     """Build one bucketed hash dict from packed rows living on device.
 
     rows: (Np, W+1) uint32 — packed reads + length word (engine layout).
+    ``start`` is a TRACED scalar so one compiled program serves every
+    dictionary window — the tunnel server re-JITs big programs on cache
+    deserialize, so program COUNT is wall-clock at scale.
     Returns (btab, keys_sorted, rids_sorted, dropped); btab is COMPACT."""
     Np, Wp1 = rows.shape
     W = Wp1 - 1
     lengths = (rows[:, W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    w0, b = divmod(start, 16)
-    lo = rows[:, w0] >> jnp.uint32(2 * b)
-    if b:
-        lo = lo | (rows[:, w0 + 1] << jnp.uint32(32 - 2 * b))
+    start = jnp.asarray(start, jnp.int32)
+    w0 = start // 16
+    b2 = (2 * (start % 16)).astype(jnp.uint32)
+    two = jax.lax.dynamic_slice_in_dim(rows, w0, 2, axis=1)
+    lo = two[:, 0] >> b2
+    lo = jnp.where(b2 > 0, lo | (two[:, 1] << (32 - b2)), lo)
     rid = jnp.arange(Np, dtype=jnp.int32)
     ok = (rid < n_real) & (lengths >= start + KEY_BASES)
     return _hash_build_core(lo.astype(jnp.uint32), ok, S, compact=True)

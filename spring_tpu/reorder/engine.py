@@ -917,13 +917,31 @@ def _compact_emit(buf: np.ndarray) -> np.ndarray:
 
 def _emissions_from_chunks(chunks: list[np.ndarray]) -> np.ndarray:
     """Compacted per-flush triples -> filtered walker-major (k, 4) rows of
-    (rid, flag, pos_delta, rc). A stable sort by walker restores the
-    walker-major timeline across flushes."""
-    em3 = (np.concatenate(chunks) if chunks
-           else np.empty((0, 3), np.int32))
-    em3 = em3[np.argsort(em3[:, 0], kind="stable")]
+    (rid, flag, pos_delta, rc).
+
+    Each chunk is already walker-sorted (np.nonzero is row-major), so the
+    walker-major timeline is an O(n) stable MERGE of sorted runs — a
+    stable argsort over all rows cost ~19 s at 10M reads on this host."""
+    chunks = [c for c in chunks if len(c)]
+    if not chunks:
+        return np.empty((0, 4), np.int32)
+    B = int(max(c[:, 0].max() for c in chunks)) + 1
+    counts = [np.bincount(c[:, 0], minlength=B) for c in chunks]
+    total = np.sum(counts, axis=0)
+    starts = np.zeros(B, np.int64)
+    np.cumsum(total[:-1], out=starts[1:])
+    n = int(total.sum())
+    em3 = np.empty((n, 3), np.int32)
+    prior = np.zeros(B, np.int64)
+    for c, cnt in zip(chunks, counts):
+        w = c[:, 0]
+        cstart = np.zeros(B, np.int64)
+        np.cumsum(cnt[:-1], out=cstart[1:])
+        within = np.arange(len(w), dtype=np.int64) - cstart[w]
+        em3[starts[w] + prior[w] + within] = c
+        prior += cnt
     # unpack word = delta | flag<<16 | rc<<24
-    out = np.empty((len(em3), 4), np.int32)
+    out = np.empty((n, 4), np.int32)
     out[:, 0] = em3[:, 1]
     out[:, 1] = (em3[:, 2] >> 16) & 0xFF
     out[:, 2] = em3[:, 2] & 0xFFFF
