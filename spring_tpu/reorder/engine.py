@@ -44,12 +44,13 @@ from .. import params as P
 from ..ops import bits
 from . import dictionary as dct
 
+import os as _os
+
 SHIFT_CHUNK = 4        # shifts probed per round
-FLUSH_ROUNDS = 32      # rounds between host syncs. 64 was tried: the fixed
-                       # ~0.3 s/flush dispatch cost amortizes better, but
-                       # seed-queue compaction and the endgame exit only
-                       # happen between flushes, and the extra tail rounds
-                       # cost more than the amortization saved
+# rounds between host syncs. 64 was tried pre-pipelining: seed-queue
+# compaction and the endgame exit only happen between flushes, and the
+# extra tail rounds cost more than the amortization saved
+FLUSH_ROUNDS = int(_os.environ.get("SPRING_TPU_FLUSH_ROUNDS", "32"))
 REBUILD_FRACTION = 0.10  # compact dicts when claimed grew by this fraction
 
 _ODD = jnp.uint32(0x55555555)
@@ -191,70 +192,6 @@ def _prefix_word(nb: jnp.ndarray) -> jnp.ndarray:
     """uint32 mask covering the first nb (clipped 0..16) 2-bit lanes."""
     full = _ONES >> (32 - 2 * jnp.clip(nb, 1, 16)).astype(jnp.uint32)
     return jnp.where(nb > 0, full, jnp.uint32(0))
-
-
-def verify_candidates(frames, s_tot, ref_len, cand, cvalid, packed_ext,
-                      thresh, lay: ProbeLayout):
-    """Hamming-verify gathered candidates, flat layout.
-
-    frames: (Bw, SC, 2, W); cand/cvalid: (Bw, K) with K = lay.K.
-    packed_ext: (Np, W+1) — packed words plus the read length as the last
-    word, so ONE row gather fetches everything (per-word scattered gathers
-    were 13x slower on v5e; the row is a 32-byte contiguous DMA).
-    Returns (ok, t, pr, clen), all (Bw, K). The packed words are then a
-    Python loop over a (W, Bw, K) transpose so every op runs at (Bw, K) —
-    full 128-lane tiles.
-    """
-    Np = packed_ext.shape[0]
-    W = packed_ext.shape[1] - 1
-    Bw = cand.shape[0]
-    safe = jnp.clip(cand, 0, Np - 1)
-    rows = packed_ext[safe]                  # (Bw, K, W+1) single gather
-    rowsT = jnp.moveaxis(rows, -1, 0)        # (W+1, Bw, K)
-    # length word carries the claimed flag in bit 31 (set by the round's
-    # claim scatter) — claimed state rides the row gather for free
-    lw = rowsT[W]
-    claimed_row = (lw >> 31) == 1
-    clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    k_o = jnp.asarray(lay.k_o)
-    k_frame = jnp.asarray(lay.k_frame)
-    s_k = jnp.take(s_tot, jnp.asarray(lay.k_s), axis=1)      # (Bw, K)
-    rl = ref_len[:, None]
-    lo = jnp.where(k_o == 0, 0, s_k)
-    hi = jnp.where(k_o == 0, jnp.minimum(rl - s_k, clen),
-                   jnp.minimum(rl + s_k, clen))
-    t = jnp.where(k_o == 0, s_k, rl + s_k - clen)
-
-    fr2 = frames.reshape(Bw, 2 * SHIFT_CHUNK, W)
-    ham = jnp.zeros(cand.shape, jnp.int32)
-    for w in range(W):
-        fw = jnp.take(fr2[:, :, w], k_frame, axis=1)         # (Bw, K)
-        cw = rowsT[w]
-        d = fw ^ cw
-        m = (d | (d >> 1)) & _ODD
-        mw = _prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
-            & ~_prefix_word(jnp.clip(lo - 16 * w, 0, 16))
-        ham = ham + jax.lax.population_count(m & mw).astype(jnp.int32)
-
-    ok = cvalid & ~claimed_row & (ham <= thresh) & (t >= 0) & (hi > lo)
-    pr = jnp.where(ok, jnp.asarray(lay.pr_static)[None, :], _BIG)
-    return ok, t, pr, clen
-
-
-def select_best(cand, pr, t, clen, lay: ProbeLayout):
-    """Per-walker argmin over the flat probe axis.
-
-    Returns (matched, rid, t_sel, rc_sel, pr_sel)."""
-    Bw = cand.shape[0]
-    sel = jnp.argmin(pr, axis=1)
-
-    def pick(x):
-        return jnp.take_along_axis(x, sel[:, None], axis=1)[:, 0]
-    pr_sel = pick(pr)
-    matched = pr_sel != _BIG
-    rid = jnp.where(matched, pick(cand), -1)
-    rc_sel = jnp.take(jnp.asarray(lay.k_o), sel)
-    return matched, rid, pick(t), rc_sel, pr_sel
 
 
 def resolve_conflicts(matched, rid_sel):
@@ -415,8 +352,8 @@ class ReorderEngine:
     def _device_rows(self):
         """Assemble the engine's (Np, W+1) padded row array on device:
         gather packed[select], append the length word with the claimed flag
-        (bit 31) pre-set on padding rows (see verify_candidates — one row
-        gather fetches data + length + claimed state)."""
+        (bit 31) pre-set on padding rows (one row gather in the round
+        fetches data + length + claimed state)."""
         sel_p = np.full(self.Np, -1, np.int32)
         sel_p[: self.N] = self._sel
         return _assemble_rows(jnp.asarray(self._full),
