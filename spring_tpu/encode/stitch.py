@@ -197,30 +197,30 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
     rc_new = (layout.rc ^ fr[cid].astype(np.uint8)).astype(np.uint8)
 
     # rebase each group to min 0, compute extents, rebuild concatenated
-    # coords (group order = first-member contig order, stable)
-    grp_sorted = np.argsort(root, kind="stable")
-    uroot, inv = np.unique(root, return_inverse=True)
-    g_of_read = inv[cid]
-    gmin = np.full(len(uroot), np.iinfo(np.int64).max)
-    np.minimum.at(gmin, g_of_read, pos_r)
-    pos_g = pos_r - gmin[g_of_read]
-    gext = np.zeros(len(uroot), np.int64)
-    np.maximum.at(gext, g_of_read, pos_g + rlen)
-    # keep groups in first-appearance order of their root contig
-    order_groups = np.argsort(np.unique(root, return_index=True)[1],
-                              kind="stable")
+    # coords (group order = first-member contig order, stable). ONE
+    # combined-key sort + reduceat passes — np.minimum.at/maximum.at are
+    # unbuffered scalar loops (~10 s at 10M reads)
+    uroot, first_of, inv = np.unique(root, return_index=True,
+                                     return_inverse=True)
+    # rank groups by first-appearance order of their root contig
+    order_groups = np.argsort(first_of, kind="stable")
     rank = np.empty(len(uroot), np.int64)
     rank[order_groups] = np.arange(len(uroot))
-    glen_ranked = gext[order_groups]
+    grank = rank[inv[cid]]                    # group rank per read
+    pmin = int(pos_r.min())
+    span = int(pos_r.max() + rlen.max()) - pmin + 1
+    order = np.argsort(grank * span + (pos_r - pmin))
+    gr_s = grank[order]
+    pos_s = pos_r[order]
+    rlen_s = rlen[order]
+    first_idx = np.searchsorted(gr_s, np.arange(len(uroot)), side="left")
+    pos_s = pos_s - pos_s[first_idx][gr_s]    # per-group min -> 0
+    glen_ranked = np.maximum.reduceat(pos_s + rlen_s, first_idx)
     gbase = np.concatenate([[0], np.cumsum(glen_ranked)[:-1]])
-    gpos_new = gbase[rank[g_of_read]] + pos_g
-
-    order = np.argsort(rank[g_of_read] * (int(gext.max()) + 1) + pos_g,
-                       kind="stable")
-    new_counts = np.bincount(rank[g_of_read], minlength=len(uroot))
+    new_counts = np.bincount(gr_s, minlength=len(uroot))
     layout2 = cons.ContigLayout(
         rids=layout.rids[order],
-        gpos=gpos_new[order].astype(np.int64),
+        gpos=(gbase[gr_s] + pos_s).astype(np.int64),
         rc=rc_new[order],
         seq_len=int(glen_ranked.sum()),
         cbase=gbase.astype(np.int64),
