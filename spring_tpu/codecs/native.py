@@ -99,7 +99,8 @@ def load() -> ctypes.CDLL:
         lib.stpu_qv_bound.argtypes = [ctypes.c_int64, ctypes.c_int64]
         lib.stpu_qv_compress.restype = ctypes.c_int64
         lib.stpu_qv_compress.argtypes = [c_u8p, ctypes.c_int64, c_i32p,
-                                         c_u8p, ctypes.c_int64, ctypes.c_int]
+                                         c_u8p, ctypes.c_int64, ctypes.c_int,
+                                         ctypes.c_int]
         lib.stpu_qv_dims.restype = ctypes.c_int
         lib.stpu_qv_dims.argtypes = [c_u8p, ctypes.c_int64, c_i64p, c_i64p,
                                      c_i64p]

@@ -27,13 +27,13 @@ def _i32p(a: np.ndarray):
 
 
 def _compress_blob(blob: np.ndarray, lens: np.ndarray,
-                   num_threads: int = 0) -> bytes:
+                   num_threads: int = 0, fine_pos: bool = False) -> bytes:
     lib = native.load()
     n = len(lens)
     cap = int(lib.stpu_qv_bound(len(blob), n))
     dst = np.empty(cap, np.uint8)
     got = lib.stpu_qv_compress(_u8p(blob), n, _i32p(lens), _u8p(dst), cap,
-                               num_threads)
+                               num_threads, int(fine_pos))
     if got < 0:
         raise RuntimeError(f"qv_compress failed ({got})")
     return dst[:got].tobytes()
@@ -58,13 +58,16 @@ def _decompress_blob(data: bytes,
 
 
 def compress_rows(mat: np.ndarray, lens: np.ndarray,
-                  num_threads: int = 0, **_kw) -> bytes:
+                  num_threads: int = 0, fine_pos: bool = False,
+                  **_kw) -> bytes:
+    """fine_pos: the rows are quantizer output (near-deterministic per
+    column) — use fine position contexts regardless of alphabet size."""
     mat = np.ascontiguousarray(mat, dtype=np.uint8)
     lens32 = np.ascontiguousarray(lens, dtype=np.int32)
     L = mat.shape[1] if mat.ndim == 2 else 0
     valid = np.arange(L)[None, :] < lens32[:, None]
     return _compress_blob(np.ascontiguousarray(mat[valid]), lens32,
-                          num_threads)
+                          num_threads, fine_pos)
 
 
 def decompress_rows(data: bytes, max_len: int | None = None,

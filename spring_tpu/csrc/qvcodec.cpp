@@ -64,16 +64,16 @@ struct QVModel {
   uint16_t len_same[2];
   std::vector<uint16_t> len_tree;  // 32-bit adaptive tree
 
-  void init(int alpha) {
+  void init(int alpha, bool fine_pos) {
     A = std::max(alpha, 1);
     abits = std::max(bit_len((uint32_t)(A - 1)), 1);
     tsz = 1 << abits;
     q1n = A <= 64 ? A : (A + 1) / 2;
-    // fine position contexts ONLY for tiny (quantizer-output) alphabets:
-    // they are near-deterministic per column, while natural quality data
-    // (8+ levels) is noisy and fine contexts dilute its statistics
-    // (measured +1.2% on 8-level data at 128 buckets)
-    posn = A <= 6 ? 128 : 16;
+    // fine position contexts for quantizer output (near-deterministic per
+    // column — the caller flags it) and for tiny alphabets; natural
+    // quality data (8+ levels) is noisy and fine contexts dilute its
+    // statistics (measured +1.2% on 8-level data at 128 buckets)
+    posn = (fine_pos || A <= 6) ? 128 : 16;
     trees.assign((size_t)q1n * 8 * posn * tsz, kProbInit);
     len_same[0] = len_same[1] = kProbInit;
     // lengths: 5-bit bit-count tree + per-position mantissa probs
@@ -148,7 +148,8 @@ constexpr int kHdr = 20 + 32;
 
 // blob: concatenated rows, lens[r] chars each. One shard (serial stream).
 static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
-                               const int32_t* lens, std::vector<uint8_t>& out) {
+                               const int32_t* lens, std::vector<uint8_t>& out,
+                               bool fine_pos) {
   out.clear();
   out.resize(kHdr, 0);
   int64_t total = 0;
@@ -158,7 +159,9 @@ static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
     Lmax = std::max<int64_t>(Lmax, lens[r]);
   }
   put_u32p(out.data(), (uint32_t)n);
-  put_u32p(out.data() + 4, (uint32_t)Lmax);
+  // Lmax bit 31 carries the fine-position-context flag
+  put_u32p(out.data() + 4,
+           (uint32_t)Lmax | (fine_pos ? 0x80000000u : 0u));
   for (int i = 0; i < 8; ++i) out[8 + i] = (uint8_t)((uint64_t)total >> (8 * i));
   put_u32p(out.data() + 16, fnv1a(blob, total));
   bool present[256] = {false};
@@ -173,7 +176,7 @@ static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
   if (n == 0) return (int64_t)out.size();
 
   QVModel mdl;
-  mdl.init(A);
+  mdl.init(A, fine_pos);
   RangeEncoder rc(&out);
   int32_t prev_len = -1;
   int64_t Lm = std::max<int64_t>(Lmax, 1);
@@ -210,7 +213,9 @@ static int64_t qv_decompress_one(const uint8_t* src, int64_t src_len,
   uint64_t total = 0;
   for (int i = 0; i < 8; ++i) total |= (uint64_t)src[8 + i] << (8 * i);
   if (n > n_cap || (int64_t)total > blob_cap) return -2;
-  int64_t Lmax = (int64_t)get_u32p(src + 4);
+  uint32_t lraw = get_u32p(src + 4);
+  bool fine_pos = (lraw >> 31) != 0;
+  int64_t Lmax = (int64_t)(lraw & 0x7FFFFFFFu);
   uint8_t from_dense[256];
   int A = 0;
   for (int c = 0; c < 256; ++c)
@@ -223,7 +228,7 @@ static int64_t qv_decompress_one(const uint8_t* src, int64_t src_len,
   }
 
   QVModel mdl;
-  mdl.init(A);
+  mdl.init(A, fine_pos);
   RangeDecoder rc(src + kHdr, (size_t)(src_len - kHdr));
   int32_t prev_len = -1;
   int64_t Lm = std::max<int64_t>(Lmax, 1);
@@ -294,7 +299,8 @@ int shard_walk(const uint8_t* src, int64_t src_len, ShardRef* refs) {
 }  // namespace
 
 int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
-                    std::vector<uint8_t>& out, int num_threads) {
+                    std::vector<uint8_t>& out, int num_threads,
+                    bool fine_pos) {
   int64_t total = 0;
   for (int64_t r = 0; r < n; ++r) total += lens[r];
   int S = (int)std::min<int64_t>(
@@ -323,7 +329,7 @@ int64_t qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
 #endif
   for (int s = 0; s < S; ++s) {
     if (qv_compress_one(blob + b0[s], r0[s + 1] - r0[s], lens + r0[s],
-                        parts[s]) < 0) {
+                        parts[s], fine_pos) < 0) {
 #ifdef _OPENMP
 #pragma omp atomic write
 #endif
@@ -390,9 +396,11 @@ int64_t stpu_qv_bound(int64_t total_chars, int64_t n) {
 }
 
 int64_t stpu_qv_compress(const uint8_t* blob, int64_t n, const int32_t* lens,
-                         uint8_t* dst, int64_t cap, int num_threads) {
+                         uint8_t* dst, int64_t cap, int num_threads,
+                         int fine_pos) {
   std::vector<uint8_t> out;
-  int64_t sz = stpu::qv_compress(blob, n, lens, out, num_threads);
+  int64_t sz = stpu::qv_compress(blob, n, lens, out, num_threads,
+                                 fine_pos != 0);
   if (sz < 0) return sz;
   if (sz > cap) return -2;
   std::memcpy(dst, out.data(), (size_t)sz);
@@ -410,7 +418,8 @@ int stpu_qv_dims(const uint8_t* src, int64_t src_len, int64_t* n, int64_t* L,
     nn += refs[s].n;
     tt += refs[s].total;
     LL = std::max<int64_t>(
-        LL, (int64_t)stpu::get_u32p((const uint8_t*)src + refs[s].off + 4));
+        LL, (int64_t)(stpu::get_u32p((const uint8_t*)src + refs[s].off + 4)
+                      & 0x7FFFFFFFu));
   }
   *n = nn;
   *L = LL;

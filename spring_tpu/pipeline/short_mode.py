@@ -217,7 +217,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # num_threads block-sized copies are live at once (submitting the
     # gathered arrays directly would materialize every block up front)
     def _q_task(sel):
-        return qv.compress_rows(quals[sel], lengths[sel], num_threads=1)
+        # qvz output is near-deterministic per column: fine pos contexts
+        return qv.compress_rows(quals[sel], lengths[sel], num_threads=1,
+                                fine_pos=cp.quality_mode == "qvz")
 
     def _id_task(sel):
         return idcodec.compress_ids_raw(
