@@ -84,7 +84,8 @@ def main():
         blk = 256_000
         for s in range(0, args.reads, blk):
             rate_our += len(qv.compress_rows(qq[s:s + blk],
-                                             lens[s:s + blk]))
+                                             lens[s:s + blk],
+                                             fine_pos=True))
         q_our = qq.astype(np.float64) - 33
         mse_our = float(((q_our - q0) ** 2).mean())
         rows.append((ratio, rate_ref, mse_ref, rate_our, mse_our))
