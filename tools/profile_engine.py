@@ -86,19 +86,21 @@ def main():
     dev_s = max((v for k, v in tot.items()
                  if k.startswith("jit_flush_fn")), default=0) / 1e6
     if dev_s:
-        B, M, C, SC = e.B, 16, 8, 16
+        B, M, GSEL, SC, D = e.B, 16, 8, 16, len(e.dicts)
         W = e.W + 1
         per_round = (
-            B * M * W * 4                 # candidate row gather
-            + B * SC * 2 * len(e.dicts) * 12 * 4   # btab probe rows
-            + B * C * SC * 2 * len(e.dicts) * 4    # bin rid gathers
-            + B * 4 * e.Lb * 4 * 6        # counts roll/update passes
-            + B * (eng.FLUSH_ROUNDS and 1) * 113 * 8 // eng.FLUSH_ROUNDS)
+            B * SC * 2 * D * 48           # compact btab probe rows (48 B)
+            + B * GSEL * 64               # pairs-row candidate fetch
+            + B * M * W * 4               # verify row gather
+            + B * 4 * e.Lb * 4 * 35       # counts roll/frames/one-hot passes
+            + (B * M + B) * 12)           # claim scatters (bitmap + rows)
         total_bytes = per_round * eng.FLUSH_ROUNDS
         gbs = total_bytes / dev_s / 1e9
         print(f"--- roofline: ~{total_bytes / 1e6:.0f} MB modeled traffic "
               f"in {dev_s:.2f}s device = {gbs:.0f} GB/s "
-              f"({100 * gbs / 819:.0f}% of v5e HBM peak) ---")
+              f"({100 * gbs / 819:.0f}% of v5e HBM peak; scattered row "
+              f"gathers measure ~7 GB/s on v5e, so the probe path is the "
+              f"floor) ---")
 
 
 if __name__ == "__main__":
