@@ -159,3 +159,26 @@ def test_qv_corrupt_stream_raises():
     with pytest.raises(RuntimeError):
         # the FNV checksum must catch it; never return wrong data
         qv.decompress_rows(bytes(z))
+
+
+def test_qv_fine_pos_flag_roundtrip():
+    """fine_pos rides the shard header (Lmax bit 31): quantizer output with
+    a mid-size alphabet must round-trip under fine position contexts and
+    compress tighter than the coarse default on column-deterministic data."""
+    from spring_tpu.codecs import qv
+    rng = np.random.default_rng(7)
+    n, L = 20_000, 100
+    # column-deterministic ramp over 12 symbols (like unsnapped qvz output)
+    ramp = (70 - np.arange(L) // 9).astype(np.uint8)
+    mat = np.broadcast_to(ramp, (n, L)).copy()
+    # a little prev-dependent variation
+    first = rng.integers(0, 2, n).astype(np.uint8)
+    mat[:, 0] = 70 + first
+    lens = np.full(n, L, np.int64)
+    c_fine = qv.compress_rows(mat, lens, fine_pos=True)
+    c_coarse = qv.compress_rows(mat, lens, fine_pos=False)
+    m2, l2 = qv.decompress_rows(c_fine, L)
+    assert np.array_equal(m2, mat)
+    m3, _ = qv.decompress_rows(c_coarse, L)
+    assert np.array_equal(m3, mat)
+    assert len(c_fine) < len(c_coarse)
