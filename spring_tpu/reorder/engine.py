@@ -420,13 +420,13 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     M = GSEL * C
 
     def round_fn(state, lengths, dkeys, pairs_all, seed_order,
-                 n_real, maxshift, room=None):
+                 n_real, maxshift, rows_tab=None, room=None):
         counts = state["counts"]
         ref_len = state["ref_len"]
         active = state["active"]
         shift_base = state["shift_base"]
         claimed = state["claimed"]
-        packed = state["rows"]
+        packed = rows_tab
         if room is None:
             room = jnp.ones(active.shape, bool)
         # a walker whose flush emission buffer is nearly full stalls:
@@ -443,16 +443,15 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
             return ((w >> (idx & 31).astype(jnp.uint32)) & 1) == 1
 
         def claim(cond, idx):
-            # bitmap (seed checks + host logic) AND row flag bit 31
-            # (verification reads it from the row gather for free)
+            # bitmap only: the packed rows are READ-ONLY (they used to
+            # carry a bit-31 claim flag, but the two row scatters + the
+            # scan-carry copies of the 32 MB array cost ~1.5 ms/round;
+            # verification gathers the cache-resident bitmap instead)
             word = jnp.where(cond, idx >> 5, nwords - 1)
             bit = jnp.where(
                 cond, jnp.uint32(1) << (idx & 31).astype(jnp.uint32),
                 jnp.uint32(0))
-            rflag = jnp.where(cond, jnp.uint32(1) << 31, jnp.uint32(0))
-            return (claimed.at[word].add(bit),
-                    packed.at[jnp.where(cond, idx, Np - 1), Wl]
-                    .add(rflag))
+            return claimed.at[word].add(bit)
 
         frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
         q, v = walker_queries(frames, s_tot, ref_len, starts)
@@ -515,7 +514,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         safe = jnp.clip(cand_m, 0, Np - 1)
         rows = packed[safe]                        # (B, M, W+1)
         lw = rows[..., Wl]
-        claimed_row = (lw >> 31) == 1
+        claimed_row = claimed_bit(safe)
         clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         rl = ref_len[:, None]
         lo = jnp.where(k_o_m == 0, 0, s_m)
@@ -590,8 +589,8 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         new_len = jnp.maximum(len0, len_all.max(axis=1))
         counts = jnp.where(matched_any[:, None, None], rolled, counts)
         ref_len = jnp.where(matched_any, new_len, ref_len)
-        claimed, packed = claim(win.reshape(-1),
-                                jnp.clip(rid_f, 0, Np - 1).reshape(-1))
+        claimed = claim(win.reshape(-1),
+                        jnp.clip(rid_f, 0, Np - 1).reshape(-1))
         shift_base = jnp.where(matched_any, 0, shift_base)
 
         # walkers that found nothing advance their shift window; an
@@ -621,7 +620,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         in_range = inactive & (qidx < n_real)
         seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
         ok_seed = in_range & ~claimed_bit(seed_rid)
-        claimed, packed = claim(ok_seed, seed_rid)
+        claimed = claim(ok_seed, seed_rid)
         seed_cnt = seed_counts_for(packed, lengths, seed_rid, Lb)
         counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
         ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
@@ -652,7 +651,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         new_state = dict(counts=counts, ref_len=ref_len, active=active,
                          shift_base=shift_base, first_rid=first_rid,
                          left_phase=left_phase, claimed=claimed,
-                         queue_pos=queue_pos, rows=packed)
+                         queue_pos=queue_pos)
         return new_state, emit.astype(jnp.int32)
 
     S = M + 1
@@ -663,7 +662,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     CAP = FLUSH_ROUNDS * max(3, 3 * SC // 16) + S
 
     def flush_fn(state, lengths, dkeys, pairs_all, seed_order,
-                 n_real, maxshift):
+                 n_real, maxshift, rows_tab):
         # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
         # and especially the TPU tunnel) would otherwise dominate.
         # Per-round emissions are stacked by the scan (a cheap contiguous
@@ -680,7 +679,8 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
             st, cnt = carry
             room = cnt < CAP - S
             st2, emit = round_fn(st, lengths, dkeys, pairs_all,
-                                 seed_order, n_real, maxshift, room)
+                                 seed_order, n_real, maxshift, rows_tab,
+                                 room)
             cnt = cnt + jnp.sum(emit[:, :, 0] >= 0, axis=1)
             return (st2, cnt), emit
 
@@ -714,12 +714,12 @@ def _engine_run(self, progress=None) -> np.ndarray:
         trace = os.environ.get("SPRING_TPU_TRACE")
         _t0 = time.time()
         state = self._init_state()
-        jax.block_until_ready(state["rows"])
+        # the packed rows are READ-ONLY in the round: they ride every
+        # flush as a non-donated argument instead of a scan carry
+        rows_tab = state.pop("rows")
+        jax.block_until_ready(rows_tab)
         _t1 = time.time()
-        # dictionaries are built from the state's own device rows BEFORE the
-        # first flush donates them (reads complete before donation reuses
-        # the buffer); blocks so the build isn't queued behind a flush
-        self._build_dicts(state["rows"])
+        self._build_dicts(rows_tab)
         dkeys = [d.btab for d in self._dicts]
         drids1 = [d.rids for d in self._dicts]
         # stacked overlapping pair rows (dict d at row offset d*Np/8):
@@ -752,7 +752,7 @@ def _engine_run(self, progress=None) -> np.ndarray:
             nonlocal state
             state, emit, stats = self._round_fn(
                 state, lengths, dkeys, pairs_all, seed_order, n_real,
-                maxshift)
+                maxshift, rows_tab)
             try:
                 emit.copy_to_host_async()
             except Exception:

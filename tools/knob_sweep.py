@@ -23,8 +23,9 @@ def run_variant(packed, lengths, codes, name, **cfg_kw):
     cfg = eng.ReorderConfig(max_readlen=100, **cfg_kw)
     e = eng.ReorderEngine(packed, lengths, cfg, codes=codes)
     state = e._init_state()
-    jax.block_until_ready(state["rows"])
-    e._build_dicts(state["rows"])
+    rows_tab = state.pop("rows")
+    jax.block_until_ready(rows_tab)
+    e._build_dicts(rows_tab)
     dkeys = [d.btab for d in e._dicts]
     drids = eng.jnp.concatenate([eng.dct.pairs_from_rids(d.rids) for d in e._dicts], axis=0)
     stride = max(e.N // e.B, 1)
@@ -33,7 +34,8 @@ def run_variant(packed, lengths, codes, name, **cfg_kw):
     so = np.concatenate([so, np.full(e.Np - len(so), e.Np - 1, np.int32)])
     seed_order = jnp.asarray(so.astype(np.int32))
     args = (e.lengths, dkeys, drids, seed_order,
-            jnp.asarray(e.N, jnp.int32), jnp.asarray(e.cfg.max_shift, jnp.int32))
+            jnp.asarray(e.N, jnp.int32),
+            jnp.asarray(e.cfg.max_shift, jnp.int32), rows_tab)
     t0 = time.time()
     state, emit, stats = e._round_fn(state, *args)
     jax.block_until_ready(emit)

@@ -38,6 +38,7 @@ def main():
     print(f"engine built {time.time() - t0:.1f}s; B={e.B} Np={e.Np}")
 
     state = e._init_state()
+    rows_tab = state.pop("rows")
     dkeys = [d.btab for d in e.dicts]
     drids = eng.jnp.concatenate([eng.dct.pairs_from_rids(d.rids) for d in e.dicts], axis=0)
     stride = max(e.N // e.B, 1)
@@ -47,7 +48,8 @@ def main():
     import jax.numpy as jnp
     seed_order = jnp.asarray(so.astype(np.int32))
     args = (e.lengths, dkeys, drids, seed_order,
-            jnp.asarray(e.N, jnp.int32), jnp.asarray(e.cfg.max_shift, jnp.int32))
+            jnp.asarray(e.N, jnp.int32),
+            jnp.asarray(e.cfg.max_shift, jnp.int32), rows_tab)
 
     t0 = time.time()
     state, emit, stats = e._round_fn(state, *args)   # compile + run
