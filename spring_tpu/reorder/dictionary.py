@@ -334,6 +334,31 @@ def probe_meta(btab, queries: jnp.ndarray
     return start.reshape(queries.shape), count.reshape(queries.shape)
 
 
+def probe_meta_sc_stacked(btab_all, S: int, queries) -> jnp.ndarray:
+    """Metadata probe of D compact tables stacked along axis 0 (dict d's
+    buckets at rows [d*S, (d+1)*S)). queries: (D, ...) uint32 keys.
+    Returns the raw packed sc words (start << 6 | count, 0 on miss) with
+    queries' shape — ONE btab row gather serves every dictionary, and the
+    caller splits start/count after its own selection step."""
+    D = queries.shape[0]
+    flat = queries.reshape(D, -1)
+    Q = flat.shape[1]
+    shift = 32 - int(np.log2(S))
+    b = (flat * jnp.uint32(_HASH_MULT)) >> shift
+    b = b.astype(jnp.int32) + (jnp.arange(D, dtype=jnp.int32) * S)[:, None]
+    row = btab_all[b.reshape(-1)]
+    tagw = row[:, :SLOTS // 2]
+    scw = row[:, SLOTS // 2:]
+    tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
+                     axis=2).reshape(-1, SLOTS)
+    qtag = ((flat.reshape(-1) * jnp.uint32(_TAG_MULT)) >> 16) \
+        & jnp.uint32(0xFFFF)
+    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(63)) > 0)
+    first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+    sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
+    return sc.reshape(queries.shape)
+
+
 def probe_hash(btab, rids, queries: jnp.ndarray,
                max_candidates: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hash-probe a batch of uint32 keys. Same contract as ``probe``.

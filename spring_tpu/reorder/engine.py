@@ -456,22 +456,20 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
         q, v = walker_queries(frames, s_tot, ref_len, starts)
 
-        # ---- metadata-only probe: (start, count) per (shift, orient,
-        # dict) group; NO candidate rids are fetched yet. Probe gathers
-        # are byte-bound (~7 GB/s), so fetching C rids for all G groups
-        # eagerly cost more than the whole rest of the round ----
-        st_d, ct_d = [], []
-        for di in range(D):
-            st, ct = dct.probe_meta(dkeys[di], q[:, :, di, :])
-            ct = jnp.where(v[:, :, di, :], ct, 0)
-            st_d.append(st)
-            ct_d.append(ct)
+        # ---- metadata-only probe: one packed (start << 6 | count) word
+        # per (shift, orient, dict) group from ONE stacked-table gather;
+        # NO candidate rids are fetched yet. Probe gathers are byte-bound
+        # (~7 GB/s), so fetching C rids for all G groups eagerly cost
+        # more than the whole rest of the round ----
+        Sdict = dkeys.shape[0] // D
+        q_by_d = jnp.moveaxis(q, 2, 0)             # (D, B, SC, 2)
+        sc_d = dct.probe_meta_sc_stacked(dkeys, Sdict, q_by_d)
+        sc_d = jnp.where(jnp.moveaxis(v, 2, 0), sc_d, jnp.uint32(0))
         # group axis g = ((s*2 + o)*D + d): slot order IS the priority
         # (shift > orientation > dict — the reference search order,
         # src/reorder.h:479-557)
-        start_g = jnp.stack(st_d, axis=3).reshape(B, G)
-        count_g = jnp.stack(ct_d, axis=3).reshape(B, G)
-        hit_g = (count_g > 0) & searching[:, None]
+        sc_g = jnp.moveaxis(sc_d, 0, 3).reshape(B, G)
+        hit_g = ((sc_g & jnp.uint32(63)) > 0) & searching[:, None]
 
         # ---- pick the GSEL best-priority hitting groups; only those
         # fetch candidate rows (one pairs-row gather each) ----
@@ -480,9 +478,10 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         negg, _ = jax.lax.top_k(negp, GSEL)        # (B, GSEL)
         gok = negg != -_BIG
         g_id = jnp.where(gok, -negg, 0)
-        st_sel = jnp.take_along_axis(start_g, g_id, axis=1)
-        ct_sel = jnp.where(gok,
-                           jnp.take_along_axis(count_g, g_id, axis=1), 0)
+        sc_sel = jnp.take_along_axis(sc_g, g_id, axis=1)
+        st_sel = (sc_sel >> 6).astype(jnp.int32)
+        ct_sel = jnp.where(gok, (sc_sel & jnp.uint32(63)).astype(jnp.int32),
+                           0)
         d_sel = g_id % D
         o_sel = (g_id // D) % 2
         srel = g_id // (2 * D)
@@ -720,7 +719,8 @@ def _engine_run(self, progress=None) -> np.ndarray:
         jax.block_until_ready(rows_tab)
         _t1 = time.time()
         self._build_dicts(rows_tab)
-        dkeys = [d.btab for d in self._dicts]
+        # both dicts' compact tables stacked: ONE probe gather per round
+        dkeys = jnp.concatenate([d.btab for d in self._dicts], axis=0)
         drids1 = [d.rids for d in self._dicts]
         # stacked overlapping pair rows (dict d at row offset d*Np/8):
         # the round's bin fetch is ONE row gather across both dicts

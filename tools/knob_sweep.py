@@ -26,7 +26,7 @@ def run_variant(packed, lengths, codes, name, **cfg_kw):
     rows_tab = state.pop("rows")
     jax.block_until_ready(rows_tab)
     e._build_dicts(rows_tab)
-    dkeys = [d.btab for d in e._dicts]
+    dkeys = eng.jnp.concatenate([d.btab for d in e._dicts], axis=0)
     drids = eng.jnp.concatenate([eng.dct.pairs_from_rids(d.rids) for d in e._dicts], axis=0)
     stride = max(e.N // e.B, 1)
     idx = np.arange(e.N, dtype=np.int32)

@@ -39,7 +39,7 @@ def main():
 
     state = e._init_state()
     rows_tab = state.pop("rows")
-    dkeys = [d.btab for d in e.dicts]
+    dkeys = eng.jnp.concatenate([d.btab for d in e.dicts], axis=0)
     drids = eng.jnp.concatenate([eng.dct.pairs_from_rids(d.rids) for d in e.dicts], axis=0)
     stride = max(e.N // e.B, 1)
     idx = np.arange(e.N, dtype=np.int32)
