@@ -117,6 +117,81 @@ def _onehot_read(codes: jnp.ndarray, rlen: jnp.ndarray) -> jnp.ndarray:
     return (oh & valid).astype(jnp.int32)
 
 
+# --------------- packed consensus counts (engine-internal) ---------------
+#
+# The single-chip round keeps its per-position base counts as FOUR u8
+# lanes of one uint32 (c0 | c1<<8 | c2<<16 | c3<<24) instead of a
+# (B, 4, Lb) int32 tensor: the roll/select chains and one-hot updates
+# move 4x fewer bytes. Lanes saturate at 127 (the add invariant: counts
+# <= 127 and a round adds <= M <= 16 per lane, so lane sums stay < 256 —
+# carry-free — before re-saturating). Majority votes beyond 127x
+# coverage freeze, which only affects consensus quality, never
+# losslessness. dist.py keeps the plane layout and the helpers above.
+
+_LANE1 = jnp.uint32(0x01010101)
+
+
+def _counts_argmax_packed(c8):
+    """(…, Lb) packed lanes -> argmax plane index (first max wins,
+    matching jnp.argmax over the plane axis)."""
+    c0 = c8 & jnp.uint32(0xFF)
+    c1 = (c8 >> 8) & jnp.uint32(0xFF)
+    c2 = (c8 >> 16) & jnp.uint32(0xFF)
+    c3 = c8 >> 24
+    m = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+    return jnp.where(c0 == m, 0,
+                     jnp.where(c1 == m, 1,
+                               jnp.where(c2 == m, 2, 3))).astype(jnp.int32)
+
+
+def _roll_words(x, t):
+    """Dynamic per-row left roll of (…, Lb) along positions via two
+    static select chains (t = 8q + r) — gather-free."""
+    Lb = x.shape[-1]
+    q, r = t // 8, t % 8
+    out = x
+    for qq in range(1, Lb // 8 + 1):
+        out = jnp.where((q == qq)[..., None],
+                        _shift_last_static(x, 8 * qq), out)
+    base = out
+    for rr in range(1, 8):
+        out = jnp.where((r == rr)[..., None],
+                        _shift_last_static(base, rr), out)
+    return out
+
+
+def _lane_inc(codes, rlen):
+    """(…, Lb) codes -> packed one-hot lane increments masked by rlen."""
+    Lb = codes.shape[-1]
+    valid = jnp.arange(Lb) < rlen[..., None]
+    return jnp.where(valid, jnp.uint32(1) << (8 * codes).astype(jnp.uint32),
+                     jnp.uint32(0))
+
+
+def _sat_add(c8, inc):
+    """Lane-wise saturating add (inputs carry-free per the invariant)."""
+    sm = c8 + inc
+    ov = (sm >> 7) & _LANE1
+    return (sm & ~(ov * jnp.uint32(0xFF))) | (ov * jnp.uint32(0x7F))
+
+
+def walker_frames_packed(c8, ref_len, shift_base, sc: int = SHIFT_CHUNK):
+    """walker_frames over packed lane counts: (Bw, Lb) uint32 in."""
+    Lb = c8.shape[-1]
+    refc = _counts_argmax_packed(c8)
+    refc = jnp.where(jnp.arange(Lb) < ref_len[:, None], refc, 0)
+    ref_pk = bits.pack(refc)
+    rev_pk = bits.revcomp_packed(ref_pk, ref_len)
+    base_ref = bits.shift_bases_left(ref_pk, shift_base, Lb)
+    base_rev = bits.shift_bases_right(rev_pk, shift_base, Lb)
+    ref_i = [bits.shift_bases_left_static(base_ref, i) for i in range(sc)]
+    rev_i = [bits.shift_bases_right_static(base_rev, i) for i in range(sc)]
+    frames = jnp.stack([jnp.stack(ref_i, axis=1),
+                        jnp.stack(rev_i, axis=1)], axis=2)
+    s_tot = shift_base[:, None] + jnp.arange(sc)
+    return frames, s_tot
+
+
 # --------------- round stages (pure, walker-batched) ---------------
 #
 # TPU layout rule applied throughout: keep the LARGE axis (walkers x probe
@@ -382,7 +457,7 @@ class ReorderEngine:
         claimed[: Np // 32] = np.packbits(
             pad, bitorder="little").view(np.uint32)
         return dict(
-            counts=jnp.zeros((B, 4, Lb), jnp.int32),
+            counts=jnp.zeros((B, Lb), jnp.uint32),
             ref_len=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             shift_base=jnp.zeros((B,), jnp.int32),
@@ -433,7 +508,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         # it neither searches nor seeds this round (no state advances)
         searching = active & room
         B = counts.shape[0]
-        Lb = counts.shape[2]
+        Lb = counts.shape[1]
         Wl = packed.shape[1] - 1
         nwords = Np // 32 + 2
         lp0 = state["left_phase"]
@@ -453,7 +528,8 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
                 jnp.uint32(0))
             return claimed.at[word].add(bit)
 
-        frames, s_tot = walker_frames(counts, ref_len, shift_base, SC)
+        frames, s_tot = walker_frames_packed(counts, ref_len,
+                                             shift_base, SC)
         q, v = walker_queries(frames, s_tot, ref_len, starts)
 
         # ---- metadata-only probe: one packed (start << 6 | count) word
@@ -566,8 +642,9 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         # read's one-hot at its relative offset) ----
         left_phase = lp0
         first_rid = state["first_rid"]
-        live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
-        rolled0 = _roll_counts(counts * live, t_roll)
+        live = jnp.arange(Lb)[None, :] < ref_len[:, None]
+        rolled0 = _roll_words(jnp.where(live, counts, jnp.uint32(0)),
+                              t_roll)
         len0 = jnp.maximum(ref_len - t_roll, 0)
 
         # all M slots at once (a fori_loop here cost ~0.6 ms/slot of pure
@@ -580,13 +657,10 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         pk_all = bits.shift_bases_left(pk_all, d_all, Lb)
         codes_all = bits.unpack(pk_all, Lb)               # (B, M, Lb)
         len_all = jnp.where(win, clen_f - d_all, 0)
-        validp = (jnp.arange(Lb)[None, None, :] < len_all[:, :, None])
-        oh = ((codes_all[:, :, None, :]
-               == jnp.arange(4)[None, None, :, None])
-              & validp[:, :, None, :])
-        rolled = rolled0 + oh.astype(jnp.int32).sum(axis=1)
+        inc = _lane_inc(codes_all, len_all).sum(axis=1)   # (B, Lb) u32
+        rolled = _sat_add(rolled0, inc)
         new_len = jnp.maximum(len0, len_all.max(axis=1))
-        counts = jnp.where(matched_any[:, None, None], rolled, counts)
+        counts = jnp.where(matched_any[:, None], rolled, counts)
         ref_len = jnp.where(matched_any, new_len, ref_len)
         claimed = claim(win.reshape(-1),
                         jnp.clip(rid_f, 0, Np - 1).reshape(-1))
@@ -607,8 +681,8 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         fr_len = (fr_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)
                   ).astype(jnp.int32)
         fr_rc = bits.revcomp_packed(fr_rows[:, :Wl], fr_len)
-        fr_counts = _onehot_read(bits.unpack(fr_rc, Lb), fr_len)
-        counts = jnp.where(start_left[:, None, None], fr_counts, counts)
+        fr_counts = _lane_inc(bits.unpack(fr_rc, Lb), fr_len)
+        counts = jnp.where(start_left[:, None], fr_counts, counts)
         ref_len = jnp.where(start_left, fr_len, ref_len)
 
         # seeding: inactive walkers take the next unclaimed queue reads
@@ -620,8 +694,9 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         seed_rid = seed_order[jnp.clip(qidx, 0, Np - 1)]
         ok_seed = in_range & ~claimed_bit(seed_rid)
         claimed = claim(ok_seed, seed_rid)
-        seed_cnt = seed_counts_for(packed, lengths, seed_rid, Lb)
-        counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
+        seed_cnt = _lane_inc(bits.unpack(packed[seed_rid], Lb),
+                             lengths[seed_rid])
+        counts = jnp.where(ok_seed[:, None], seed_cnt, counts)
         ref_len = jnp.where(ok_seed, lengths[seed_rid], ref_len)
         shift_base = jnp.where(ok_seed, 0, shift_base)
         active = active | ok_seed
