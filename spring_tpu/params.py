@@ -13,7 +13,8 @@ import json
 from typing import Optional
 
 FORMAT_MAGIC = "SPRING-TPU"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: id streams use 15-bit range-coder probabilities;
+                     # qv shards may carry the fine-position-context flag
 
 # --- short-read mode limits (reference src/params.h:22-24) ---
 MAX_READ_LEN = 511            # short mode limit; long mode is unlimited
@@ -100,6 +101,12 @@ class CompressionParams:
         if d.get("version", 0) > FORMAT_VERSION:
             raise ValueError(f"archive version {d['version']} is newer than "
                              f"this library ({FORMAT_VERSION})")
+        if d.get("version", 0) < 2:
+            # v1 id streams used 12-bit coder probabilities — decoding
+            # them with this build would silently corrupt; refuse instead
+            raise ValueError(
+                f"archive format v{d.get('version', 0)} predates the v2 "
+                "stream coders and cannot be read by this build")
         d["bin_thresholds"] = tuple(d.get("bin_thresholds", ()))
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
