@@ -168,3 +168,16 @@ def test_archive_reader_thread_safety(tmp_path):
             for _ in range(5):
                 got = list(pool.map(lambda k: (k, r.get(k)), blobs))
                 assert all(blobs[k] == v for k, v in got)
+
+
+def test_recompression_deterministic(fq1, tmp_path):
+    """Byte-identical archives across runs — stronger than the reference,
+    whose -r output is thread-schedule-dependent (src/reorder.h lock
+    races). Everything here is race-free by construction: XLA programs,
+    sort-based claims, per-block codecs, fixed container order."""
+    a1 = tmp_path / "a1.stpu"
+    a2 = tmp_path / "a2.stpu"
+    opts = api.CompressOptions(num_threads=4, verbose=False, reorder=True)
+    api.compress([fq1], str(a1), opts)
+    api.compress([fq1], str(a2), opts)
+    assert a1.read_bytes() == a2.read_bytes()
