@@ -105,10 +105,10 @@ def test_dictionary_probe_finds_exact_window():
     rng = np.random.default_rng(4)
     codes = _random_reads(rng, 200, 64)
     lengths = np.full(200, 64, np.int32)
-    dicts = dct.build_dicts(codes, lengths)
+    dicts = dct.build_hash_dicts(codes, lengths)
     d = dicts[0]
     q = dct._window_keys_np(codes[:5], d.start)
-    rids, valid = dct.probe(d, jnp.asarray(q), 4)
+    rids, valid = dct.probe_hash(d.btab, d.rids, jnp.asarray(q), 4)
     rids, valid = np.asarray(rids), np.asarray(valid)
     for i in range(5):
         assert i in set(rids[i][valid[i]])
