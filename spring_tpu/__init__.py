@@ -25,4 +25,24 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _raise_mmap_threshold() -> None:
+    """Keep big numpy buffers in the malloc arena instead of per-allocation
+    mmaps. glibc mmaps allocations over 128 KB and unmaps them on free, so
+    every block-sized matrix the pipeline allocates refaults its pages —
+    on this class of VM (lazily-backed memory) that costs ~30 MB/s and
+    swings stage times 2-3x between runs. Raising M_MMAP_THRESHOLD lets
+    freed buffers be reused with their pages still resident. Opt out with
+    SPRING_TPU_MALLOC_ARENA=0 (the arena retains freed peaks until trim)."""
+    if _os.environ.get("SPRING_TPU_MALLOC_ARENA", "1") == "0":
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 29)
+    except Exception:   # non-glibc platform — purely an optimization
+        pass
+
+
+_raise_mmap_threshold()
 _enable_compile_cache()
