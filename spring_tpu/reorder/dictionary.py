@@ -112,12 +112,12 @@ def pairs_from_rids(rids: jnp.ndarray) -> jnp.ndarray:
 
 @dataclass
 class HashDict:
-    btab: jnp.ndarray      # (S, 3*SLOTS) uint32: [keys | starts | counts]
-                           # interleaved per bucket — one row gather serves
-                           # the whole probe
-    rids: jnp.ndarray      # (n,) int32, key-sorted bins (CSR payload)
+    btab: jnp.ndarray      # (S, COMPACT_WORDS) uint32 compact rows (or
+                           # classic (S, 3*SLOTS) [keys|starts|counts])
+    rids: jnp.ndarray      # (n,) int32 CSR payload, bins sorted by
+                           # h = key * _HASH_MULT (bucket ids monotonic)
     start: int             # window start
-    keys_sorted: object = None   # host np array, for in-bin compaction
+    keys_sorted: object = None   # host np: ORIGINAL keys in bin order
 
     @property
     def nbuckets(self) -> int:
@@ -153,39 +153,43 @@ def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
         ok = lengths >= spec.end
         rids = np.nonzero(ok)[0].astype(np.int32)
         keys = keyfn(ok, spec.start)
-        order = np.argsort(keys, kind="stable")
-        keys, rids = keys[order], rids[order]
+        # rows sort by h = key * MULT (bijection: equal keys still bin
+        # together) so bucket ids h >> shift come out MONOTONIC — same
+        # single-sort layout as the device build
+        h = (keys * _HASH_MULT).astype(np.uint32)
+        order = np.argsort(h, kind="stable")
+        keys, rids, h = keys[order], rids[order], h[order]
         if pad_to_pow2:
             n = max(1 << max(len(keys) - 1, 1).bit_length(), 64)
             keys = np.concatenate(
                 [keys, np.full(n - len(keys), 0xFFFFFFFF, np.uint32)])
             rids = np.concatenate(
                 [rids, np.full(n - len(rids), -1, np.int32)])
-        uk, starts, counts = np.unique(keys, return_index=True,
+            h = np.concatenate(
+                [h, np.full(n - len(h), 0xFFFFFFFF, np.uint32)])
+        uh, starts, counts = np.unique(h, return_index=True,
                                        return_counts=True)
+        ukeys = keys[starts]
         # drop the sentinel bin (rid -1 padding)
-        if len(uk) and uk[-1] == 0xFFFFFFFF and rids[starts[-1]] == -1:
-            uk, starts, counts = uk[:-1], starts[:-1], counts[:-1]
-        S = table_buckets(len(uk))
+        if len(uh) and uh[-1] == 0xFFFFFFFF and rids[starts[-1]] == -1:
+            uh, starts, counts = uh[:-1], starts[:-1], counts[:-1]
+            ukeys = ukeys[:-1]
+        S = table_buckets(len(uh))
         shift = 32 - int(np.log2(S))
         bkey = np.zeros((S, SLOTS), np.uint32)
         bstart = np.zeros((S, SLOTS), np.int32)
         bcount = np.zeros((S, SLOTS), np.int32)
-        h = ((uk * _HASH_MULT) >> np.uint32(shift)).astype(np.int64)
-        # single-attempt placement: rank of each key within its home bucket
-        b = h % S
-        order2 = np.argsort(b, kind="stable")
-        tb = b[order2]
-        first = np.concatenate([[True], tb[1:] != tb[:-1]])
+        # buckets are sorted; rank = index - first index of the bucket
+        b = (uh >> np.uint32(shift)).astype(np.int64)
+        first = np.concatenate([[True], b[1:] != b[:-1]])
         grp = np.cumsum(first) - 1
         first_idx = np.nonzero(first)[0]
-        rank = np.arange(len(tb)) - first_idx[grp]
+        rank = np.arange(len(b)) - first_idx[grp]
         fits = rank < SLOTS
-        ki = order2[fits]
-        bi, si = tb[fits], rank[fits]
-        bkey[bi, si] = uk[ki]
-        bstart[bi, si] = starts[ki]
-        bcount[bi, si] = counts[ki]
+        bi, si = b[fits], rank[fits]
+        bkey[bi, si] = ukeys[fits]
+        bstart[bi, si] = starts[fits]
+        bcount[bi, si] = counts[fits]
         dropped = int((~fits).sum())
         if compact:
             assert len(keys) <= MAX_COMPACT_ENTRIES
@@ -377,19 +381,28 @@ def build_hash_dict_seq_dev(seq_words, total, word_offset: int, S: int):
 
 
 def _hash_build_core(keys_raw, ok, S: int, compact: bool = False):
-    """Shared device build: sort (key, id), segment unique keys, place into
-    the single-attempt bucket table. id = position in ``keys_raw``."""
+    """Shared device build, ONE sort total.
+
+    Rows are sorted by h = key * _HASH_MULT — a bijection of the key, so
+    equal keys still group into bins, and the bucket id b = h >> shift is
+    MONOTONIC along the sorted order. Bin segmentation, per-bucket slot
+    ranks, and placement all follow from neighbor compares and cumulative
+    ops — the two extra placement sorts of the previous form tripled the
+    compiled program size, and the tunnel server re-JITs big deserialized
+    executables (~1-3 minutes at 16M-row shapes)."""
     Np = keys_raw.shape[0]
     rid = jnp.arange(Np, dtype=jnp.int32)
-    keys = jnp.where(ok, keys_raw, jnp.uint32(0xFFFFFFFF))
+    h = jnp.where(ok, keys_raw * jnp.uint32(_HASH_MULT),
+                  jnp.uint32(0xFFFFFFFF))
     # secondary sort key puts padding (-1 rid) after real rids within a bin
     ridkey = jnp.where(ok, rid, jnp.int32(2**31 - 1))
-    keys_s, _, rids_s = jax.lax.sort(
-        (keys, ridkey, jnp.where(ok, rid, -1)), num_keys=2)
+    keys_c = jnp.where(ok, keys_raw, jnp.uint32(0xFFFFFFFF))
+    h_s, _, rids_s, keys_s = jax.lax.sort(
+        (h, ridkey, jnp.where(ok, rid, -1), keys_c), num_keys=2)
 
     pos = jnp.arange(Np, dtype=jnp.int32)
     first = jnp.concatenate(
-        [jnp.ones(1, bool), keys_s[1:] != keys_s[:-1]])
+        [jnp.ones(1, bool), h_s[1:] != h_s[:-1]])
     # segment end of the bin starting at i = next 'first' position after i
     marks = jnp.where(first, pos, Np)
     nxt = jax.lax.cummin(
@@ -397,34 +410,29 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False):
         reverse=True)
     ucount = nxt - pos                       # valid where first
     # drop the all-padding sentinel bin (host build does the same; a real
-    # poly-T bin keeps its leading real rids)
-    entry = first & ~((keys_s == jnp.uint32(0xFFFFFFFF)) & (rids_s == -1))
+    # bin whose h collides with the sentinel keeps its leading real rids)
+    entry = first & ~((h_s == jnp.uint32(0xFFFFFFFF)) & (rids_s == -1))
 
     shift = 32 - int(np.log2(S))
-    h = ((keys_s * jnp.uint32(_HASH_MULT)) >> shift).astype(jnp.int32)
+    b = (h_s >> shift).astype(jnp.int32)     # monotonic buckets
 
     fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fcount = jnp.zeros(S * SLOTS + 1, jnp.uint32)
 
-    def rank_in_groups(bk):
-        f2 = jnp.concatenate([jnp.ones(1, bool), bk[1:] != bk[:-1]])
-        gstart = jax.lax.cummax(jnp.where(f2, pos, 0))
-        return pos - gstart
-
-    # single-attempt placement: home bucket, slots 0..rank
-    b0 = jnp.where(entry, h, S)
-    bk0, _, uk0, us0, uc0 = jax.lax.sort(
-        (b0, pos, keys_s, pos.astype(jnp.uint32),
-         ucount.astype(jnp.uint32)), num_keys=2)
-    rank0 = rank_in_groups(bk0)
-    live0 = bk0 < S
-    fits0 = live0 & (rank0 < SLOTS)
-    flat0 = jnp.where(fits0, bk0 * SLOTS + rank0, S * SLOTS)
-    fkey = fkey.at[flat0].set(jnp.where(fits0, uk0, 0))
-    fstart = fstart.at[flat0].set(jnp.where(fits0, us0, 0))
-    fcount = fcount.at[flat0].set(jnp.where(fits0, uc0, 0))
-    dropped = jnp.sum(live0 & ~fits0).astype(jnp.int32)
+    # rank of each ENTRY (bin head) within its bucket: entries before it
+    # in the same bucket, via cumsum of entries minus the bucket's base
+    bfirst = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
+    ecum0 = jnp.cumsum(entry.astype(jnp.int32)) - entry.astype(jnp.int32)
+    base = jax.lax.cummax(jnp.where(bfirst, ecum0, 0))
+    rank = ecum0 - base
+    fits = entry & (rank < SLOTS)
+    flat = jnp.where(fits, b * SLOTS + rank, S * SLOTS)
+    fkey = fkey.at[flat].set(jnp.where(fits, keys_s, 0))
+    fstart = fstart.at[flat].set(jnp.where(fits, pos, 0).astype(jnp.uint32))
+    fcount = fcount.at[flat].set(
+        jnp.where(fits, ucount, 0).astype(jnp.uint32))
+    dropped = jnp.sum(entry & ~fits).astype(jnp.int32)
 
     k8 = fkey[: S * SLOTS].reshape(S, SLOTS)
     s8 = fstart[: S * SLOTS].reshape(S, SLOTS)
@@ -436,7 +444,7 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False):
         btab = jnp.concatenate([tagw, scw], axis=1)
     else:
         btab = jnp.concatenate([k8, s8, c8], axis=1)
-    return btab, keys_s, rids_s, dropped
+    return btab, h_s, rids_s, dropped
 
 
 def build_hash_dicts_device(rows, n_real: int,
