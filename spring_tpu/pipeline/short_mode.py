@@ -210,7 +210,10 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     cp.paired_id_match = bool(pattern_ok and pattern_code)
     cp.paired_id_code = pattern_code if cp.paired_id_match else 0
 
-    pool = ThreadPoolExecutor(max_workers=num_threads)
+    # leave one core for the main thread + TPU tunnel client: with every
+    # core in the codec pool, device dispatches crawl (the 10M dict build
+    # measured 58-85 s under codec load vs ~1 s on an idle host)
+    pool = ThreadPoolExecutor(max_workers=max(1, num_threads - 1))
     futs = []
 
     # the per-block row/id gathers run INSIDE the worker so at most
