@@ -27,6 +27,13 @@
 // shard's raw chars, validated on decode — reference parity: libbsc's
 // adler32), 32-byte alphabet bitmap, rc stream of [per read: len
 // (same-as-prev bit, else adaptive gamma), symbols].
+//
+// Constant-prefix fast path (Lmax bit 30): when every row is a prefix of
+// one master row — the shape QVZ-collapsed quality takes at low rate
+// targets — the payload is the raw master row + the range-coded length
+// stream only. The adaptive coder's probability ceiling costs ~0.045
+// bits/sym even on fully deterministic input, which is 100x the size of
+// just shipping the master row once.
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -158,10 +165,28 @@ static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
     total += lens[r];
     Lmax = std::max<int64_t>(Lmax, lens[r]);
   }
+  if (Lmax >= (int64_t)1 << 30) return -4;  // bits 30/31 are flags
+  // constant-prefix detection: is every row a prefix of one master row?
+  const uint8_t* master = nullptr;
+  if (n > 0 && Lmax > 0) {
+    const uint8_t* p = blob;
+    for (int64_t r = 0; r < n; ++r) {
+      if (lens[r] == Lmax) {
+        master = p;
+        break;
+      }
+      p += lens[r];
+    }
+    p = blob;
+    for (int64_t r = 0; r < n && master; ++r) {
+      if (std::memcmp(p, master, (size_t)lens[r]) != 0) master = nullptr;
+      p += lens[r];
+    }
+  }
   put_u32p(out.data(), (uint32_t)n);
-  // Lmax bit 31 carries the fine-position-context flag
-  put_u32p(out.data() + 4,
-           (uint32_t)Lmax | (fine_pos ? 0x80000000u : 0u));
+  // Lmax bit 31 carries the fine-position-context flag, bit 30 const-prefix
+  put_u32p(out.data() + 4, (uint32_t)Lmax | (fine_pos ? 0x80000000u : 0u) |
+                               (master ? 0x40000000u : 0u));
   for (int i = 0; i < 8; ++i) out[8 + i] = (uint8_t)((uint64_t)total >> (8 * i));
   put_u32p(out.data() + 16, fnv1a(blob, total));
   bool present[256] = {false};
@@ -174,6 +199,25 @@ static int64_t qv_compress_one(const uint8_t* blob, int64_t n,
       dense[c] = (uint8_t)A++;
     }
   if (n == 0) return (int64_t)out.size();
+  if (master) {
+    out.insert(out.end(), master, master + Lmax);
+    QVModel mdl;
+    mdl.init(A, fine_pos);
+    RangeEncoder rc(&out);
+    int32_t prev_len = -1;
+    for (int64_t r = 0; r < n; ++r) {
+      int32_t len = lens[r];
+      if (len == prev_len) {
+        rc.encode_bit(&mdl.len_same[0], 0);
+      } else {
+        rc.encode_bit(&mdl.len_same[0], 1);
+        len_encode(rc, mdl, (uint32_t)len);
+        prev_len = len;
+      }
+    }
+    rc.flush();
+    return (int64_t)out.size();
+  }
 
   QVModel mdl;
   mdl.init(A, fine_pos);
@@ -215,7 +259,8 @@ static int64_t qv_decompress_one(const uint8_t* src, int64_t src_len,
   if (n > n_cap || (int64_t)total > blob_cap) return -2;
   uint32_t lraw = get_u32p(src + 4);
   bool fine_pos = (lraw >> 31) != 0;
-  int64_t Lmax = (int64_t)(lraw & 0x7FFFFFFFu);
+  bool const_prefix = (lraw >> 30) & 1;
+  int64_t Lmax = (int64_t)(lraw & 0x3FFFFFFFu);
   uint8_t from_dense[256];
   int A = 0;
   for (int c = 0; c < 256; ++c)
@@ -224,6 +269,32 @@ static int64_t qv_decompress_one(const uint8_t* src, int64_t src_len,
   if (A == 0 && total > 0) return -1;
   if (A == 0) {
     std::memset(lens, 0, (size_t)n * sizeof(int32_t));
+    return n;
+  }
+
+  if (const_prefix) {
+    if (src_len < kHdr + Lmax) return -1;
+    const uint8_t* master = src + kHdr;
+    QVModel mdl;
+    mdl.init(A, fine_pos);
+    RangeDecoder rc(src + kHdr + Lmax, (size_t)(src_len - kHdr - Lmax));
+    int32_t prev_len = -1;
+    uint8_t* row = blob;
+    int64_t written = 0;
+    for (int64_t r = 0; r < n; ++r) {
+      int32_t len = prev_len;
+      if (rc.decode_bit(&mdl.len_same[0])) {
+        len = (int32_t)len_decode(rc, mdl);
+        prev_len = len;
+      }
+      if (len < 0 || len > Lmax || written + len > (int64_t)total) return -1;
+      lens[r] = len;
+      std::memcpy(row, master, (size_t)len);
+      row += len;
+      written += len;
+    }
+    if (written != (int64_t)total) return -1;
+    if (fnv1a(blob, (int64_t)total) != get_u32p(src + 16)) return -3;
     return n;
   }
 
@@ -419,7 +490,7 @@ int stpu_qv_dims(const uint8_t* src, int64_t src_len, int64_t* n, int64_t* L,
     tt += refs[s].total;
     LL = std::max<int64_t>(
         LL, (int64_t)(stpu::get_u32p((const uint8_t*)src + refs[s].off + 4)
-                      & 0x7FFFFFFFu));
+                      & 0x3FFFFFFFu));
   }
   *n = nn;
   *L = LL;

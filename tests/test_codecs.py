@@ -125,6 +125,37 @@ def test_qv_edge_cases():
     np.testing.assert_array_equal(m3, mat)
 
 
+def test_qv_const_prefix_fast_path():
+    # QVZ-collapsed quality (every row a prefix of one master row) takes
+    # the constant-prefix wire mode: size ~= master row + length stream,
+    # not the adaptive coder's ~0.045 bits/sym determinism floor.
+    from spring_tpu.codecs import qv
+    n, L = 50_000, 100
+    master = (np.arange(L) % 5 + 40).astype(np.uint8)
+    mat = np.tile(master, (n, 1))
+    lens = np.full(n, L, np.int64)
+    z = qv.compress_rows(mat, lens, num_threads=2, fine_pos=True)
+    assert len(z) < 2000  # was ~30 KB through the generic model
+    m, l = qv.decompress_rows(z, max_len=L, num_threads=2)
+    np.testing.assert_array_equal(m, mat)
+    np.testing.assert_array_equal(l, lens)
+    # ragged prefixes of the master still qualify
+    lens_r = np.linspace(10, L, n).astype(np.int64)
+    mat_r = np.where(np.arange(L)[None, :] < lens_r[:, None],
+                     master[None, :], 0).astype(np.uint8)
+    z_r = qv.compress_rows(mat_r, lens_r, num_threads=2, fine_pos=True)
+    m_r, l_r = qv.decompress_rows(z_r, max_len=L, num_threads=2)
+    np.testing.assert_array_equal(m_r, mat_r)
+    np.testing.assert_array_equal(l_r, lens_r)
+    # one mismatching row must force the generic path (and round-trip)
+    mat_g = mat.copy()
+    mat_g[123, 50] ^= 1
+    z_g = qv.compress_rows(mat_g, lens, num_threads=2, fine_pos=True)
+    assert len(z_g) > len(z)
+    m_g, _ = qv.decompress_rows(z_g, max_len=L, num_threads=2)
+    np.testing.assert_array_equal(m_g, mat_g)
+
+
 def test_qv_multishard_parallel_roundtrip():
     # >4 MB of chars forces multiple independent shards; decode must
     # reassemble rows exactly regardless of thread count.
