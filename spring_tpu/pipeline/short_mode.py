@@ -529,13 +529,20 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
     # sharded qv codec the leftover cores
     bt = max(1, num_threads // max(min(cp.num_blocks, num_threads), 1))
 
+    trace = os.environ.get("SPRING_TPU_TRACE")
+
     def _emit(w, half, s, e):
+        _t0 = time.time()
         idbuf, idlens, chars, rlen, qmat = half
         idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
         blob = fastq_native.format_records(
             chars[s:e], rlen[s:e], qmat[s:e] if qmat is not None else None,
             idbuf[idoffs[s]:idoffs[e]], idlens[s:e])
+        _t1 = time.time()
         w.write_bytes(blob)
+        if trace:
+            print(f"[trace] emit: format {_t1 - _t0:.2f}s "
+                  f"write {time.time() - _t1:.2f}s", flush=True)
 
     try:
         if paired:
@@ -601,7 +608,10 @@ def _undo_noise_delta(nn: np.ndarray, npos: np.ndarray) -> np.ndarray:
 
 
 def _fill_rows(m, L, rlen, al, aligned_rows, lit):
-    """Scatter aligned rows + literal bytes into an (m, L) char matrix."""
+    """Scatter aligned rows + literal bytes into an (m, L) char matrix.
+
+    Row padding may be nonzero ('A' from code 0) — downstream only the
+    first rlen[r] bytes of each row are read (native formatter)."""
     codes = np.zeros((m, L), np.uint8)
     if len(al):
         codes[al, : aligned_rows.shape[1]] = aligned_rows
@@ -611,9 +621,8 @@ def _fill_rows(m, L, rlen, al, aligned_rows, lit):
         lvalid = np.arange(L)[None, :] < rlen[li, None]
         lrows = np.zeros((len(li), L), np.uint8)
         lrows[lvalid] = lit
-        chars[li] = np.where(lvalid, lrows, 0)
-    valid = np.arange(L)[None, :] < rlen[:, None]
-    return np.where(valid, chars, 0).astype(np.uint8)
+        chars[li] = lrows
+    return chars
 
 
 def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
@@ -625,23 +634,23 @@ def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     block = cp.num_reads_per_block
     s = b * block
     m = min(block, per_file - s)
-    pflag = st.decode_u8(bsc.decompress(reader.get_block("flag", b)))
-    rlen_i = st.decode_u16(bsc.decompress(reader.get_block("rlen", b)))
+    pflag = st.decode_u8(bsc.decompress(reader.get_block("flag", b), num_threads))
+    rlen_i = st.decode_u16(bsc.decompress(reader.get_block("rlen", b), num_threads))
     rlen1 = rlen_i[0::2].astype(np.int32)
     rlen2 = rlen_i[1::2].astype(np.int32)
-    pos1 = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b)))
-    pos2u = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos2", b)))
+    pos1 = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b), num_threads))
+    pos2u = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos2", b), num_threads))
     # raw int16 pair distances (decode_u16 widens to int32 — view first)
     pospair = np.frombuffer(
-        bsc.decompress(reader.get_block("pospair", b)),
+        bsc.decompress(reader.get_block("pospair", b), num_threads),
         np.uint16).view(np.int16).astype(np.int64)
-    rcpair = st.decode_u8(bsc.decompress(reader.get_block("rcpair", b)))
-    rcs = st.decode_u8(bsc.decompress(reader.get_block("rc", b)))
-    nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))
+    rcpair = st.decode_u8(bsc.decompress(reader.get_block("rcpair", b), num_threads))
+    rcs = st.decode_u8(bsc.decompress(reader.get_block("rc", b), num_threads))
+    nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b), num_threads))
     npos = _undo_noise_delta(
-        nn, st.decode_u16(bsc.decompress(reader.get_block("npos", b))))
-    nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b)))
-    lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b)),
+        nn, st.decode_u16(bsc.decompress(reader.get_block("npos", b), num_threads)))
+    nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b), num_threads))
+    lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b), num_threads),
                         np.uint8)
 
     f0 = pflag == 0
@@ -664,8 +673,9 @@ def _decode_block_pe(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     rc_al = np.concatenate([rc_r1[al1m], rc_r2[al2m]])
     rlen_al = np.concatenate([rlen1[al1m], rlen2[al2m]])
     rows = cons.reconstruct_reads(seq_codes, gpos_al, rlen_al, rc_al,
-                                  nn, npos, nchar) if len(gpos_al) else \
-        np.zeros((0, 1), np.uint8)
+                                  nn, npos, nchar,
+                                  num_threads=num_threads) \
+        if len(gpos_al) else np.zeros((0, 1), np.uint8)
     L = max(int(rlen_i.max()) if len(rlen_i) else 0, 1)
     # split aligned rows / literal bytes back into the two files
     lit1_len = int(rlen1[~al1m].sum())
@@ -712,13 +722,13 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     _t0 = time.time()
     block = cp.num_reads_per_block
     s = b * block
-    flag = st.decode_u8(bsc.decompress(reader.get_block("flag", b)))
-    rlen = st.decode_u16(bsc.decompress(reader.get_block("rlen", b)))
-    gpos = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b)))
-    rc = st.decode_u8(bsc.decompress(reader.get_block("rc", b)))
-    nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b)))
-    npos = st.decode_u16(bsc.decompress(reader.get_block("npos", b)))
-    nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b)))
+    flag = st.decode_u8(bsc.decompress(reader.get_block("flag", b), num_threads))
+    rlen = st.decode_u16(bsc.decompress(reader.get_block("rlen", b), num_threads))
+    gpos = st.decode_deltas_u16(bsc.decompress(reader.get_block("pos", b), num_threads))
+    rc = st.decode_u8(bsc.decompress(reader.get_block("rc", b), num_threads))
+    nn = st.decode_u16(bsc.decompress(reader.get_block("nn", b), num_threads))
+    npos = st.decode_u16(bsc.decompress(reader.get_block("npos", b), num_threads))
+    nchar = st.decode_u8(bsc.decompress(reader.get_block("nchar", b), num_threads))
     if len(npos):
         # undo per-read delta coding: segmented cumulative sum
         cnts_d = nn.astype(np.int64)
@@ -726,7 +736,7 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
         starts_d = np.cumsum(cnts_d) - cnts_d
         base = np.where(starts_d > 0, csum[np.maximum(starts_d - 1, 0)], 0)
         npos = (csum - np.repeat(base, cnts_d)).astype(np.int32)
-    lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b)),
+    lit = np.frombuffer(bsc.decompress(reader.get_block("literal", b), num_threads),
                         np.uint8)
     _t1 = time.time()
 
@@ -735,18 +745,23 @@ def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, b: int,
     al = np.nonzero(flag == 1)[0]
     codes = np.zeros((m, L), np.uint8)
     if len(al):
+        # num_threads is this block's share of the core budget — blocks
+        # are the outer parallelism; a full-width OMP team per block
+        # oversubscribes the host with spinning barriers
         rows = cons.reconstruct_reads(seq_codes, gpos, rlen[al],
-                                      rc, nn, npos, nchar)
+                                      rc, nn, npos, nchar,
+                                      num_threads=num_threads)
         codes[al, : rows.shape[1]] = rows
+    # row padding is never read downstream (the native formatter copies
+    # lens[r] bytes per row) — skip the full-matrix masking passes; fresh
+    # page faults on this host cost more than the compute
     chars = packing.CODE_TO_CHAR[codes]
     li = np.nonzero(flag == 0)[0]
     if len(li):
         lvalid = np.arange(L)[None, :] < rlen[li, None]
         lrows = np.zeros((len(li), L), np.uint8)
         lrows[lvalid] = lit
-        chars[li] = np.where(lvalid, lrows, 0)
-    valid = np.arange(L)[None, :] < rlen[:, None]
-    chars = np.where(valid, chars, 0).astype(np.uint8)
+        chars[li] = lrows
     _t2 = time.time()
 
     qmat = None
