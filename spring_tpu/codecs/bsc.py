@@ -78,6 +78,66 @@ def decompress_str_array(data: bytes, **kw) -> list[bytes]:
     return out
 
 
+def compress_dna_str_array(strings: list[bytes], _force: int | None = None,
+                           **kw) -> bytes:
+    """Long-mode read blocks: pick the smaller of two encodings per block.
+
+    mode 0: the generic str-array wire (BWT captures cross-read redundancy
+            when reads overlap — real long-read data);
+    mode 1: 2-bit pack ACGT text, xbc the packed payload — a hard
+            ~2.0 bits/base ceiling that wins on low-redundancy blocks where
+            BWT+MTF pays ~2.03 (reference libbsc pays ~2.01 on the same
+            input, so mode 1 beats it; see AB_REPORT.md se-l row).
+    Archive format v3; decode with decompress_dna_str_array.
+    """
+    from ..io import packing
+
+    raw = compress_str_array(strings, **kw) if _force != 1 else None
+    blob = np.frombuffer(b"".join(strings), np.uint8)
+    codes = packing.CHAR_TO_CODE[blob]
+    if _force != 0 and len(blob) and int(codes.max()) <= 3:  # pure ACGT
+        lens = np.fromiter((len(s) for s in strings), dtype=np.uint32,
+                           count=len(strings))
+        pad = (-len(codes)) % 4
+        c = np.concatenate([codes, np.zeros(pad, np.uint8)])
+        packed = (c[0::4] | (c[1::4] << 2) | (c[2::4] << 4)
+                  | (c[3::4] << 6)).astype(np.uint8)
+        lens_z = compress(np.uint64(len(strings)).tobytes() + lens.tobytes(),
+                          **kw)
+        payload_z = compress(packed.tobytes(), **kw)
+        alt = (np.uint64(len(blob)).tobytes()
+               + np.uint64(len(lens_z)).tobytes() + lens_z + payload_z)
+        if raw is None or len(alt) < len(raw):
+            return b"\x01" + alt
+    return b"\x00" + raw
+
+
+def decompress_dna_str_array(data: bytes, **kw) -> list[bytes]:
+    """Inverse of compress_dna_str_array (mode byte dispatch)."""
+    from ..io import packing
+
+    mode, body = data[:1], data[1:]
+    if mode == b"\x00":
+        return decompress_str_array(body, **kw)
+    if mode != b"\x01":
+        raise RuntimeError("corrupt dna str-array stream")
+    total = int(np.frombuffer(body[:8], np.uint64)[0])
+    lz = int(np.frombuffer(body[8:16], np.uint64)[0])
+    raw_lens = decompress(body[16:16 + lz], **kw)
+    count = int(np.frombuffer(raw_lens[:8], np.uint64)[0])
+    lens = np.frombuffer(raw_lens[8:8 + 4 * count], np.uint32)
+    packed = np.frombuffer(decompress(body[16 + lz:], **kw), np.uint8)
+    idx = np.arange(total)
+    codes = (packed[idx >> 2] >> ((idx & 3) << 1)) & 3
+    chars = packing.CODE_TO_CHAR[codes].tobytes()
+    out = []
+    off = 0
+    for l in lens:
+        out.append(chars[off:off + int(l)])
+        off += int(l)
+    return out
+
+
 def compress_rows(mat: np.ndarray, lens: np.ndarray, **kw) -> bytes:
     """compress_str_array over rows of a padded (n, L) byte matrix —
     vectorized blob construction, no per-row Python objects. Decodes with

@@ -13,8 +13,11 @@ import json
 from typing import Optional
 
 FORMAT_MAGIC = "SPRING-TPU"
-FORMAT_VERSION = 2   # v2: id streams use 15-bit range-coder probabilities;
+FORMAT_VERSION = 3   # v2: id streams use 15-bit range-coder probabilities;
                      # qv shards may carry the fine-position-context flag
+                     # v3: long-mode read streams carry a mode byte (raw
+                     # str-array wire vs 2-bit packed ACGT); qv shards may
+                     # use the constant-prefix wire mode. v2 stays readable.
 
 # --- short-read mode limits (reference src/params.h:22-24) ---
 MAX_READ_LEN = 511            # short mode limit; long mode is unlimited

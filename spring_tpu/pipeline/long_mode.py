@@ -69,7 +69,7 @@ def compress_long(files: list[str], writer: ArchiveWriter,
                 from . import qvz
                 quals = qvz.quantize_block(quals, cp.qvz_ratio)
             futs = {}
-            futs["read"] = pool.submit(bsc.compress_str_array, blk.seqs,
+            futs["read"] = pool.submit(bsc.compress_dna_str_array, blk.seqs,
                                        num_threads=1)
             if cp.preserve_quality and quals:
                 futs["quality"] = pool.submit(qv.compress_str_array, quals,
@@ -151,8 +151,11 @@ def decompress_long(reader: ArchiveReader, out_paths: list[str],
 
 def _decode_block(reader: ArchiveReader, cp: P.CompressionParams, j: int,
                   b: int, per_file: int):
-    seqs = bsc.decompress_str_array(reader.get_block(f"read{j + 1}", b),
-                                    num_threads=1)
+    read_blob = reader.get_block(f"read{j + 1}", b)
+    if cp.version >= 3:   # v3: mode-byte DNA wire; v2 wrote the raw wire
+        seqs = bsc.decompress_dna_str_array(read_blob, num_threads=1)
+    else:
+        seqs = bsc.decompress_str_array(read_blob, num_threads=1)
     quals = None
     if cp.preserve_quality and not cp.fasta_input:
         quals = qv.decompress_str_array(

@@ -76,6 +76,37 @@ def test_idcodec_leading_zero_deltas():
     assert idcodec.decompress_ids(z, len(ids)) == ids
 
 
+def test_dna_str_array_modes():
+    # long-mode read wire: per-block min of the raw str-array encoding and
+    # 2-bit packed ACGT; both must round-trip, N forces the raw mode
+    from spring_tpu.codecs import bsc
+    rng = np.random.default_rng(3)
+    seqs = [bytes(rng.choice(list(b"ACGT"), rng.integers(50, 200)))
+            for _ in range(2000)]
+    z = bsc.compress_dna_str_array(seqs, num_threads=2)
+    assert bsc.decompress_dna_str_array(z, num_threads=2) == seqs
+    seqs_n = [s[:10] + b"N" + s[10:] for s in seqs]
+    z_n = bsc.compress_dna_str_array(seqs_n, num_threads=2)
+    assert z_n[0] == 0  # N cannot 2-bit pack
+    assert bsc.decompress_dna_str_array(z_n, num_threads=2) == seqs_n
+    assert bsc.decompress_dna_str_array(bsc.compress_dna_str_array([])) == []
+    # block scale, genome-sampled reads (the bench shape): the packed mode
+    # caps the rate at ~2 bits/base where BWT+MTF pays ~2.03
+    genome = rng.choice(list(b"ACGT"), 2_000_000).astype(np.uint8)
+    starts = rng.integers(0, len(genome) - 100, 10_000)
+    big = [genome[s:s + 100].tobytes() for s in starts]
+    # (which mode wins is data-dependent: error-free overlaps favor BWT,
+    # noisy reads favor packing — the pick is simply the smaller)
+    z_b = bsc.compress_dna_str_array(big, num_threads=4)
+    assert len(z_b) * 8 / 1_000_000 < 2.01
+    assert bsc.decompress_dna_str_array(z_b, num_threads=4) == big
+    # both wire modes must round-trip regardless of which the race picks
+    for force in (0, 1):
+        z_f = bsc.compress_dna_str_array(big, _force=force, num_threads=4)
+        assert z_f[0] == force
+        assert bsc.decompress_dna_str_array(z_f, num_threads=4) == big
+
+
 # ---------------- qv quality codec ----------------
 
 def test_qv_matrix_roundtrip():
