@@ -529,21 +529,9 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
     # sharded qv codec the leftover cores
     bt = max(1, num_threads // max(min(cp.num_blocks, num_threads), 1))
 
-    trace = os.environ.get("SPRING_TPU_TRACE")
-
-    def _emit(w, half, s, e):
-        _t0 = time.time()
-        idbuf, idlens, chars, rlen, qmat = half
-        idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
-        blob = fastq_native.format_records(
-            chars[s:e], rlen[s:e], qmat[s:e] if qmat is not None else None,
-            idbuf[idoffs[s]:idoffs[e]], idlens[s:e])
-        _t1 = time.time()
-        w.write_bytes(blob)
-        if trace:
-            print(f"[trace] emit: format {_t1 - _t0:.2f}s "
-                  f"write {time.time() - _t1:.2f}s", flush=True)
-
+    # record formatting runs INSIDE the block workers (the ~0.5 s/block
+    # serial format+write tail otherwise adds up after the last decode);
+    # the main thread only appends ready blobs in block order
     try:
         if paired:
             # blocks hold read PAIRS; file j is half j of each block
@@ -553,15 +541,14 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
             if not single_out and fl[0] == fl[1] and fl[0][0] < fl[0][1]:
                 flo, fhi = fl[0]
                 b0, b1 = flo // block, (fhi - 1) // block
-                res = _windowed(pool, ((_decode_block_pe, reader, cp, b,
-                                        seq_codes, per_file, bt)
+                res = _windowed(pool, ((_decode_fmt_pe, reader, cp, b,
+                                        seq_codes, per_file, bt, flo, fhi,
+                                        (0, 1))
                                        for b in range(b0, b1 + 1)),
                                 2 * num_threads)
-                for b, halves in zip(range(b0, b1 + 1), res):
-                    s = max(flo - b * block, 0)
-                    e = min(fhi - b * block, len(halves[0][3]))
+                for blobs in res:
                     for j in (0, 1):
-                        _emit(writers[j], halves[j], s, e)
+                        writers[j].write_bytes(blobs[j])
             else:
                 for j in range(2):
                     flo, fhi = fl[j]
@@ -569,31 +556,52 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
                         continue
                     w = writers[0] if single_out else writers[j]
                     b0, b1 = flo // block, (fhi - 1) // block
-                    res = _windowed(pool, ((_decode_block_pe, reader, cp, b,
-                                            seq_codes, per_file, bt)
+                    res = _windowed(pool, ((_decode_fmt_pe, reader, cp, b,
+                                            seq_codes, per_file, bt, flo,
+                                            fhi, (j,))
                                            for b in range(b0, b1 + 1)),
                                     2 * num_threads)
-                    for b, halves in zip(range(b0, b1 + 1), res):
-                        half = halves[j]
-                        s = max(flo - b * block, 0)
-                        e = min(fhi - b * block, len(half[3]))
-                        _emit(w, half, s, e)
+                    for blobs in res:
+                        w.write_bytes(blobs[0])
         else:
             w = writers[0]
             if lo < hi:
                 b0, b1 = lo // block, (hi - 1) // block
-                res = _windowed(pool, ((_decode_block, reader, cp, b,
-                                        seq_codes, per_file, bt)
+                res = _windowed(pool, ((_decode_fmt, reader, cp, b,
+                                        seq_codes, per_file, bt, lo, hi)
                                        for b in range(b0, b1 + 1)),
                                 2 * num_threads)
-                for b, half in zip(range(b0, b1 + 1), res):
-                    s = max(lo - b * block, 0)
-                    e = min(hi - b * block, len(half[3]))
-                    _emit(w, half, s, e)
+                for blob in res:
+                    w.write_bytes(blob)
     finally:
         pool.shutdown()
         for w in writers:
             w.close()
+
+
+def _fmt_half(half, s: int, e: int) -> bytes:
+    idbuf, idlens, chars, rlen, qmat = half
+    idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
+    return fastq_native.format_records(
+        chars[s:e], rlen[s:e], qmat[s:e] if qmat is not None else None,
+        idbuf[idoffs[s]:idoffs[e]], idlens[s:e])
+
+
+def _decode_fmt(reader, cp, b, seq_codes, per_file, bt, flo, fhi) -> bytes:
+    half = _decode_block(reader, cp, b, seq_codes, per_file, bt)
+    block = cp.num_reads_per_block
+    s = max(flo - b * block, 0)
+    e = min(fhi - b * block, len(half[3]))
+    return _fmt_half(half, s, e)
+
+
+def _decode_fmt_pe(reader, cp, b, seq_codes, per_file, bt, flo, fhi,
+                   which) -> list[bytes]:
+    halves = _decode_block_pe(reader, cp, b, seq_codes, per_file, bt)
+    block = cp.num_reads_per_block
+    s = max(flo - b * block, 0)
+    e = min(fhi - b * block, len(halves[0][3]))
+    return [_fmt_half(halves[j], s, e) for j in which]
 
 
 def _undo_noise_delta(nn: np.ndarray, npos: np.ndarray) -> np.ndarray:
