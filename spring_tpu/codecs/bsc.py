@@ -92,10 +92,13 @@ def compress_dna_str_array(strings: list[bytes], _force: int | None = None,
     """
     from ..io import packing
 
-    raw = compress_str_array(strings, **kw) if _force != 1 else None
     blob = np.frombuffer(b"".join(strings), np.uint8)
     codes = packing.CHAR_TO_CODE[blob]
-    if _force != 0 and len(blob) and int(codes.max()) <= 3:  # pure ACGT
+    packable = _force != 0 and len(blob) and int(codes.max()) <= 3
+    # _force=1 on an unpackable block (e.g. an N) falls back to raw
+    raw = (compress_str_array(strings, **kw)
+           if not (_force == 1 and packable) else None)
+    if packable:  # pure ACGT
         lens = np.fromiter((len(s) for s in strings), dtype=np.uint32,
                            count=len(strings))
         pad = (-len(codes)) % 4

@@ -38,6 +38,22 @@ def compress_long(files: list[str], writer: ArchiveWriter,
     nblocks = [0, 0]
     pool = ThreadPoolExecutor(max_workers=num_threads)
 
+    # adaptive mode race: once 8 consecutive read blocks picked the same
+    # wire mode, later blocks encode only that way (the raw-vs-packed race
+    # doubles the reads-compression CPU; files are homogeneous in practice,
+    # and the per-block mode byte keeps decode oblivious). Appends are
+    # GIL-atomic; a stale read just races one more block.
+    modes_seen: list = []
+
+    def _reads_task(seqs):
+        force = None
+        tail = modes_seen[-8:]
+        if len(tail) == 8 and len(set(tail)) == 1:
+            force = tail[0]
+        z = bsc.compress_dna_str_array(seqs, _force=force, num_threads=1)
+        modes_seen.append(z[0])
+        return z
+
     pending_id2: list = []  # (bidx, future) of file-2 id blocks, held until
     # the pattern verdict is known (if the pattern holds they are dropped)
     # codec work stays in flight across blocks (waiting on each block's
@@ -69,8 +85,7 @@ def compress_long(files: list[str], writer: ArchiveWriter,
                 from . import qvz
                 quals = qvz.quantize_block(quals, cp.qvz_ratio)
             futs = {}
-            futs["read"] = pool.submit(bsc.compress_dna_str_array, blk.seqs,
-                                       num_threads=1)
+            futs["read"] = pool.submit(_reads_task, blk.seqs)
             if cp.preserve_quality and quals:
                 futs["quality"] = pool.submit(qv.compress_str_array, quals,
                                               num_threads=1)
