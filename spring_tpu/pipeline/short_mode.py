@@ -212,7 +212,10 @@ def compress_short(files: list[str], writer: ArchiveWriter,
 
     # leave one core for the main thread + TPU tunnel client: with every
     # core in the codec pool, device dispatches crawl (the 10M dict build
-    # measured 58-85 s under codec load vs ~1 s on an idle host)
+    # measured 58-85 s under codec load vs ~1 s on an idle host).
+    # Deprioritizing the workers with nice +10 instead was measured WORSE
+    # (159.7 s vs 110.9 s at 10M): the axon tunnel helper process runs at
+    # nice 0 and then out-competes the codec pool whenever it is busy.
     pool = ThreadPoolExecutor(max_workers=max(1, num_threads - 1))
     futs = []
 
