@@ -46,7 +46,12 @@ def decompress(data: bytes, num_threads: int = 0) -> bytes:
     raw = lib.stpu_xbc_decompressed_size(srcp, n)
     if raw < 0:
         raise RuntimeError("corrupt xbc stream")
-    dst = ctypes.create_string_buffer(max(int(raw), 1))
+    try:
+        dst = ctypes.create_string_buffer(max(int(raw), 1))
+    except MemoryError:
+        # the claimed decompressed size comes from the (untrusted) stream
+        # header — an unallocatable claim is a corrupt stream, not an OOM
+        raise RuntimeError("corrupt xbc stream (implausible size)")
     got = lib.stpu_xbc_decompress(srcp, n,
                                   ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)),
                                   raw, _threads(num_threads))
@@ -124,12 +129,22 @@ def decompress_dna_str_array(data: bytes, **kw) -> list[bytes]:
         return decompress_str_array(body, **kw)
     if mode != b"\x01":
         raise RuntimeError("corrupt dna str-array stream")
+    if len(body) < 16:
+        raise RuntimeError("corrupt dna str-array stream")
     total = int(np.frombuffer(body[:8], np.uint64)[0])
     lz = int(np.frombuffer(body[8:16], np.uint64)[0])
+    if lz > len(body) - 16:
+        raise RuntimeError("corrupt dna str-array stream")
     raw_lens = decompress(body[16:16 + lz], **kw)
     count = int(np.frombuffer(raw_lens[:8], np.uint64)[0])
+    if 8 + 4 * count > len(raw_lens):
+        raise RuntimeError("corrupt dna str-array stream")
     lens = np.frombuffer(raw_lens[8:8 + 4 * count], np.uint32)
     packed = np.frombuffer(decompress(body[16 + lz:], **kw), np.uint8)
+    # framing consistency bounds the decode to the payload actually shipped
+    if not (len(packed) * 4 - 3 <= total <= len(packed) * 4) \
+            or int(lens.sum()) != total:
+        raise RuntimeError("corrupt dna str-array stream")
     idx = np.arange(total)
     codes = (packed[idx >> 2] >> ((idx & 3) << 1)) & 3
     chars = packing.CODE_TO_CHAR[codes].tobytes()

@@ -81,7 +81,8 @@ def test_dna_str_array_modes():
     # 2-bit packed ACGT; both must round-trip, N forces the raw mode
     from spring_tpu.codecs import bsc
     rng = np.random.default_rng(3)
-    seqs = [bytes(rng.choice(list(b"ACGT"), rng.integers(50, 200)))
+    seqs = [rng.choice(list(b"ACGT"),
+                       rng.integers(50, 200)).astype(np.uint8).tobytes()
             for _ in range(2000)]
     z = bsc.compress_dna_str_array(seqs, num_threads=2)
     assert bsc.decompress_dna_str_array(z, num_threads=2) == seqs
@@ -105,6 +106,28 @@ def test_dna_str_array_modes():
         z_f = bsc.compress_dna_str_array(big, _force=force, num_threads=4)
         assert z_f[0] == force
         assert bsc.decompress_dna_str_array(z_f, num_threads=4) == big
+
+
+def test_dna_str_array_corrupt_raises():
+    import pytest
+    from spring_tpu.codecs import bsc
+    rng = np.random.default_rng(9)
+    seqs = [rng.choice(list(b"ACGT"), 100).astype(np.uint8).tobytes()
+            for _ in range(200)]
+    z = bytearray(bsc.compress_dna_str_array(seqs, _force=1))
+    assert z[0] == 1
+    with pytest.raises(RuntimeError):
+        bsc.decompress_dna_str_array(b"\x02" + bytes(z[1:]))  # bad mode
+    with pytest.raises(RuntimeError):
+        bsc.decompress_dna_str_array(bytes(z[:12]))           # truncated
+    bad = z.copy()
+    bad[1] ^= 0xFF  # total mismatches the shipped payload
+    with pytest.raises(RuntimeError):
+        bsc.decompress_dna_str_array(bytes(bad))
+    bad = z.copy()
+    bad[9] = 0xFF  # lens_z length runs past the body
+    with pytest.raises(RuntimeError):
+        bsc.decompress_dna_str_array(bytes(bad))
 
 
 # ---------------- qv quality codec ----------------
