@@ -61,6 +61,20 @@ try:
 except RuntimeError:
     pass
 
+# qv constant-prefix wire mode (memcpy fan-out path) + corrupt decode
+cmat = np.tile((np.arange(100) % 5 + 40).astype(np.uint8), (sc(20000), 1))
+clens = np.linspace(10, 100, sc(20000)).astype(np.int32)
+cmat[np.arange(100)[None, :] >= clens[:, None]] = 0
+zc = qv.compress_rows(cmat, clens, fine_pos=True)
+mc, lc = qv.decompress_rows(zc, max_len=100)
+assert (mc == cmat).all() and (lc == clens).all()
+badc = bytearray(zc)
+badc[-3] ^= 0x5A
+try:
+    qv.decompress_rows(bytes(badc))
+except RuntimeError:
+    pass
+
 # fastq parse + pack (OpenMP)
 recs = []
 for i in range(sc(20000)):
