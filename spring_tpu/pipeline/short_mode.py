@@ -251,15 +251,28 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 futs.append((f"id.{b}", pool.submit(_id_task, idsel)))
 
     # in order-preserving mode the output order is known before the reorder
-    # runs — quality/id codec work overlaps the device-side engine
+    # runs — quality/id codec work overlaps the device-side engine. It is
+    # submitted from the engine's first progress callback (after the dict
+    # build): codec workers contending with the tunnel client during init
+    # cost 15+ s at 10M reads (dict build 17.5 s under load vs ~2 s after
+    # the deferral), while the rounds that follow leave host cores idle.
     quality_ids_submitted = False
-    if cp.preserve_order and n:
+
+    def _submit_quality_ids():
+        # order-preserving mode only; in -r mode the flag stays False and
+        # the post-reorder paths submit with the final output order
+        nonlocal quality_ids_submitted
+        if quality_ids_submitted or not (cp.preserve_order and n):
+            return
+        quality_ids_submitted = True
         if paired:
             cp.num_blocks = -(-per_file // block) if per_file else 0
             _submit_quality_ids_pe(np.arange(per_file, dtype=np.int64))
         else:
             _submit_quality_ids_se(np.arange(n, dtype=np.int64))
-        quality_ids_submitted = True
+
+    def _progress(_claimed, _total):
+        _submit_quality_ids()
 
     mark("quantize+idcheck")
     has_n = overlay.has_n_mask(n)
@@ -295,7 +308,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             engine = eng.ReorderEngine(packed_buf, lengths, cfg,
                                        select=clean_rids)
         mark("dict_build")
-        emissions = engine.run()
+        emissions = engine.run(progress=_progress)
+        _submit_quality_ids()   # zero-flush runs never fire the callback
         mark("reorder_run")
         # contigs below MIN_CONTIG_READS don't pay for a consensus copy:
         # their reads join the leftover pool and re-place against the
@@ -340,6 +354,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             noise_off[g] = np.concatenate(
                 [[0], np.cumsum(nn.astype(np.int64))[:-1]])
             lay_rank[g] = np.arange(len(g))
+
+    _submit_quality_ids()   # engine may not have run (no clean reads,
+    # maxlen < 32) — make sure order-preserving codec work is in flight
 
     # second chance: align N-reads and singleton-contig reads against the
     # consensus (reference src/encoder.h:242-351)
