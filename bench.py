@@ -93,10 +93,11 @@ def main() -> None:
     t0 = time.time()
     api.compress([fq], arc, opts)
     log(f"warm-up compress (incl. compile): {time.time() - t0:.2f}s")
-    # best of three timed passes: this VM's lazily-restored memory and the
-    # TPU tunnel swing stage times up to 30% between identical runs
+    # best of four timed passes: this VM's lazily-restored memory and the
+    # TPU tunnel swing stage times 30-90% between identical runs (measured
+    # 102k-218k reads/s across runs of identical code in one afternoon)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         api.compress([fq], arc, opts)
         dt = min(dt, time.time() - t0)
