@@ -388,6 +388,17 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             lay_rank[g2] = int((lay_rank >= 0).sum()) + np.arange(len(g2))
         mark("second_chance")
 
+    if trace:
+        # reorder quality metrics (reference comparison point: 199,725 of
+        # 3,258,816 clean reads unmatched on SRR554369 ~= 6.1%,
+        # logs/8_29_18/SRR554369.log:563)
+        unmatched = int((flag == 0).sum())
+        print(f"[trace] reorder quality: aligned={n - unmatched} "
+              f"unmatched={unmatched} ({100 * unmatched / max(n, 1):.2f}%) "
+              f"consensus={len(seq_codes)} bases "
+              f"({len(seq_codes) / max(n * max(maxlen, 1), 1):.3f}x of "
+              f"read bases)", flush=True)
+
     # seq stream: u64 length + 2-bit packed consensus
     futs.append(("seq.0", pool.submit(
         bsc.compress,
