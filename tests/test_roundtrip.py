@@ -149,6 +149,45 @@ def test_corrupt_archive_errors(fq1, tmp_path):
                        [str(tmp_path / "out.fastq")], verbose=False)
 
 
+def test_corrupt_archive_fuzz(fq1, tmp_path):
+    """Random single-byte corruptions anywhere in the archive must yield a
+    clean Python exception or a correct round-trip (a flip in tar padding
+    or an unread member is benign) — never a crash or wrong output that
+    goes undetected by the stream checksums/validators."""
+    import numpy as np
+    arc = tmp_path / "a.spring"
+    api.compress([fq1], str(arc),
+                 api.CompressOptions(long_mode=True, verbose=False))
+    _fuzz_archive(fq1, arc, tmp_path, flips=40)
+    api.compress([fq1], str(arc), api.CompressOptions(verbose=False))
+    _fuzz_archive(fq1, arc, tmp_path, flips=25)   # short-mode streams
+
+
+def _fuzz_archive(fq1, arc, tmp_path, flips):
+    import numpy as np
+    good = open(fq1, "rb").read()
+    data = bytearray(arc.read_bytes())
+    rng = np.random.default_rng(11)
+    bad_path = tmp_path / "bad.spring"
+    out = tmp_path / "out.fastq"
+    outcomes = {"error": 0, "intact": 0}
+    for _ in range(flips):
+        mut = bytearray(data)
+        pos = int(rng.integers(0, len(mut)))
+        mut[pos] ^= int(rng.integers(1, 256))
+        bad_path.write_bytes(bytes(mut))
+        try:
+            api.decompress(str(bad_path), [str(out)], verbose=False)
+        except Exception:
+            outcomes["error"] += 1
+            continue
+        # decode "succeeded": the flip must have been benign
+        assert out.read_bytes() == good, f"undetected corruption at {pos}"
+        outcomes["intact"] += 1
+    # sanity: the fuzz actually hit live bytes sometimes
+    assert outcomes["error"] > 0
+
+
 def test_archive_reader_thread_safety(tmp_path):
     """tarfile's shared-handle reads are racy; ArchiveReader must serve
     concurrent get() calls with correct bytes (os.pread)."""
