@@ -72,6 +72,73 @@ def _lloyd_max(hist: np.ndarray, k: int) -> np.ndarray:
     return cent[level].astype(np.int64)
 
 
+def _column_curve(hist: np.ndarray) -> tuple[np.ndarray, np.ndarray, list]:
+    """Candidate (rate, mse) points for one column's unconditional histogram.
+
+    Returns (rates, mses, maps) for level counts k = 1.. ascending; rates in
+    bits/symbol (entropy of the merged distribution), mses per symbol.
+    """
+    total = hist.sum()
+    sym = np.arange(NSYM, dtype=np.float64)
+    h_full = float(_entropy(hist / max(total, 1)))
+    rates, mses, maps = [], [], []
+    for k in range(1, NSYM + 1):
+        m = _lloyd_max(hist, k)
+        pq = np.bincount(m, weights=hist.astype(np.float64), minlength=NSYM)
+        r = float(_entropy(pq / max(total, 1)))
+        d = float(np.sum(hist * (m - sym) ** 2) / max(total, 1))
+        rates.append(r)
+        mses.append(d)
+        maps.append(m)
+        if r >= h_full - 1e-9 or d <= 1e-12:
+            break
+    return np.asarray(rates), np.asarray(mses), maps
+
+
+def _allocate_targets(hists: np.ndarray, weights: np.ndarray,
+                      budget_per_sym: float) -> np.ndarray:
+    """Per-column rate targets by global Lagrangian allocation.
+
+    The reference applies ONE entropy target to every (column, context)
+    quantizer (MODE_FIXED, src/qvz/src/codebook.cpp:470-527), which wastes
+    budget on low-variance columns and starves high-variance ones. Here the
+    total budget ``budget_per_sym * sum(weights)`` is spread across columns
+    by bisecting a multiplier lam so that per column k* = argmin(mse + lam *
+    rate); rate(lam) is monotone, so ~45 bisection steps pin the budget.
+    Returns the chosen unconditional rate per column, used downstream as
+    that column's conditional entropy ceiling.
+    """
+    L = hists.shape[0]
+    curves = [_column_curve(hists[c]) for c in range(L)]
+    total_w = float(weights.sum())
+    if total_w <= 0:
+        return np.zeros(L)
+    budget = budget_per_sym * total_w
+    full = float(sum(w * r[-1] for (r, _, _), w in zip(curves, weights)))
+    if full <= budget:
+        return np.array([r[-1] for r, _, _ in curves])
+
+    def spend(lam: float) -> tuple[float, np.ndarray]:
+        t = np.empty(L)
+        s = 0.0
+        for c, (r, d, _) in enumerate(curves):
+            k = int(np.argmin(d + lam * r))
+            t[c] = r[k]
+            s += weights[c] * r[k]
+        return s, t
+
+    lo, hi = 0.0, 1.0
+    while spend(hi)[0] > budget and hi < 1e9:
+        hi *= 4.0
+    for _ in range(45):
+        mid = (lo + hi) / 2.0
+        if spend(mid)[0] > budget:
+            lo = mid
+        else:
+            hi = mid
+    return spend(hi)[1]
+
+
 def quantize_block(quals: list[bytes], ratio: float) -> list[bytes]:
     """Quantize quality strings in place (returns new list).
 
@@ -109,15 +176,21 @@ def quantize_matrix(mat: np.ndarray, lengths: np.ndarray,
     pool = n < NCTX * 64
     max_ctx = 16
 
-    # reference MODE_FIXED semantics (src/util.cpp:151-164 -> MODE_FIXED in
-    # src/qvz/src/codebook.cpp:470-527): the target is an ABSOLUTE entropy
-    # of `ratio` bits per symbol per (column, context); two bracketing
-    # quantizers are mixed (the reference's hi/lo dither) to hit it exactly
-    target = float(ratio)
+    # rate semantics: `ratio` is an ABSOLUTE bits/symbol budget like the
+    # reference's MODE_FIXED (src/util.cpp:151-164), but spent globally:
+    # per-column targets come from a Lagrangian allocation over the
+    # unconditional column histograms instead of one flat per-column
+    # target (which left the RD curve with a cliff between the flat
+    # target and full collapse — AB_REPORT round-2 ratio-0.9 row)
+    weights = valid.sum(axis=0).astype(np.float64)
+    uncond = np.stack([
+        np.bincount(sym[valid[:, c], c], minlength=NSYM) for c in range(L)])
+    targets = _allocate_targets(uncond, weights, float(ratio))
     out = np.zeros_like(sym)
     ctx = np.zeros(n, np.int32)
     nctx = 1
     for col in range(L):
+        target = float(targets[col])
         v = valid[:, col]
         idx = ctx * NSYM + sym[:, col]
         hist = np.bincount(idx[v], minlength=nctx * NSYM).reshape(nctx, NSYM)
