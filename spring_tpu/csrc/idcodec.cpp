@@ -175,12 +175,209 @@ void decode_literal(RangeDecoder& rc, Models& m, int ti, bool is_digit,
   }
 }
 
+// ---- template wire mode ----
+// Typical id blocks are a single affine pattern ("@SRR.{i} {i} len=100").
+// The adaptive coder's per-symbol determinism floor (~0.045 bits/sym)
+// still costs ~5.6 KB per 1e6 such ids where the reference's count-based
+// arithmetic models pay ~0.7 KB (src/id_compression token models,
+// src/id_compression/include/sam_block.h:81-89). When every id in the
+// block renders exactly from (literal tokens + digit tokens affine in
+// the record index), ship the template itself: a few dozen bytes total.
+// Wire: u32 0xFFFFFFFF sentinel (impossible id count — callers pass at
+// most one file's ids per call), u32 count, u16 ntok, per token either
+// literal bytes or (start, step, min-width).
+
+constexpr uint32_t kTplMagic = 0xFFFFFFFFu;
+
+struct TplTok {
+  uint8_t kind;  // 0 literal, 1 affine digit run
+  std::string lit;
+  uint64_t start;
+  int64_t step;
+  uint8_t pad;  // minimum rendered width (zero padding); 0 = natural
+};
+
+// render v zero-padded to at least `pad` digits; returns length
+inline int render_val(uint64_t v, int pad, char* buf) {
+  char tmp[24];
+  int bl = 0;
+  do {
+    tmp[bl++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  int width = bl > pad ? bl : pad;
+  int k = 0;
+  for (int z = bl; z < width; ++z) buf[k++] = '0';
+  for (int z = bl - 1; z >= 0; --z) buf[k++] = tmp[z];
+  return k;
+}
+
+bool detect_template(const uint8_t* ids, const uint32_t* lens, uint32_t count,
+                     std::vector<TplTok>& tpl) {
+  if (count < 8) return false;
+  std::vector<Token> t0, t1;
+  tokenize(ids, lens[0], t0);
+  tokenize(ids + lens[0], lens[1], t1);
+  if (t0.size() != t1.size() || t0.empty() || t0.size() > 255) return false;
+  tpl.clear();
+  for (size_t i = 0; i < t0.size(); ++i) {
+    const Token &a = t0[i], &b = t1[i];
+    if (a.len == b.len && std::memcmp(a.p, b.p, a.len) == 0) {
+      tpl.push_back({0, std::string((const char*)a.p, a.len), 0, 0, 0});
+      continue;
+    }
+    if (!a.is_digit || !b.is_digit || !a.has_value || !b.has_value)
+      return false;
+    int64_t step = (int64_t)b.value - (int64_t)a.value;
+    // keep step * r safely inside int64 for any u32 record index
+    if (step > (int64_t)1 << 20 || step < -((int64_t)1 << 20)) return false;
+    uint8_t pad = (a.len == b.len && a.len > 1 && a.p[0] == '0')
+                      ? (uint8_t)a.len
+                      : 0;
+    tpl.push_back({1, std::string(), a.value, step, pad});
+  }
+  // exact verification: every id must render byte-identically
+  char buf[32];
+  const uint8_t* p = ids;
+  for (uint32_t r = 0; r < count; ++r) {
+    const uint8_t* q = p;
+    uint32_t rem = lens[r];
+    for (const TplTok& t : tpl) {
+      if (t.kind == 0) {
+        if (rem < t.lit.size() ||
+            std::memcmp(q, t.lit.data(), t.lit.size()) != 0)
+          return false;
+        q += t.lit.size();
+        rem -= (uint32_t)t.lit.size();
+      } else {
+        int64_t v = (int64_t)t.start + t.step * (int64_t)r;
+        if (v < 0) return false;
+        int l = render_val((uint64_t)v, t.pad, buf);
+        if (rem < (uint32_t)l || std::memcmp(q, buf, (size_t)l) != 0)
+          return false;
+        q += l;
+        rem -= (uint32_t)l;
+      }
+    }
+    if (rem != 0) return false;
+    p += lens[r];
+  }
+  return true;
+}
+
+inline void put_u32(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back((uint8_t)v);
+  out.push_back((uint8_t)(v >> 8));
+  out.push_back((uint8_t)(v >> 16));
+  out.push_back((uint8_t)(v >> 24));
+}
+
+inline void put_u64(std::vector<uint8_t>& out, uint64_t v) {
+  put_u32(out, (uint32_t)v);
+  put_u32(out, (uint32_t)(v >> 32));
+}
+
+void encode_template(const std::vector<TplTok>& tpl, uint32_t count,
+                     std::vector<uint8_t>& out) {
+  put_u32(out, kTplMagic);
+  put_u32(out, count);
+  out.push_back((uint8_t)tpl.size());
+  for (const TplTok& t : tpl) {
+    out.push_back(t.kind);
+    if (t.kind == 0) {
+      put_u32(out, (uint32_t)t.lit.size());
+      out.insert(out.end(), t.lit.begin(), t.lit.end());
+    } else {
+      put_u64(out, t.start);
+      put_u64(out, (uint64_t)t.step);
+      out.push_back(t.pad);
+    }
+  }
+}
+
+int64_t decode_template(const uint8_t* src, int64_t src_len,
+                        std::vector<uint8_t>& out, std::vector<uint32_t>& lens) {
+  int64_t pos = 4;  // past magic
+  auto get_u32 = [&](uint32_t* v) -> bool {
+    if (pos + 4 > src_len) return false;
+    *v = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8) |
+         ((uint32_t)src[pos + 2] << 16) | ((uint32_t)src[pos + 3] << 24);
+    pos += 4;
+    return true;
+  };
+  auto get_u64 = [&](uint64_t* v) -> bool {
+    uint32_t lo, hi;
+    if (!get_u32(&lo) || !get_u32(&hi)) return false;
+    *v = (uint64_t)lo | ((uint64_t)hi << 32);
+    return true;
+  };
+  uint32_t count;
+  if (!get_u32(&count) || pos >= src_len) return -1;
+  uint32_t ntok = src[pos++];
+  std::vector<TplTok> tpl;
+  uint64_t max_len = 0;
+  for (uint32_t i = 0; i < ntok; ++i) {
+    if (pos >= src_len) return -1;
+    TplTok t;
+    t.kind = src[pos++];
+    if (t.kind == 0) {
+      uint32_t l;
+      if (!get_u32(&l) || pos + (int64_t)l > src_len || l > (1u << 20))
+        return -1;
+      t.lit.assign((const char*)src + pos, l);
+      pos += l;
+      max_len += l;
+    } else if (t.kind == 1) {
+      uint64_t st;
+      if (!get_u64(&t.start) || !get_u64(&st) || pos >= src_len) return -1;
+      t.step = (int64_t)st;
+      if (t.step > (int64_t)1 << 20 || t.step < -((int64_t)1 << 20) ||
+          t.start > (uint64_t)1 << 62)
+        return -1;
+      t.pad = src[pos++];
+      max_len += 24;
+    } else {
+      return -1;
+    }
+    tpl.push_back(std::move(t));
+  }
+  // size-claim guard: a hostile wire cannot make us allocate unbounded
+  if ((uint64_t)count * (max_len ? max_len : 1) > (1ull << 33)) return -1;
+  out.clear();
+  lens.clear();
+  out.reserve((size_t)count * (size_t)max_len / 2);
+  lens.reserve(count);
+  char buf[32];
+  for (uint32_t r = 0; r < count; ++r) {
+    size_t before = out.size();
+    for (const TplTok& t : tpl) {
+      if (t.kind == 0) {
+        out.insert(out.end(), t.lit.begin(), t.lit.end());
+      } else {
+        int64_t v = (int64_t)t.start + t.step * (int64_t)r;
+        if (v < 0) return -1;
+        int l = render_val((uint64_t)v, t.pad, buf);
+        out.insert(out.end(), buf, buf + l);
+      }
+    }
+    lens.push_back((uint32_t)(out.size() - before));
+  }
+  return (int64_t)out.size();
+}
+
 }  // namespace
 
 // ids: concatenated bytes; lens: per-id lengths; count ids.
 int64_t id_compress_block(const uint8_t* ids, const uint32_t* lens, uint32_t count,
                           std::vector<uint8_t>& out) {
   out.clear();
+  {
+    std::vector<TplTok> tpl;
+    if (detect_template(ids, lens, count, tpl)) {
+      encode_template(tpl, count, out);
+      return (int64_t)out.size();
+    }
+  }
   out.push_back((uint8_t)count);
   out.push_back((uint8_t)(count >> 8));
   out.push_back((uint8_t)(count >> 16));
@@ -227,6 +424,7 @@ int64_t id_decompress_block(const uint8_t* src, int64_t src_len,
   if (src_len < 4) return -1;
   uint32_t count = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
                    ((uint32_t)src[2] << 16) | ((uint32_t)src[3] << 24);
+  if (count == kTplMagic) return decode_template(src, src_len, out, lens);
   Models m;
   RangeDecoder rc(src + 4, (size_t)(src_len - 4));
   out.clear();

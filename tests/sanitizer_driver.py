@@ -41,8 +41,12 @@ for flip in (20, len(z) // 2, len(z) - 3):
 
 # id codec round-trip
 ids = [f"SRR554369.{i} {i}/1".encode() for i in range(1, sc(20000) + 1)]
-zi = idcodec.compress_ids(ids)
+zi = idcodec.compress_ids(ids)  # affine -> template wire
 assert idcodec.decompress_ids(zi, len(ids)) == ids
+ids_p = list(reversed(ids))  # non-affine -> adaptive fallback
+ids_p[0] = b"@WEIRD 007"
+zp = idcodec.compress_ids(ids_p)
+assert idcodec.decompress_ids(zp, len(ids_p)) == ids_p
 try:
     idcodec.decompress_ids(zi[: len(zi) // 2], len(ids))
 except RuntimeError:

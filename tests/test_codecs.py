@@ -76,6 +76,28 @@ def test_idcodec_leading_zero_deltas():
     assert idcodec.decompress_ids(z, len(ids)) == ids
 
 
+def test_idcodec_template_wire():
+    # a fully affine block collapses to the template wire: O(1) bytes
+    # (the reference's token models pay ~0.7 KB per 1M such ids)
+    ids = [f"@SYN.{i + 1} {i + 1} length=100".encode() for i in range(20000)]
+    z = idcodec.compress_ids(ids)
+    assert len(z) < 128
+    assert idcodec.decompress_ids(z, len(ids)) == ids
+    # one deviating id anywhere must force the fallback coder, losslessly
+    ids[13579] = b"@WEIRD"
+    z2 = idcodec.compress_ids(ids)
+    assert idcodec.decompress_ids(z2, len(ids)) == ids
+    # truncated / corrupted template wires must raise, not crash
+    import pytest
+    for cut in (5, 9, 12, len(z) - 1):
+        with pytest.raises(RuntimeError):
+            idcodec.decompress_ids(z[:cut], len(ids))
+    bad = bytearray(z)
+    bad[8] = 0xFF  # token count claim
+    with pytest.raises(RuntimeError):
+        idcodec.decompress_ids(bytes(bad), len(ids))
+
+
 def test_dna_str_array_modes():
     # long-mode read wire: per-block min of the raw str-array encoding and
     # 2-bit packed ACGT; both must round-trip, N forces the raw mode
