@@ -203,6 +203,35 @@ def test_qvz_reduces_entropy_with_enough_data():
     assert all(len(a) == len(b) for a, b in zip(quals, out))
 
 
+def test_qvz_rd_curve_is_smooth_and_monotone():
+    # the global rate allocation must give a graceful RD curve: MSE
+    # monotone non-increasing in ratio, and mid ratios must land strictly
+    # BETWEEN pass-through and full collapse (no cliff — round-2 AB_REPORT
+    # showed nominal 0.7 jumping straight to the constant floor)
+    from spring_tpu.pipeline import qvz
+    rng = np.random.default_rng(5)
+    n, L = 4000, 50
+    qlevels = np.frombuffer(b"#,7<BFIJ", dtype=np.uint8)
+    qidx = np.clip(rng.normal(6.0 - np.arange(L) / 20.0, 1.2,
+                              size=(n, L)).astype(np.int32), 0, 7)
+    mat = qlevels[qidx]
+    lens = np.full(n, L, np.int64)
+    q0 = mat.astype(np.float64)
+    mses = []
+    for ratio in (1.2, 0.9, 0.7, 0.5, 0.3):
+        qq = qvz.quantize_matrix(mat.copy(), lens, ratio)
+        mses.append(float(((qq.astype(np.float64) - q0) ** 2).mean()))
+    assert all(a <= b + 1e-9 for a, b in zip(mses, mses[1:])), mses
+    # collapse-to-constant MSE for this data
+    col = np.zeros_like(mat)
+    for c in range(L):
+        vals = np.bincount(mat[:, c], minlength=256)
+        col[:, c] = np.argmax(vals)
+    mse_const = float(((col.astype(np.float64) - q0) ** 2).mean())
+    for r, m in zip((0.9, 0.7, 0.5), mses[1:4]):
+        assert 0.05 < m < mse_const * 0.98, (r, m, mse_const)
+
+
 def test_synthetic_reads_with_errors_and_n(tmp_path):
     # reads carry substitution errors, reverse-complemented strands and N
     # bases — exercises noise streams, rel-coded noise chars and the

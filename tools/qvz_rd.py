@@ -92,12 +92,33 @@ def main():
         print(f"ratio {ratio}: ref {rate_ref} B mse {mse_ref:.3f} | "
               f"ours {rate_our} B mse {mse_our:.3f}", flush=True)
 
+    # ours-only intermediate points: the global rate allocation makes the
+    # curve smooth between the reference's mid-rate and collapsed regimes
+    extra = []
+    from spring_tpu.pipeline import qvz as qvz_mod
+    from spring_tpu.codecs import qv
+    for ratio in (0.8, 0.6, 0.4, 0.1):
+        qmat = (q0 + 33).astype(np.uint8)
+        lens = np.full(args.reads, qmat.shape[1], np.int32)
+        qq = qvz_mod.quantize_matrix(qmat, lens, ratio)
+        rate = 0
+        for s in range(0, args.reads, 256_000):
+            rate += len(qv.compress_rows(qq[s:s + 256_000],
+                                         lens[s:s + 256_000], fine_pos=True))
+        mse = float(((qq.astype(np.float64) - 33 - q0) ** 2).mean())
+        extra.append((ratio, rate, mse))
+        print(f"ours-only ratio {ratio}: {rate} B mse {mse:.3f}", flush=True)
+
     lines = ["", "## QVZ rate-distortion (tools/qvz_rd.py, "
              f"{args.reads} reads x 100 bp)", "",
              "| qvz ratio | ref quality B | ref MSE | ours quality B | "
              "ours MSE |", "|---|---|---|---|---|"]
     for r, rr, mr, ro, mo in rows:
         lines.append(f"| {r} | {rr} | {mr:.3f} | {ro} | {mo:.3f} |")
+    lines += ["", "Ours-only intermediate ratios (rate-allocated curve):", "",
+              "| qvz ratio | ours quality B | ours MSE |", "|---|---|---|"]
+    for r, ro, mo in extra:
+        lines.append(f"| {r} | {ro} | {mo:.3f} |")
     with open(os.path.join(REPO, "AB_REPORT.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended RD table to AB_REPORT.md")
