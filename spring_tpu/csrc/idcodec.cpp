@@ -24,7 +24,18 @@ namespace {
 
 constexpr int kMaxTokCtx = 16;
 
-enum TokType { T_END = 0, T_MATCH = 1, T_DELTA = 2, T_LIT_DIGIT = 3, T_LIT_OTHER = 4 };
+// T_DUP: byte-copy of an EARLIER digit token of the SAME id — SRA-style
+// ids repeat the read number ("@SRR.{p} {p} length=..."), and coding the
+// second occurrence against the previous id (as the reference's samcomp
+// models do) pays the full literal cost per id in reordered mode.
+enum TokType {
+  T_END = 0,
+  T_MATCH = 1,
+  T_DELTA = 2,
+  T_LIT_DIGIT = 3,
+  T_LIT_OTHER = 4,
+  T_DUP = 5
+};
 
 struct Token {
   bool is_digit;
@@ -101,13 +112,16 @@ struct Models {
   std::vector<uint16_t> dig_p;    // 4-bit tree per digit position (literal digits)
   std::vector<uint16_t> dlt_p;    // 17-bit... too big; use gamma coding probs
   std::vector<uint16_t> dlt_unary, dlt_bits;
+  std::vector<uint16_t> dup_unary, dup_bits;
   Models()
       : type_p((size_t)kMaxTokCtx * 8, kProbInitHi),
         len_p((size_t)kMaxTokCtx * 512, kProbInitHi),
         chr_p((size_t)kMaxTokCtx * 512, kProbInitHi),
         dig_p((size_t)kMaxTokCtx * 32, kProbInitHi),
         dlt_unary((size_t)kMaxTokCtx * 20, kProbInitHi),
-        dlt_bits((size_t)kMaxTokCtx * 20, kProbInitHi) {}
+        dlt_bits((size_t)kMaxTokCtx * 20, kProbInitHi),
+        dup_unary((size_t)kMaxTokCtx * 8, kProbInitHi),
+        dup_bits((size_t)kMaxTokCtx * 8, kProbInitHi) {}
 };
 
 inline int bit_len(uint64_t v) {
@@ -396,9 +410,28 @@ int64_t id_compress_block(const uint8_t* ids, const uint32_t* lens, uint32_t cou
       const Token& t = cur[i];
       bool cmp = i < prev.size() && prev[i].is_digit == t.is_digit;
       uint64_t delta = 0;
+      // intra-id duplicate: index among the current id's earlier digit
+      // tokens, or -1 (chosen identically by the decoder)
+      int dup_idx = -1;
+      if (t.is_digit) {
+        int di = 0;
+        for (size_t j = 0; j < i; ++j) {
+          if (!cur[j].is_digit) continue;
+          if (cur[j].len == t.len &&
+              std::memcmp(cur[j].p, t.p, t.len) == 0) {
+            dup_idx = di;
+            break;
+          }
+          ++di;
+        }
+      }
       if (cmp && prev[i].len == t.len &&
           std::memcmp(prev[i].p, t.p, t.len) == 0) {
         tree_encode(rc, tp, 3, T_MATCH);
+      } else if (dup_idx >= 0) {
+        tree_encode(rc, tp, 3, T_DUP);
+        gamma_encode(rc, &m.dup_unary[(size_t)ti * 8],
+                     &m.dup_bits[(size_t)ti * 8], 8, (uint64_t)dup_idx);
       } else if (cmp && t.is_digit && delta_representable(prev[i], t, &delta)) {
         tree_encode(rc, tp, 3, T_DELTA);
         gamma_encode(rc, &m.dlt_unary[(size_t)ti * 20],
@@ -431,16 +464,29 @@ int64_t id_decompress_block(const uint8_t* src, int64_t src_len,
   lens.clear();
   std::string prev_str, cur_str;
   std::vector<Token> prev;
+  std::vector<std::pair<size_t, uint32_t>> digit_toks;  // (offset, len)
   for (uint32_t r = 0; r < count; ++r) {
     cur_str.clear();
+    digit_toks.clear();
     size_t i = 0;
     for (;; ++i) {
       int ti = (int)(i < kMaxTokCtx ? i : kMaxTokCtx - 1);
       uint32_t tt = tree_decode(rc, &m.type_p[(size_t)ti * 8], 3);
       if (tt == T_END) break;
+      size_t tok_off = cur_str.size();
+      bool tok_digit = false;
       if (tt == T_MATCH) {
         if (i >= prev.size()) return -1;
         cur_str.append((const char*)prev[i].p, prev[i].len);
+        tok_digit = prev[i].is_digit;
+      } else if (tt == T_DUP) {
+        uint64_t idx = gamma_decode(rc, &m.dup_unary[(size_t)ti * 8],
+                                    &m.dup_bits[(size_t)ti * 8], 8);
+        if (idx >= digit_toks.size()) return -1;
+        auto [off, dl] = digit_toks[(size_t)idx];
+        std::string dup = cur_str.substr(off, dl);  // self-append-safe
+        cur_str += dup;
+        tok_digit = true;
       } else if (tt == T_DELTA) {
         if (i >= prev.size() || !prev[i].has_value) return -1;
         uint64_t delta = gamma_decode(rc, &m.dlt_unary[(size_t)ti * 20],
@@ -457,11 +503,16 @@ int64_t id_decompress_block(const uint8_t* src, int64_t src_len,
         int width = bl > (int)prev[i].len ? bl : (int)prev[i].len;
         for (int z = bl; z < width; ++z) cur_str.push_back('0');
         for (int z = bl - 1; z >= 0; --z) cur_str.push_back(buf[z]);
+        tok_digit = true;
       } else if (tt == T_LIT_DIGIT || tt == T_LIT_OTHER) {
         decode_literal(rc, m, ti, tt == T_LIT_DIGIT, cur_str);
+        tok_digit = tt == T_LIT_DIGIT;
       } else {
         return -1;
       }
+      if (tok_digit)
+        digit_toks.emplace_back(tok_off,
+                                (uint32_t)(cur_str.size() - tok_off));
     }
     lens.push_back((uint32_t)cur_str.size());
     out.insert(out.end(), cur_str.begin(), cur_str.end());
