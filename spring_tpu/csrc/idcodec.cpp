@@ -88,36 +88,121 @@ bool delta_representable(const Token& prev, const Token& cur, uint64_t* delta) {
 // near-deterministic streams (fixed prefix + incrementing counters), so
 // they use the high-precision probabilities: the 12-bit adaptation floor
 // alone cost 0.30 bits/id on sequential ids (see rangecoder.h)
+template <int SH = kAdaptShift>
 inline void tree_encode(RangeEncoder& rc, uint16_t* probs, int nbits, uint32_t sym) {
   uint32_t node = 1;
   for (int i = nbits - 1; i >= 0; --i) {
     int bit = (sym >> i) & 1;
-    rc.encode_bit_pb<kProbBitsHi>(&probs[node], bit);
+    rc.encode_bit_pb<kProbBitsHi, SH>(&probs[node], bit);
     node = (node << 1) | bit;
   }
 }
 
+template <int SH = kAdaptShift>
 inline uint32_t tree_decode(RangeDecoder& rc, uint16_t* probs, int nbits) {
   uint32_t node = 1;
   for (int i = 0; i < nbits; ++i)
-    node = (node << 1) | rc.decode_bit_pb<kProbBitsHi>(&probs[node]);
+    node = (node << 1) | rc.decode_bit_pb<kProbBitsHi, SH>(&probs[node]);
+  return node - (1u << nbits);
+}
+
+// Count-based (KT-estimator) bit models for the id token streams: ids are
+// near-stationary per block, where EMA probabilities pay a constant
+// oscillation/floor tax per event (~0.3 bits/id on permuted counters, the
+// measured gap to the reference's count-based samcomp models). Counts are
+// packed c0|c1<<16 and halved on u16 saturation; p0 = (2*c0+1)/(2*n+2)
+// computed per event (one u64 division — ids are a tiny runtime slice).
+inline uint32_t count_prob(uint32_t cnt) {
+  uint32_t c0 = cnt & 0xFFFFu, c1 = cnt >> 16;
+  uint32_t p = (uint32_t)((((uint64_t)(2 * c0 + 1)) << kProbBitsHi) /
+                          (2 * (uint64_t)(c0 + c1) + 2));
+  if (p == 0) p = 1;
+  if (p >= (1u << kProbBitsHi)) p = (1u << kProbBitsHi) - 1;
+  return p;
+}
+
+inline uint32_t count_update(uint32_t cnt, int bit) {
+  uint32_t c0 = cnt & 0xFFFFu, c1 = cnt >> 16;
+  if (bit) ++c1; else ++c0;
+  if (c0 >= 0xFFFFu || c1 >= 0xFFFFu) {
+    c0 = (c0 + 1) >> 1;
+    c1 = (c1 + 1) >> 1;
+  }
+  return c0 | (c1 << 16);
+}
+
+inline void encode_bit_cnt(RangeEncoder& rc, uint32_t* cnt, int bit) {
+  uint32_t bound = (rc.range >> kProbBitsHi) * count_prob(*cnt);
+  if (!bit) {
+    rc.range = bound;
+  } else {
+    rc.low += bound;
+    rc.range -= bound;
+  }
+  *cnt = count_update(*cnt, bit);
+  while (rc.range < kTopValue) {
+    rc.range <<= 8;
+    rc.shift_low();
+  }
+}
+
+inline int decode_bit_cnt(RangeDecoder& rc, uint32_t* cnt) {
+  uint32_t bound = (rc.range >> kProbBitsHi) * count_prob(*cnt);
+  int bit;
+  if (rc.code < bound) {
+    rc.range = bound;
+    bit = 0;
+  } else {
+    rc.code -= bound;
+    rc.range -= bound;
+    bit = 1;
+  }
+  *cnt = count_update(*cnt, bit);
+  while (rc.range < kTopValue) {
+    rc.range <<= 8;
+    rc.code = (rc.code << 8) | rc.next_byte();
+  }
+  return bit;
+}
+
+inline void tree_encode_cnt(RangeEncoder& rc, uint32_t* cnts, int nbits,
+                            uint32_t sym) {
+  uint32_t node = 1;
+  for (int i = nbits - 1; i >= 0; --i) {
+    int bit = (sym >> i) & 1;
+    encode_bit_cnt(rc, &cnts[node], bit);
+    node = (node << 1) | bit;
+  }
+}
+
+inline uint32_t tree_decode_cnt(RangeDecoder& rc, uint32_t* cnts, int nbits) {
+  uint32_t node = 1;
+  for (int i = 0; i < nbits; ++i)
+    node = (node << 1) | decode_bit_cnt(rc, &cnts[node]);
   return node - (1u << nbits);
 }
 
 struct Models {
-  // per token-index models
-  std::vector<uint16_t> type_p;   // 3-bit tree -> 8 nodes... use 8 slots
-  std::vector<uint16_t> len_p;    // 8-bit tree -> 256... use 512 slots
+  // per token-index models (type/len/digit trees use count-based bit
+  // models; chr literals and the gamma helpers keep EMA probabilities)
+  std::vector<uint32_t> type_c;   // 3-bit tree -> 8 nodes... use 8 slots
+  std::vector<uint32_t> len_c;    // 8-bit tree -> 256... use 512 slots
   std::vector<uint16_t> chr_p;    // 8-bit tree per token index (literal chars)
-  std::vector<uint16_t> dig_p;    // 4-bit tree per digit position (literal digits)
+  std::vector<uint32_t> dig_c;    // 4-bit tree per (token index, token len,
+                                  // digit pos): for a permuted counter the
+                                  // digit distribution reaches the value
+                                  // entropy only conditioned on BOTH length
+                                  // and position (pooled-position models
+                                  // cap 0.3 bits/id above the bound; one
+                                  // shared model a further ~0.7 above)
   std::vector<uint16_t> dlt_p;    // 17-bit... too big; use gamma coding probs
   std::vector<uint16_t> dlt_unary, dlt_bits;
   std::vector<uint16_t> dup_unary, dup_bits;
   Models()
-      : type_p((size_t)kMaxTokCtx * 8, kProbInitHi),
-        len_p((size_t)kMaxTokCtx * 512, kProbInitHi),
+      : type_c((size_t)kMaxTokCtx * 8, 0),
+        len_c((size_t)kMaxTokCtx * 512, 0),
         chr_p((size_t)kMaxTokCtx * 512, kProbInitHi),
-        dig_p((size_t)kMaxTokCtx * 32, kProbInitHi),
+        dig_c((size_t)kMaxTokCtx * 8 * 8 * 32, 0),
         dlt_unary((size_t)kMaxTokCtx * 20, kProbInitHi),
         dlt_bits((size_t)kMaxTokCtx * 20, kProbInitHi),
         dup_unary((size_t)kMaxTokCtx * 8, kProbInitHi),
@@ -157,15 +242,19 @@ inline uint64_t gamma_decode(RangeDecoder& rc, uint16_t* unary, uint16_t* bits,
 
 void encode_literal(RangeEncoder& rc, Models& m, int ti, const Token& t) {
   // length via 8-bit tree (lengths >= 255 escape to gamma)
-  uint16_t* lp = &m.len_p[(size_t)ti * 512];
+  uint32_t* lp = &m.len_c[(size_t)ti * 512];
   uint32_t l = t.len < 255 ? t.len : 255;
-  tree_encode(rc, lp, 8, l);
+  tree_encode_cnt(rc, lp, 8, l);
   if (l == 255)
     gamma_encode(rc, &m.dlt_unary[(size_t)ti * 20], &m.dlt_bits[(size_t)ti * 20],
                  20, t.len - 255);
   if (t.is_digit) {
-    uint16_t* dp = &m.dig_p[(size_t)ti * 32];
-    for (uint32_t i = 0; i < t.len; ++i) tree_encode(rc, dp, 4, t.p[i] - '0');
+    size_t lc = t.len - 1 < 8 ? t.len - 1 : 7;
+    for (uint32_t i = 0; i < t.len; ++i) {
+      uint32_t* dp =
+          &m.dig_c[(((size_t)ti * 8 + lc) * 8 + (i < 8 ? i : 7)) * 32];
+      tree_encode_cnt(rc, dp, 4, t.p[i] - '0');
+    }
   } else {
     uint16_t* cp = &m.chr_p[(size_t)ti * 512];
     for (uint32_t i = 0; i < t.len; ++i) tree_encode(rc, cp, 8, t.p[i]);
@@ -174,15 +263,19 @@ void encode_literal(RangeEncoder& rc, Models& m, int ti, const Token& t) {
 
 void decode_literal(RangeDecoder& rc, Models& m, int ti, bool is_digit,
                     std::string& out) {
-  uint16_t* lp = &m.len_p[(size_t)ti * 512];
-  uint64_t len = tree_decode(rc, lp, 8);
+  uint32_t* lp = &m.len_c[(size_t)ti * 512];
+  uint64_t len = tree_decode_cnt(rc, lp, 8);
   if (len == 255)
     len = 255 + gamma_decode(rc, &m.dlt_unary[(size_t)ti * 20],
                              &m.dlt_bits[(size_t)ti * 20], 20);
   if (is_digit) {
-    uint16_t* dp = &m.dig_p[(size_t)ti * 32];
-    for (uint64_t i = 0; i < len; ++i)
-      out.push_back((char)('0' + tree_decode(rc, dp, 4)));
+    // len==0 can only come from a corrupt stream; clamp, don't underflow
+    size_t lc = len == 0 ? 0 : (len - 1 < 8 ? len - 1 : 7);
+    for (uint64_t i = 0; i < len; ++i) {
+      uint32_t* dp =
+          &m.dig_c[(((size_t)ti * 8 + lc) * 8 + (i < 8 ? i : 7)) * 32];
+      out.push_back((char)('0' + tree_decode_cnt(rc, dp, 4)));
+    }
   } else {
     uint16_t* cp = &m.chr_p[(size_t)ti * 512];
     for (uint64_t i = 0; i < len; ++i) out.push_back((char)tree_decode(rc, cp, 8));
@@ -406,7 +499,7 @@ int64_t id_compress_block(const uint8_t* ids, const uint32_t* lens, uint32_t cou
     tokenize(p, n, cur);
     for (size_t i = 0; i < cur.size(); ++i) {
       int ti = (int)(i < kMaxTokCtx ? i : kMaxTokCtx - 1);
-      uint16_t* tp = &m.type_p[(size_t)ti * 8];
+      uint32_t* tp = &m.type_c[(size_t)ti * 8];
       const Token& t = cur[i];
       bool cmp = i < prev.size() && prev[i].is_digit == t.is_digit;
       uint64_t delta = 0;
@@ -427,22 +520,22 @@ int64_t id_compress_block(const uint8_t* ids, const uint32_t* lens, uint32_t cou
       }
       if (cmp && prev[i].len == t.len &&
           std::memcmp(prev[i].p, t.p, t.len) == 0) {
-        tree_encode(rc, tp, 3, T_MATCH);
+        tree_encode_cnt(rc, tp, 3, T_MATCH);
       } else if (dup_idx >= 0) {
-        tree_encode(rc, tp, 3, T_DUP);
+        tree_encode_cnt(rc, tp, 3, T_DUP);
         gamma_encode(rc, &m.dup_unary[(size_t)ti * 8],
                      &m.dup_bits[(size_t)ti * 8], 8, (uint64_t)dup_idx);
       } else if (cmp && t.is_digit && delta_representable(prev[i], t, &delta)) {
-        tree_encode(rc, tp, 3, T_DELTA);
+        tree_encode_cnt(rc, tp, 3, T_DELTA);
         gamma_encode(rc, &m.dlt_unary[(size_t)ti * 20],
                      &m.dlt_bits[(size_t)ti * 20], 20, delta);
       } else {
-        tree_encode(rc, tp, 3, t.is_digit ? T_LIT_DIGIT : T_LIT_OTHER);
+        tree_encode_cnt(rc, tp, 3, t.is_digit ? T_LIT_DIGIT : T_LIT_OTHER);
         encode_literal(rc, m, ti, t);
       }
     }
     int ti = (int)(cur.size() < kMaxTokCtx ? cur.size() : kMaxTokCtx - 1);
-    tree_encode(rc, &m.type_p[(size_t)ti * 8], 3, T_END);
+    tree_encode_cnt(rc, &m.type_c[(size_t)ti * 8], 3, T_END);
     prev_str.assign((const char*)p, n);
     tokenize((const uint8_t*)prev_str.data(), n, prev);
     p += n;
@@ -471,7 +564,7 @@ int64_t id_decompress_block(const uint8_t* src, int64_t src_len,
     size_t i = 0;
     for (;; ++i) {
       int ti = (int)(i < kMaxTokCtx ? i : kMaxTokCtx - 1);
-      uint32_t tt = tree_decode(rc, &m.type_p[(size_t)ti * 8], 3);
+      uint32_t tt = tree_decode_cnt(rc, &m.type_c[(size_t)ti * 8], 3);
       if (tt == T_END) break;
       size_t tok_off = cur_str.size();
       bool tok_digit = false;

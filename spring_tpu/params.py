@@ -13,11 +13,15 @@ import json
 from typing import Optional
 
 FORMAT_MAGIC = "SPRING-TPU"
-FORMAT_VERSION = 3   # v2: id streams use 15-bit range-coder probabilities;
+FORMAT_VERSION = 4   # v2: id streams use 15-bit range-coder probabilities;
                      # qv shards may carry the fine-position-context flag
                      # v3: long-mode read streams carry a mode byte (raw
                      # str-array wire vs 2-bit packed ACGT); qv shards may
-                     # use the constant-prefix wire mode. v2 stays readable.
+                     # use the constant-prefix wire mode
+                     # v4: id streams use count-based type/len/digit models
+                     # (with template + T_DUP wire additions); v2-v3 id
+                     # streams would mis-decode, so older archives are
+                     # refused rather than corrupted
 
 # --- short-read mode limits (reference src/params.h:22-24) ---
 MAX_READ_LEN = 511            # short mode limit; long mode is unlimited
@@ -104,11 +108,12 @@ class CompressionParams:
         if d.get("version", 0) > FORMAT_VERSION:
             raise ValueError(f"archive version {d['version']} is newer than "
                              f"this library ({FORMAT_VERSION})")
-        if d.get("version", 0) < 2:
-            # v1 id streams used 12-bit coder probabilities — decoding
-            # them with this build would silently corrupt; refuse instead
+        if d.get("version", 0) < 4:
+            # earlier id-stream coders (v1: 12-bit probs; v2-v3: EMA
+            # token models) would silently mis-decode under the v4
+            # count-based models; refuse instead
             raise ValueError(
-                f"archive format v{d.get('version', 0)} predates the v2 "
+                f"archive format v{d.get('version', 0)} predates the v4 "
                 "stream coders and cannot be read by this build")
         d["bin_thresholds"] = tuple(d.get("bin_thresholds", ()))
         known = {f.name for f in dataclasses.fields(cls)}
