@@ -83,11 +83,14 @@ int64_t stpu_xbc_decompressed_size(const uint8_t* src, int64_t n) {
 }
 
 int64_t stpu_xbc_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
-                            int64_t cap, int num_threads) {
+                            int64_t cap, int num_threads) try {
   if (n < 16) return -1;
   int64_t nblocks = (int64_t)get_u64(src);
   int64_t raw_total = (int64_t)get_u64(src + 8);
-  if (raw_total > cap) return -2;
+  // every block occupies >= 8 (length) + 5 (header) wire bytes, so a claim
+  // beyond n/13 blocks cannot be honest — reject before sizing the tables
+  if (nblocks < 0 || nblocks > n / 13 + 1) return -1;
+  if (raw_total < 0 || raw_total > cap) return -2;
   // scan block table (sequential), then decode in parallel
   std::vector<const uint8_t*> bptr((size_t)nblocks);
   std::vector<int64_t> blen((size_t)nblocks), boff((size_t)nblocks);
@@ -120,6 +123,8 @@ int64_t stpu_xbc_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   }
   if (!ok) return -1;
   return raw_total;
+} catch (...) {
+  return -1;
 }
 
 int64_t stpu_id_compress(const uint8_t* ids, const uint32_t* lens, uint32_t count,
@@ -132,11 +137,15 @@ int64_t stpu_id_compress(const uint8_t* ids, const uint32_t* lens, uint32_t coun
   return n;
 }
 
+// Decompressors handle untrusted wires: an allocation failure provoked by a
+// hostile size claim must come back as -1 across the ctypes boundary, not as
+// an uncaught std::bad_alloc aborting the process.
+
 // fills dst with concatenated ids and lens_out with per-id lengths;
 // returns total bytes, count via *count_out.
 int64_t stpu_id_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
                            int64_t cap, uint32_t* lens_out, int64_t lens_cap,
-                           uint32_t* count_out) {
+                           uint32_t* count_out) try {
   std::vector<uint8_t> out;
   std::vector<uint32_t> lens;
   int64_t got = stpu::id_decompress_block(src, n, out, lens);
@@ -146,6 +155,8 @@ int64_t stpu_id_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   std::memcpy(lens_out, lens.data(), lens.size() * sizeof(uint32_t));
   *count_out = (uint32_t)lens.size();
   return got;
+} catch (...) {
+  return -1;
 }
 
 int stpu_version() { return 1; }

@@ -88,21 +88,19 @@ bool delta_representable(const Token& prev, const Token& cur, uint64_t* delta) {
 // near-deterministic streams (fixed prefix + incrementing counters), so
 // they use the high-precision probabilities: the 12-bit adaptation floor
 // alone cost 0.30 bits/id on sequential ids (see rangecoder.h)
-template <int SH = kAdaptShift>
 inline void tree_encode(RangeEncoder& rc, uint16_t* probs, int nbits, uint32_t sym) {
   uint32_t node = 1;
   for (int i = nbits - 1; i >= 0; --i) {
     int bit = (sym >> i) & 1;
-    rc.encode_bit_pb<kProbBitsHi, SH>(&probs[node], bit);
+    rc.encode_bit_pb<kProbBitsHi>(&probs[node], bit);
     node = (node << 1) | bit;
   }
 }
 
-template <int SH = kAdaptShift>
 inline uint32_t tree_decode(RangeDecoder& rc, uint16_t* probs, int nbits) {
   uint32_t node = 1;
   for (int i = 0; i < nbits; ++i)
-    node = (node << 1) | rc.decode_bit_pb<kProbBitsHi, SH>(&probs[node]);
+    node = (node << 1) | rc.decode_bit_pb<kProbBitsHi>(&probs[node]);
   return node - (1u << nbits);
 }
 
@@ -442,13 +440,20 @@ int64_t decode_template(const uint8_t* src, int64_t src_len,
           t.start > (uint64_t)1 << 62)
         return -1;
       t.pad = src[pos++];
+      // render_val writes max(ndigits, pad) bytes into a 32-byte buffer and a
+      // u64 has <= 20 digits; the encoder never emits pad > 18, so any larger
+      // value is a corrupt/hostile wire, not a valid archive.
+      if (t.pad > 19) return -1;
       max_len += 24;
     } else {
       return -1;
     }
     tpl.push_back(std::move(t));
   }
-  // size-claim guard: a hostile wire cannot make us allocate unbounded
+  // size-claim guards: a hostile wire cannot make us allocate unbounded.
+  // ntok == 0 would make max_len 0 and let any count through; counts near
+  // 2^32 are far beyond any real block (~256k ids).
+  if (ntok == 0 || count > (1u << 31)) return -1;
   if ((uint64_t)count * (max_len ? max_len : 1) > (1ull << 33)) return -1;
   out.clear();
   lens.clear();
@@ -485,6 +490,10 @@ int64_t id_compress_block(const uint8_t* ids, const uint32_t* lens, uint32_t cou
       return (int64_t)out.size();
     }
   }
+  // a fallback block whose count equals the template magic would produce a
+  // header byte-identical to a template wire and mis-decode; real blocks are
+  // ~256k ids so this is unreachable, but enforce the invariant anyway.
+  if (count == kTplMagic) return -1;
   out.push_back((uint8_t)count);
   out.push_back((uint8_t)(count >> 8));
   out.push_back((uint8_t)(count >> 16));

@@ -55,21 +55,16 @@ struct RangeEncoder {
     low = (low << 8) & 0xFFFFFFFFull;
   }
 
-  // SH: adaptation shift (EMA half-life). The default suits mixed
-  // streams; near-stationary mid-probability models (e.g. ~uniform
-  // digits) lose ~0.02 bits/bit to EMA oscillation at 5 and benefit
-  // from a slower 7 (the floor cost 2^(SH-PB) stays negligible at
-  // 15-bit probs).
-  template <int PB, int SH = kAdaptShift>
+  template <int PB>
   inline void encode_bit_pb(uint16_t* prob, int bit) {
     uint32_t bound = (range >> PB) * (*prob);
     if (!bit) {
       range = bound;
-      *prob += (uint16_t)(((1u << PB) - *prob) >> SH);
+      *prob += (uint16_t)(((1u << PB) - *prob) >> kAdaptShift);
     } else {
       low += bound;
       range -= bound;
-      *prob -= (uint16_t)(*prob >> SH);
+      *prob -= (uint16_t)(*prob >> kAdaptShift);
     }
     while (range < kTopValue) {
       range <<= 8;
@@ -112,18 +107,18 @@ struct RangeDecoder {
 
   inline uint8_t next_byte() { return pos < size ? in[pos++] : 0; }
 
-  template <int PB, int SH = kAdaptShift>
+  template <int PB>
   inline int decode_bit_pb(uint16_t* prob) {
     uint32_t bound = (range >> PB) * (*prob);
     int bit;
     if (code < bound) {
       range = bound;
-      *prob += (uint16_t)(((1u << PB) - *prob) >> SH);
+      *prob += (uint16_t)(((1u << PB) - *prob) >> kAdaptShift);
       bit = 0;
     } else {
       code -= bound;
       range -= bound;
-      *prob -= (uint16_t)(*prob >> SH);
+      *prob -= (uint16_t)(*prob >> kAdaptShift);
       bit = 1;
     }
     while (range < kTopValue) {

@@ -86,3 +86,48 @@ def test_corrupt_archive_magic(tmp_path):
 def test_homopolymer_reads(tmp_path):
     # all-identical reads stress run-length paths and claim logic
     _rt(tmp_path, [(b"h%d" % i, b"A" * 100, b"F" * 100) for i in range(200)])
+
+
+def _hostile_id_decode(wire: bytes):
+    from spring_tpu.codecs import idcodec
+    with pytest.raises(RuntimeError):
+        idcodec.decompress_ids_raw(wire, expected_count=16)
+
+
+def test_hostile_template_pad_rejected():
+    # template wire claiming pad=200: render_val writes max(ndigits, pad)
+    # bytes into a 32-byte stack buffer, so an unvalidated pad smashes the
+    # stack (ADVICE r2, ASan-confirmed). Must error cleanly.
+    import struct
+    wire = struct.pack("<II", 0xFFFFFFFF, 100)  # magic, count
+    wire += bytes([1])                           # ntok=1
+    wire += bytes([1])                           # kind=affine
+    wire += struct.pack("<qq", 0, 1)             # start, step
+    wire += bytes([200])                         # pad
+    _hostile_id_decode(wire)
+
+
+def test_hostile_template_zero_tokens_rejected():
+    # ntok=0 makes max_len 0, letting a near-2^32 count through the
+    # size-claim guard and provoking a ~16 GiB reserve.
+    import struct
+    wire = struct.pack("<II", 0xFFFFFFFF, (1 << 22))
+    wire += bytes([0])  # ntok=0
+    _hostile_id_decode(wire)
+
+
+def test_hostile_template_huge_count_rejected():
+    import struct
+    wire = struct.pack("<II", 0xFFFFFFFF, 0xFFFFFFF0)
+    wire += bytes([1, 1]) + struct.pack("<qq", 0, 1) + bytes([0])
+    _hostile_id_decode(wire)
+
+
+def test_hostile_xbc_nblocks_claim_rejected():
+    # an 8-byte nblocks claim far beyond what the wire length can hold
+    # must be rejected before the block tables are sized.
+    import struct
+    from spring_tpu.codecs import bsc
+    wire = struct.pack("<QQ", 1 << 40, 64) + b"\0" * 32
+    with pytest.raises(Exception):
+        bsc.decompress(wire)
