@@ -404,9 +404,6 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         # row claim flags: owners only
         mine = win_all & ((win_rid >> lg_npl) == me)
         lidx = jnp.where(mine, win_rid & (Npl - 1), Npl - 1)
-        rflag = jnp.where(mine & (lidx < Npl - 1) |
-                          (mine & (win_rid & (Npl - 1)) == (Npl - 1)),
-                          jnp.uint32(1) << 31, jnp.uint32(0))
         rflag = jnp.where(mine, jnp.uint32(1) << 31, jnp.uint32(0))
         dump = jnp.where(mine, lidx, Npl - 1)
         # separate dump column trick is unavailable (row Npl-1 is real), so

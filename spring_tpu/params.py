@@ -25,18 +25,21 @@ FORMAT_VERSION = 4   # v2: id streams use 15-bit range-coder probabilities;
 
 # --- short-read mode limits (reference src/params.h:22-24) ---
 MAX_READ_LEN = 511            # short mode limit; long mode is unlimited
-MAX_NUM_READS = 4294967290    # ~2^32
+# Read ids are int32 throughout the device pipeline (emissions, layouts,
+# dictionaries), so short mode refuses inputs past the int32 range —
+# enforced at scan time in pipeline/short_mode.py. The reference allows
+# ~2^32 (src/params.h:24); long mode here is block-streamed and has no
+# read-count limit.
+MAX_NUM_READS_SHORT = 2**31 - 2
 
 # --- dictionary configuration (reference src/params.h:25-27 uses 2 dicts
 #     over windows around the read midpoint). We use 2 fixed-width hash
-#     windows; width in bases.
+#     windows of KEY_BASES=16 bases each (reorder/dictionary.py).
 NUM_DICTS = 2
-DICT_WIDTH = 32               # bases per dictionary key window (64 bits packed)
 
 # --- matching thresholds (reference src/params.h:30-33) ---
 THRESH_REORDER = 4            # max Hamming distance to join a contig
 THRESH_ENCODER = 24           # max Hamming distance in second-chance alignment
-MAX_SEARCH = 1000             # max candidates scanned per dictionary bin
 MAX_SHIFT_CAP = 24            # shift-scan cap (reference scans maxlen/2;
                               # see ReorderConfig.max_shift)
 MIN_CONTIG_READS = 2          # contigs below this read count are demoted:
@@ -48,9 +51,9 @@ MIN_CONTIG_READS = 2          # contigs below this read count are demoted:
 # --- blocking (reference src/params.h:35-36) ---
 NUM_READS_PER_BLOCK = 256000        # short mode block (random-access unit)
 NUM_READS_PER_BLOCK_LONG = 10000    # long mode block
-
-# --- entropy codec block size (reference src/params.h:37: 64 MB bsc blocks) ---
-CODEC_BLOCK_SIZE = 64 * 1024 * 1024
+# (entropy codec block size lives at its point of use: codecs/bsc.py
+# DEFAULT_BLOCK — 4 MB blocks measured better than the reference's 64 MB
+# on these stream sizes and parallelize across cores)
 
 # --- TPU batch geometry (no reference analog; ours) ---
 REORDER_BATCH = 16384         # max parallel contig walkers per device

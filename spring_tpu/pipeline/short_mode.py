@@ -115,6 +115,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         raise ValueError("paired files have different read counts")
     mark("scan")
     n = sum(counts)
+    if n > P.MAX_NUM_READS_SHORT:
+        raise ValueError(
+            f"{n} reads exceeds the short-mode limit "
+            f"({P.MAX_NUM_READS_SHORT}); shard the input or use long "
+            f"mode (-l)")
     cp.num_reads = n
     cp.num_blocks = -(-n // block) if n else 0
     maxlen = max((i.maxlen for i in infos), default=0)

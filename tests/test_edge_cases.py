@@ -131,3 +131,24 @@ def test_hostile_xbc_nblocks_claim_rejected():
     wire = struct.pack("<QQ", 1 << 40, 64) + b"\0" * 32
     with pytest.raises(Exception):
         bsc.decompress(wire)
+
+
+def test_read_count_cap_enforced(tmp_path, monkeypatch):
+    # rids are int32 end-to-end; short mode must refuse past 2^31-2
+    # before any array is sized rather than silently corrupting.
+    from spring_tpu import params as P
+    from spring_tpu.pipeline import short_mode
+    fq = tmp_path / "in.fastq"
+    _write(fq, [(b"r1", b"ACGT" * 25, b"F" * 100)])
+    real_scan = short_mode.fastq_native.scan_buf
+
+    class _Huge:
+        def __init__(self, info):
+            self.__dict__.update(info.__dict__)
+            self.n = P.MAX_NUM_READS_SHORT + 1
+
+    monkeypatch.setattr(short_mode.fastq_native, "scan_buf",
+                        lambda *a, **k: _Huge(real_scan(*a, **k)))
+    o = api.CompressOptions(num_threads=1, verbose=False)
+    with pytest.raises(ValueError, match="short-mode limit"):
+        api.compress([str(fq)], str(tmp_path / "a.stpu"), o)
