@@ -1,39 +1,58 @@
 """Multi-chip reorder: shard_map over a device mesh, O(B/n) per device.
 
 Reference analog: none — the reference is a single-process OpenMP tool
-(SURVEY.md §2.3). This module is the TPU-native scale-out design, matching
-the single-chip batch-accept round (reorder/engine.py) with every heavy
-data structure sharded:
+(SURVEY.md §2.3). This module is the TPU-native scale-out design. It runs
+the SAME round as the single-chip batch-accept engine (reorder/engine.py)
+— packed u8x4 lane consensus counts, metadata-only probe with group top-k
+before any candidate fetch, batched consensus update, scan-stacked
+emissions, read-only rows with bitmap claims — with every heavy data
+structure sharded:
 
   * walkers are data-parallel over the mesh axis ("shard"): each device
-    owns B/n contig walkers, their consensus windows, frames and batch
+    owns B/n contig walkers, their consensus lanes, frames and batch
     accepts — all O(B/n) compute;
-  * the k-mer dictionaries are key-sharded: device d holds a complete
-    bucketed hash table over the keys whose hash routes to d. A probe is
-    DISPATCHED to its owner with a capacity-limited all_to_all (the MoE
-    dispatch pattern: sort by owner, position within group, drop overflow
-    — a dropped probe only loses match candidates, the same grace the
-    hash build gives overflowing keys);
-  * packed read rows are range-sharded by rid: verification fetches
-    candidate rows from their owners through a second capacity-limited
-    all_to_all (request rids out, 32-byte rows back). The row's length
-    word carries the claim flag, so claim state rides the fetch;
+  * the k-mer dictionaries are key-sharded: device d holds ONE merged
+    bucketed hash table over the (salted) keys of ALL dictionary windows
+    whose owner hash routes to d, plus the matching rid bins and
+    overlapping pair rows. The per-dict key salt is a bijective XOR, so a
+    cross-dict collision only merges two bins' candidates — Hamming
+    verification rejects them. The table is BUILT on device too: each
+    device extracts keys from its row shard and routes (key, global rid)
+    pairs to their owners with one all_to_all;
+  * the probe is METADATA-ONLY and capacity-limited (the MoE dispatch
+    pattern: sort by owner, rank within group, drop overflow): keys ship
+    to their owner, one packed (start << 6 | count) word returns. Each
+    walker then top-k selects the GSEL best-priority hitting groups and
+    only THOSE ship a candidate-fetch request (one pairs-row gather at
+    the owner, C rids back) — the eager all-K fetch this replaces was the
+    round-1 engine shape whose removal cut the single-chip round 17.4 ->
+    7.6 ms (PROFILE.md);
+  * packed read rows are range-sharded by rid and READ-ONLY: verification
+    fetches candidate rows from their owners through a third exchange.
+    Claim state lives in the replicated bitmap only (claimed candidates
+    are filtered before dispatch; unfetched slots come back marked
+    claimed), so the row table rides the flush as a non-donated argument
+    instead of a scan carry;
   * cross-device claim conflicts are resolved REPLICATED from one small
-    all_gather of per-device claim proposals (match + seed rids, ~B*M
-    ints — bytes O(B), compute O(B*M log) but trivially small); every
-    device then applies identical updates to the replicated claimed
-    bitmap (Np/8 bytes) while row claim bits are applied by owners only;
+    all_gather of per-device claim proposals; every device applies
+    identical updates to the replicated claimed bitmap (Np/8 bytes);
   * each device drains its own strided slice of the seed queue. Seed
     rows ride the row-fetch exchange, so seeding decisions use the
     walker state carried from the previous round (a walker that dies in
     round r reseeds in round r+1 — one-round lag vs single-chip).
 
-Per-round collectives: 2 all_to_alls (probe dispatch + replies),
-2 all_to_alls (row requests + rows), 1 all_gather (claim proposals).
-All O(B/n) sized except the proposal gather (O(B) ints).
+Slot validity across an exchange is tracked ONLY by the dispatch's source
+table (_collect scatters replies back by src): payloads are raw 32-bit
+patterns and must never be sign-tested on the receiving side (a uint32
+key with the top bit set is a legitimate value, not an empty slot).
+
+Per-round collectives: 2 all_to_alls (probe keys + meta words),
+2 (candidate requests + rids), 2 (row requests + rows), 1 all_gather
+(claim proposals). All O(B/n) sized except the proposal gather (O(B)).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -52,8 +71,13 @@ try:
 except Exception:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-_OWNER_MULT = jnp.uint32(0x85EBCA6B)   # decorrelated from the table hash
+# decorrelated from BOTH table hashes (_HASH_MULT picks buckets,
+# _TAG_MULT makes the 16-bit tags): sharing _TAG_MULT here would fix the
+# tag's top lg(n) bits per device and shrink effective tag entropy
+_OWNER_MULT = jnp.uint32(0xC2B2AE35)
 _BIG = eng._BIG
+# per-dict bijective XOR salts so D windows share one merged table/device
+_SALTS = (0, 0x3C6EF372, 0x61C88647, 0x9E3779B9)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -78,7 +102,7 @@ class DistConfig:
 
     def __post_init__(self):
         # same cap as ReorderConfig: an uncapped shift scan both dominates
-        # round count and can exceed _roll_counts' select-chain coverage
+        # round count and can exceed _roll_words' select-chain coverage
         if self.max_shift == 0:
             self.max_shift = max(min(self.max_readlen // 2,
                                      P.MAX_SHIFT_CAP), 1)
@@ -91,29 +115,30 @@ def _owner_of_key(key: jnp.ndarray, n: int) -> jnp.ndarray:
     return ((key * _OWNER_MULT) >> jnp.uint32(32 - lg)).astype(jnp.int32)
 
 
-def _dispatch(values: jnp.ndarray, owner: jnp.ndarray, valid: jnp.ndarray,
+def _dispatch(payloads: tuple, owner: jnp.ndarray, valid: jnp.ndarray,
               n: int, cap: int):
     """MoE-style capacity-limited dispatch table.
 
-    values/owner/valid: (Q,) int32/int32/bool. Returns
-      send  (n*cap,) int32 values laid out per destination (-1 empty)
-      src   (n*cap,) int32 source index of each slot (-1 empty)
-    Overflow beyond `cap` per destination is dropped.
-    """
-    Q = values.shape[0]
+    payloads: tuple of (Q,) int32 arrays routed together. Returns
+      sends: list of (n*cap,) int32 per-destination tables (-1 fill)
+      src:   (n*cap,) int32 source index of each slot (-1 empty)
+    Overflow beyond `cap` per destination is dropped. A dropped probe or
+    candidate only loses match opportunities (the read stays a singleton
+    or seeds later) — never correctness."""
+    Q = owner.shape[0]
     key = jnp.where(valid, owner, n)            # invalid to the end
     idx = jnp.arange(Q, dtype=jnp.int32)
-    ko, vo, io = jax.lax.sort((key, values, idx), num_keys=1)
+    out = jax.lax.sort((key, idx) + tuple(payloads), num_keys=1)
+    ko, io = out[0], out[1]
     firsts = jnp.concatenate([jnp.array([True]), ko[1:] != ko[:-1]])
-    # rank within the destination group
-    grp_start = jnp.where(firsts, idx, 0)
-    grp_start = jax.lax.cummax(grp_start)
+    grp_start = jax.lax.cummax(jnp.where(firsts, idx, 0))
     rank = idx - grp_start
     ok = (ko < n) & (rank < cap)
     pos = jnp.where(ok, ko * cap + rank, n * cap)
-    send = jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(vo)
-    src = jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(io)
-    return send[:-1], src[:-1]
+    sends = [jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(po)[:-1]
+             for po in out[2:]]
+    src = jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(io)[:-1]
+    return sends, src
 
 
 def _collect(replies: jnp.ndarray, src: jnp.ndarray, Q: int) -> jnp.ndarray:
@@ -126,98 +151,53 @@ def _collect(replies: jnp.ndarray, src: jnp.ndarray, Q: int) -> jnp.ndarray:
     return jnp.zeros(out_shape, replies.dtype).at[tgt].set(replies)[:-1]
 
 
-def build_shard_dicts(packed: np.ndarray, lengths: np.ndarray,
-                      windows, n: int):
-    """Per-device hash dictionaries: keys split by owner hash; every
-    device's table is built at a common bucket count so the stacked arrays
-    shard evenly over the mesh. Keys are extracted from the packed 2-bit
-    rows directly (no codes matrix)."""
-    om = int(_OWNER_MULT)
-    all_btab, all_rids, starts = [], [], []
-    for spec in windows:
-        ok = lengths >= spec.end
-        rids = np.nonzero(ok)[0].astype(np.int32)
-        keys = dct._window_keys_packed(packed[ok], spec.start)
-        if n > 1:
-            lg = int(np.log2(n))
-            owner = ((keys.astype(np.uint64) * om) & 0xFFFFFFFF) >> (32 - lg)
-        else:
-            owner = np.zeros(len(keys), np.int64)
-        per_dev_keys = [keys[owner == d] for d in range(n)]
-        per_dev_rids = [rids[owner == d] for d in range(n)]
-        max_keys = max((len(k) for k in per_dev_keys), default=1)
-        # common sizes across devices
-        npad = max(1 << max(max_keys - 1, 1).bit_length(), 64)
-        uk_max = 1
-        built = []
-        for d in range(n):
-            k, r = per_dev_keys[d], per_dev_rids[d]
-            order = np.argsort(k, kind="stable")
-            k, r = k[order], r[order]
-            kp = np.concatenate([k, np.full(npad - len(k), 0xFFFFFFFF,
-                                            np.uint32)])
-            rp = np.concatenate([r, np.full(npad - len(r), -1, np.int32)])
-            built.append((kp, rp))
-            uk_max = max(uk_max, len(np.unique(k)))
-        S = dct.table_buckets(uk_max)
-        btabs, ridss = [], []
-        for kp, rp in built:
-            btab, rids_p = _build_table(kp, rp, S)
-            btabs.append(btab)
-            ridss.append(rids_p)
-        all_btab.append(np.stack(btabs))      # (n, S, 3*SLOTS)
-        all_rids.append(np.stack(ridss))      # (n, npad)
-        starts.append(spec.start)
-    return all_btab, all_rids, starts
-
-
-def _build_table(keys: np.ndarray, rids: np.ndarray, S: int):
-    """One bucketed open-hash table at fixed size S (host build, same
-    placement rule as dct.build_hash_dicts)."""
-    uk, kstarts, counts = np.unique(keys, return_index=True,
-                                    return_counts=True)
-    if len(uk) and uk[-1] == 0xFFFFFFFF and rids[kstarts[-1]] == -1:
-        uk, kstarts, counts = uk[:-1], kstarts[:-1], counts[:-1]
+def _probe_meta_sc(btab: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
+    """Compact-table metadata probe: packed (start << 6 | count) words,
+    0 on miss (same math as dct.probe_meta's compact branch)."""
+    S = btab.shape[0]
     shift = 32 - int(np.log2(S))
-    bkey = np.zeros((S, dct.SLOTS), np.uint32)
-    bstart = np.zeros((S, dct.SLOTS), np.int32)
-    bcount = np.zeros((S, dct.SLOTS), np.int32)
-    h = ((uk * dct._HASH_MULT) >> np.uint32(shift)).astype(np.int64)
-    # single-attempt placement (same rule as dct._build_hash_dicts)
-    b = h % S
-    order2 = np.argsort(b, kind="stable")
-    tb = b[order2]
-    first = np.concatenate([[True], tb[1:] != tb[:-1]])
-    grp = np.cumsum(first) - 1
-    first_idx = np.nonzero(first)[0]
-    rank = np.arange(len(tb)) - first_idx[grp]
-    fits = rank < dct.SLOTS
-    ki = order2[fits]
-    bkey[tb[fits], rank[fits]] = uk[ki]
-    bstart[tb[fits], rank[fits]] = kstarts[ki]
-    bcount[tb[fits], rank[fits]] = counts[ki]
-    btab = np.concatenate([bkey, bstart.view(np.uint32),
-                           bcount.view(np.uint32)], axis=1)
-    return btab, rids
+    b = (keys * jnp.uint32(dct._HASH_MULT)) >> shift
+    row = btab[b]
+    tagw = row[:, : dct.SLOTS // 2]
+    scw = row[:, dct.SLOTS // 2:]
+    tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
+                     axis=2).reshape(-1, dct.SLOTS)
+    qtag = ((keys * jnp.uint32(dct._TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(63)) > 0)
+    first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+    return jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
 
 
-def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
-                     Np: int, scan_rounds: int = 0):
-    """Returns the jitted sharded round/flush.
-
-    Sharded over "shard": walker state, per-device dicts (btab/rids),
-    packed rows (rid range), seed queue slices, queue_pos/n_real (n,).
-    Replicated: claimed bitmap, lengths.
-    """
-    n = mesh.devices.size
-    C = cfg.candidates
-    SC = cfg.shift_chunk
+@functools.lru_cache(maxsize=None)
+def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
+                   accept_slots: int, starts: tuple, thresh: int,
+                   capf: float):
+    """Compile the sharded build / flush / compact programs for one static
+    shape signature. Cached at module level like the single-chip
+    _flush_program — per-engine jits would re-trace per compress call."""
+    n = int(mesh.devices.size)
+    assert n & (n - 1) == 0, "mesh size must be a power of two"
     D = len(starts)
-    lay = eng.ProbeLayout(D, C, SC)
-    M = min(cfg.accept_slots, lay.K)
-    S_EMIT = M + 1
+    assert 1 <= D <= len(_SALTS)
+    Bl = B // n
     Npl = Np // n
     lg_npl = int(np.log2(Npl))
+    Lb = W * 16
+    G = SC * 2 * D
+    GSEL = max(1, min(accept_slots, G * C) // C)
+    M = GSEL * C
+    S_EMIT = M + 1
+    CAP = eng.FLUSH_ROUNDS * max(3, 3 * SC // 16) + S_EMIT
+    nwords = Np // 32 + 2
+    # exchange capacities (per destination, per device)
+    capk = max(-(-int(np.ceil(capf * D * Npl / n)) // 8) * 8, 8)
+    capq = max(int(np.ceil(capf * (Bl * G) / n)), 1)
+    capc = max(int(np.ceil(capf * (Bl * GSEL) / n)), 1)
+    capr = max(int(np.ceil(capf * (Bl * (M + 2)) / n)), 1)
+    R = n * capk                    # per-device dictionary entries
+    assert R <= dct.MAX_COMPACT_ENTRIES
+    S = dct.table_buckets(max(D * Np // n, 64))
+    salt = jnp.asarray(np.array(_SALTS[:D], np.uint32))
 
     def a2a(x):
         if n == 1:
@@ -225,45 +205,66 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         return jax.lax.all_to_all(x, "shard", split_axis=0, concat_axis=0,
                                   tiled=True)
 
-    def probe_local(btab, rids_local, keys, me):
-        """Answer arriving probe keys from the local table. Returns
-        (cand, valid): (Qr, C) global rids."""
-        S = btab.shape[0]
-        shift = 32 - int(np.log2(S))
-        h = (keys.astype(jnp.uint32) * jnp.uint32(dct._HASH_MULT)) >> shift
-        b = h & (S - 1)
-        row = btab[b]                    # single home-bucket attempt
-        krow = row[:, :dct.SLOTS]
-        srow = row[:, dct.SLOTS:2 * dct.SLOTS].astype(jnp.int32)
-        crow = row[:, 2 * dct.SLOTS:].astype(jnp.int32)
-        hit = (krow == keys.astype(jnp.uint32)[:, None]) & (crow > 0)
-        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
-        start = jnp.sum(jnp.where(first_hit, srow, 0), axis=1)
-        count = jnp.sum(jnp.where(first_hit, crow, 0), axis=1)
-        offs = jnp.arange(C, dtype=jnp.int32)
-        nr = rids_local.shape[0]
-        valid = offs[None, :] < jnp.minimum(count, C)[:, None]
-        idx = jnp.minimum(start[:, None] + offs[None, :], nr - 1)
-        cand = rids_local[idx]
-        return jnp.where(valid & (cand >= 0), cand, -1)
+    # ---------------- sharded dictionary build ----------------
 
-    def round_fn(state, lengths, btabs, drids, seed_slice, claimed0,
-                 maxshift, room):
-        counts = state["counts"]          # (Bl, 4, Lb)
+    def build_fn(rows_local):
+        me = jax.lax.axis_index("shard")
+        lengths = (rows_local[:, W] & jnp.uint32(0x7FFFFFFF)
+                   ).astype(jnp.int32)
+        rid0 = me * Npl + jnp.arange(Npl, dtype=jnp.int32)
+        ks, rs, vs = [], [], []
+        for d, st in enumerate(starts):
+            w0, b = divmod(st, 16)
+            lo = rows_local[:, w0] >> jnp.uint32(2 * b)
+            if b:
+                lo = lo | (rows_local[:, w0 + 1] << jnp.uint32(32 - 2 * b))
+            ks.append(lo ^ jnp.uint32(_SALTS[d]))
+            rs.append(rid0)
+            # padding rows carry length 0, so the window check excludes
+            # them along with genuinely short reads
+            vs.append(lengths >= st + dct.KEY_BASES)
+        keys = jnp.concatenate(ks)
+        rids = jnp.concatenate(rs)
+        valid = jnp.concatenate(vs)
+        sends, _ = _dispatch((keys.astype(jnp.int32), rids),
+                             _owner_of_key(keys, n), valid, n, capk)
+        rk = a2a(sends[0]).astype(jnp.uint32)
+        rr = a2a(sends[1])
+        btab, h_s, rids_s, dropped = dct._hash_build_core(
+            rk, rr >= 0, S, compact=True, rids=rr)
+        pairs = dct.pairs_from_rids(rids_s)
+        return btab, h_s, rids_s, pairs, dropped.reshape(1)
+
+    sh = Pspec("shard")
+    rep = Pspec()
+    build = jax.jit(shard_map(
+        build_fn, mesh=mesh, in_specs=(sh,),
+        out_specs=(sh, sh, sh, sh, sh), check_vma=False))
+
+    # ---------------- dictionary compaction ----------------
+
+    def compact_fn(keys_l, rids_l, claimed):
+        rids2 = dct.compact_bins_dev(keys_l, rids_l, claimed)
+        return rids2, dct.pairs_from_rids(rids2)
+
+    compact = jax.jit(shard_map(
+        compact_fn, mesh=mesh, in_specs=(sh, sh, rep),
+        out_specs=(sh, sh), check_vma=False))
+
+    # ---------------- the sharded round ----------------
+
+    def round_fn(state, btab, pairs, rows_local, seed_slice, maxshift,
+                 room):
+        counts = state["counts"]          # (Bl, Lb) packed u8x4 lanes
         ref_len = state["ref_len"]
         active = state["active"]
         shift_base = state["shift_base"]
         first_rid = state["first_rid"]
         lp0 = state["left_phase"]
-        rows_local = state["rows"]        # (Npl, W+1) rid range shard
         claimed = state["claimed"]        # replicated bitmap
         qpos = state["queue_pos"]         # (1,) this device's queue cursor
         nq = state["n_queue"]             # (1,) live entries in my slice
-        Bl = counts.shape[0]
-        Lb = counts.shape[2]
-        Wl = rows_local.shape[1] - 1
         me = jax.lax.axis_index("shard")
-        nwords = Np // 32 + 2
         searching = active & room
 
         def claimed_bit(idx):
@@ -275,72 +276,101 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         rank = jnp.cumsum(inactive) - 1
         qidx = qpos[0] + rank
         in_range = inactive & (qidx < nq[0])
-        seed_rid = seed_slice[jnp.clip(qidx, 0, seed_slice.shape[0] - 1)]
+        seed_rid = seed_slice[jnp.clip(qidx, 0, Npl - 1)]
         seed_try = in_range & ~claimed_bit(seed_rid)
         qpos = qpos + jnp.sum(in_range)
 
-        # ---- probes ----
-        frames, s_tot = eng.walker_frames(counts, ref_len, shift_base, SC)
+        # ---- frames + salted queries ----
+        frames, s_tot = eng.walker_frames_packed(counts, ref_len,
+                                                 shift_base, SC)
         q, v = eng.walker_queries(frames, s_tot, ref_len, starts)
+        # (Bl, SC, D, 2) -> (Bl, SC, 2, D): group id g = ((s*2+o)*D + d),
+        # slot order IS the priority (shift > orientation > dict — the
+        # reference search order, src/reorder.h:479-557)
+        keys_bg = (jnp.moveaxis(q, 2, 3).astype(jnp.uint32) ^ salt
+                   ).reshape(Bl, G)
+        v_g = (jnp.moveaxis(v, 2, 3)
+               & searching[:, None, None, None]).reshape(Bl * G)
 
-        hits = []
-        for di in range(D):
-            qk = q[:, :, di, :].reshape(-1)          # (Bl*SC*2,)
-            vk = v[:, :, di, :].reshape(-1)
-            Qn = qk.shape[0]
-            capq = int(np.ceil(cfg.capacity_factor * Qn / n))
-            owner = _owner_of_key(qk.astype(jnp.uint32), n)
-            send, src = _dispatch(qk.astype(jnp.int32), owner,
-                                  vk & searching[:, None, None]
-                                  .repeat(SC, 1).repeat(2, 2).reshape(-1),
-                                  n, capq)
-            recv = a2a(send)
-            cand_r = probe_local(btabs[di], drids[di],
-                                 jnp.where(recv >= 0, recv, 0), me)
-            cand_r = jnp.where((recv >= 0)[:, None], cand_r, -1)
-            back = a2a(cand_r)
-            cand_q = _collect(back, src, Qn)          # (Qn, C)
-            hits.append(cand_q.reshape(Bl, SC, 2, C))
-        # (Bl, SC, 2, D, C) -> K in ProbeLayout order
-        cand = jnp.stack(hits, axis=3).reshape(Bl, lay.K)
-        cvalid = cand >= 0
+        # ---- metadata-only probe exchange ----
+        keys_g = keys_bg.reshape(-1)
+        sends_q, src_q = _dispatch((keys_g.astype(jnp.int32),),
+                                   _owner_of_key(keys_g, n), v_g, n, capq)
+        recv_k = a2a(sends_q[0]).astype(jnp.uint32)
+        sc_back = a2a(_probe_meta_sc(btab, recv_k))
+        sc_g = _collect(sc_back, src_q, Bl * G).reshape(Bl, G)
+        hit_g = ((sc_g & jnp.uint32(63)) > 0) & searching[:, None]
 
-        # ---- top-M compaction ----
-        prio = jnp.where(cvalid, -jnp.asarray(lay.pr_static)[None, :], -_BIG)
-        _, idx_m = jax.lax.top_k(prio, M)
-        cand_m = jnp.take_along_axis(cand, idx_m, axis=1)
-        valid_m = jnp.take_along_axis(cvalid, idx_m, axis=1)
-        k_o_m = jnp.asarray(lay.k_o.astype(np.int32))[idx_m]
-        k_frame_m = jnp.asarray(lay.k_frame.astype(np.int32))[idx_m]
-        s_m = shift_base[:, None] + jnp.asarray(lay.k_s.astype(np.int32))[idx_m]
-        pr_m = jnp.asarray(lay.pr_static)[idx_m]
+        # ---- pick the GSEL best-priority hitting groups ----
+        negp = jnp.where(hit_g, -jnp.arange(G, dtype=jnp.int32)[None, :],
+                         -_BIG)
+        negg, _ = jax.lax.top_k(negp, GSEL)        # (Bl, GSEL)
+        gok = negg != -_BIG
+        g_id = jnp.where(gok, -negg, 0)
+        sc_sel = jnp.take_along_axis(sc_g, g_id, axis=1)
+        st_sel = (sc_sel >> 6).astype(jnp.int32)
+        ct_sel = jnp.where(gok,
+                           (sc_sel & jnp.uint32(63)).astype(jnp.int32), 0)
+        key_sel = jnp.take_along_axis(keys_bg, g_id, axis=1)
+        o_sel = (g_id // D) % 2
+        srel = g_id // (2 * D)
 
-        # ---- row fetch exchange: M candidates + first_rid + seed rid ----
-        req = jnp.concatenate(
-            [cand_m.reshape(-1), first_rid, seed_rid], axis=0)
-        req_valid = jnp.concatenate(
-            [valid_m.reshape(-1), jnp.ones((Bl,), bool), seed_try])
-        Qr = req.shape[0]
-        capr = int(np.ceil(cfg.capacity_factor * Qr / n))
+        # ---- candidate fetch exchange: only GSEL starts per walker ----
+        sends_c, src_c = _dispatch((st_sel.reshape(-1),),
+                                   _owner_of_key(key_sel.reshape(-1), n),
+                                   gok.reshape(-1), n, capc)
+        recv_st = a2a(sends_c[0])
+        prow = pairs[jnp.clip(recv_st >> 3, 0, pairs.shape[0] - 1)]
+        offc = recv_st & 7
+        cr = prow[:, :C]
+        for o in range(1, 8):
+            cr = jnp.where((offc == o)[:, None], prow[:, o:o + C], cr)
+        back_c = a2a(cr)
+        Qc = Bl * GSEL
+        fetched_c = _collect((src_c >= 0).astype(jnp.int32), src_c, Qc) > 0
+        cand_sel = jnp.where(fetched_c[:, None],
+                             _collect(back_c, src_c, Qc),
+                             -1).reshape(Bl, GSEL, C)
+        offs = jnp.arange(C, dtype=jnp.int32)
+        vcand = (offs[None, None, :]
+                 < jnp.minimum(ct_sel, C)[:, :, None]) & gok[:, :, None]
+        cand_m = cand_sel.reshape(Bl, M)
+        valid_m = (vcand & (cand_sel >= 0)).reshape(Bl, M)
+        # per-slot fields are pure arithmetic on the group id
+        co = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        k_o_m = jnp.broadcast_to(
+            o_sel[:, :, None], (Bl, GSEL, C)).reshape(Bl, M)
+        k_frame_m = jnp.broadcast_to(
+            (srel * 2 + o_sel)[:, :, None], (Bl, GSEL, C)).reshape(Bl, M)
+        s_m = shift_base[:, None] + jnp.broadcast_to(
+            srel[:, :, None], (Bl, GSEL, C)).reshape(Bl, M)
+
+        # ---- row fetch exchange: M candidates + first_rid + seed ----
+        # claimed candidates are filtered before dispatch (the bitmap is
+        # replicated and fresh as of last round — the same staleness as
+        # the single-chip verify-time check); unfetched slots come back
+        # with the claimed marker so they are never accepted
+        req = jnp.concatenate([cand_m.reshape(-1), first_rid, seed_rid])
+        req_valid = jnp.concatenate([
+            (valid_m & ~claimed_bit(jnp.clip(cand_m, 0, Np - 1))
+             ).reshape(-1),
+            jnp.ones((Bl,), bool), seed_try])
         owner_r = (jnp.clip(req, 0, Np - 1) >> lg_npl).astype(jnp.int32)
-        send_r, src_r = _dispatch(req, owner_r, req_valid, n, capr)
-        recv_r = a2a(send_r)
-        lrow = jnp.clip(recv_r, 0, Np - 1) & (Npl - 1)
-        rows_srv = rows_local[lrow]                   # (n*capr, W+1)
-        rows_srv = jnp.where((recv_r >= 0)[:, None], rows_srv,
-                             jnp.uint32(1 << 31))    # missing -> claimed
+        sends_r, src_r = _dispatch((req,), owner_r, req_valid, n, capr)
+        recv_r = a2a(sends_r[0])
+        rows_srv = rows_local[jnp.clip(recv_r, 0, Np - 1) & (Npl - 1)]
         rows_back = a2a(rows_srv)
+        Qr = Bl * M + 2 * Bl
         rows_all = _collect(rows_back, src_r, Qr)
-        # un-fetched slots look claimed so they are never accepted
         fetched = _collect((src_r >= 0).astype(jnp.uint32), src_r, Qr) > 0
         rows_all = jnp.where(fetched[:, None], rows_all,
                              jnp.uint32(1 << 31))
-        rows = rows_all[: Bl * M].reshape(Bl, M, Wl + 1)
+        rows = rows_all[: Bl * M].reshape(Bl, M, W + 1)
         fr_rows = rows_all[Bl * M: Bl * M + Bl]
         seed_rows = rows_all[Bl * M + Bl:]
 
-        # ---- verify (local, O(Bl)) ----
-        lw = rows[..., Wl]
+        # ---- verify: masked popcounts over the fetched rows ----
+        lw = rows[..., W]
         claimed_row = (lw >> 31) == 1
         clen = (lw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         rl = ref_len[:, None]
@@ -351,23 +381,26 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         fr2 = frames.reshape(Bl, 2 * SC, -1)
         frow = jnp.take_along_axis(fr2, k_frame_m[:, :, None], axis=1)
         ham = jnp.zeros((Bl, M), jnp.int32)
-        for w in range(Wl):
+        for w in range(W):
             d = frow[..., w] ^ rows[..., w]
             mm = (d | (d >> 1)) & eng._ODD
             mw = eng._prefix_word(jnp.clip(hi - 16 * w, 0, 16)) \
                 & ~eng._prefix_word(jnp.clip(lo - 16 * w, 0, 16))
             ham = ham + jax.lax.population_count(mm & mw).astype(jnp.int32)
-        ok = valid_m & ~claimed_row & (ham <= cfg.thresh) \
+        ok = valid_m & ~claimed_row & (ham <= thresh) \
             & (t >= 0) & (hi > lo)
 
-        # ---- dedup + t order (local) ----
+        # ---- dedup rids within the walker, then order accepts by t ----
+        pr_m = (g_id[:, :, None] * C + co).reshape(Bl, M)
         rid_eff = jnp.where(ok, cand_m, _BIG)
         slot_i = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32)[None, :], (Bl, M))
         rid_s, _, t_s, ko_s, clen_s, slot_s = jax.lax.sort(
-            (rid_eff, pr_m, t, k_o_m, clen, slot_i), dimension=1, num_keys=2)
+            (rid_eff, pr_m, t, k_o_m, clen, slot_i),
+            dimension=1, num_keys=2)
         firsts = jnp.concatenate(
-            [jnp.ones((Bl, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1)
+            [jnp.ones((Bl, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]],
+            axis=1)
         keep_s = (rid_s != _BIG) & firsts
         tkey = jnp.where(keep_s, t_s, _BIG)
         (_, _, keep_f, rid_f, t_f, ko_f, clen_f, slot_f) = jax.lax.sort(
@@ -376,8 +409,8 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         rows_f = jnp.take_along_axis(rows, slot_f[:, :, None], axis=1)
 
         # ---- global claim resolution: one all_gather of proposals ----
-        # priority classes: 0 = match, 1 = seed (matches beat seeds on the
-        # same rid, matching the single-chip order of operations)
+        # priority classes: matches (first) beat seeds on the same rid,
+        # matching the single-chip order of operations
         prop_rid = jnp.concatenate(
             [jnp.where(keep_f, rid_f, _BIG).reshape(-1),
              jnp.where(seed_try, seed_rid, _BIG)])
@@ -394,21 +427,15 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         win_sorted = firstp & (ks != _BIG)
         _, win_all = jax.lax.sort((gs, win_sorted), num_keys=1)
 
-        # replicated claimed-bitmap update for every winner
+        # replicated claimed-bitmap update for every winner (winner bits
+        # are previously 0 — proposals were filtered by the bitmap and
+        # the resolution dedups within the round — so .add is exact)
         win_rid = jnp.where(win_all, props, Np - 1)
         word = jnp.where(win_all, win_rid >> 5, nwords - 1)
         bit = jnp.where(win_all,
                         jnp.uint32(1) << (win_rid & 31).astype(jnp.uint32),
                         jnp.uint32(0))
         claimed = claimed.at[word].add(bit)
-        # row claim flags: owners only
-        mine = win_all & ((win_rid >> lg_npl) == me)
-        lidx = jnp.where(mine, win_rid & (Npl - 1), Npl - 1)
-        rflag = jnp.where(mine, jnp.uint32(1) << 31, jnp.uint32(0))
-        dump = jnp.where(mine, lidx, Npl - 1)
-        # separate dump column trick is unavailable (row Npl-1 is real), so
-        # scatter zero flags for non-mine entries instead
-        rows_local = rows_local.at[dump, Wl].add(rflag)
 
         # my verdict slices
         my0 = me * Ppd
@@ -419,29 +446,22 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         matched_any = win.any(axis=1)
         t_roll = jnp.max(jnp.where(win, t_f, 0), axis=1)
 
-        # ---- batched consensus update (O(Bl)) ----
-        live = jnp.arange(Lb)[None, None, :] < ref_len[:, None, None]
-        rolled0 = eng._roll_counts(counts * live, t_roll)
+        # ---- batched consensus update over packed lanes (O(Bl)) ----
+        live = jnp.arange(Lb)[None, :] < ref_len[:, None]
+        rolled0 = eng._roll_words(jnp.where(live, counts, jnp.uint32(0)),
+                                  t_roll)
         len0 = jnp.maximum(ref_len - t_roll, 0)
-
-        def add_slot(j, carry):
-            rolled, new_len = carry
-            rj = jax.lax.dynamic_index_in_dim(rows_f, j, 1, False)[:, :Wl]
-            lj = jax.lax.dynamic_index_in_dim(clen_f, j, 1, False)
-            koj = jax.lax.dynamic_index_in_dim(ko_f, j, 1, False)
-            tj = jax.lax.dynamic_index_in_dim(t_f, j, 1, False)
-            wj = jax.lax.dynamic_index_in_dim(win, j, 1, False)
-            pkj = jnp.where((koj == 1)[:, None],
-                            bits.revcomp_packed(rj, lj), rj)
-            dj = jnp.where(wj, t_roll - tj, 0)
-            pkj = bits.shift_bases_left(pkj, dj, Lb)
-            ohj = eng._onehot_read(bits.unpack(pkj, Lb), lj - dj)
-            rolled = rolled + jnp.where(wj[:, None, None], ohj, 0)
-            new_len = jnp.maximum(new_len, jnp.where(wj, lj - dj, 0))
-            return rolled, new_len
-
-        rolled, new_len = jax.lax.fori_loop(0, M, add_slot, (rolled0, len0))
-        counts = jnp.where(matched_any[:, None, None], rolled, counts)
+        pk_all = rows_f[..., :W]                          # (Bl, M, W)
+        pk_all = jnp.where((ko_f == 1)[:, :, None],
+                           bits.revcomp_packed(pk_all, clen_f), pk_all)
+        d_all = jnp.where(win, t_roll[:, None] - t_f, 0)
+        pk_all = bits.shift_bases_left(pk_all, d_all, Lb)
+        codes_all = bits.unpack(pk_all, Lb)               # (Bl, M, Lb)
+        len_all = jnp.where(win, clen_f - d_all, 0)
+        inc = eng._lane_inc(codes_all, len_all).sum(axis=1)
+        rolled = eng._sat_add(rolled0, inc)
+        new_len = jnp.maximum(len0, len_all.max(axis=1))
+        counts = jnp.where(matched_any[:, None], rolled, counts)
         ref_len = jnp.where(matched_any, new_len, ref_len)
         shift_base = jnp.where(matched_any, 0, shift_base)
 
@@ -454,18 +474,18 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
         active = active & ~(death & left_phase)
         left_phase = left_phase | start_left
         shift_base = jnp.where(start_left, 0, shift_base)
-        fr_len = (fr_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        fr_rc = bits.revcomp_packed(fr_rows[:, :Wl], fr_len)
-        fr_counts = eng._onehot_read(bits.unpack(fr_rc, Lb), fr_len)
-        counts = jnp.where(start_left[:, None, None], fr_counts, counts)
+        fr_len = (fr_rows[:, W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        fr_rc = bits.revcomp_packed(fr_rows[:, :W], fr_len)
+        fr_counts = eng._lane_inc(bits.unpack(fr_rc, Lb), fr_len)
+        counts = jnp.where(start_left[:, None], fr_counts, counts)
         ref_len = jnp.where(start_left, fr_len, ref_len)
 
         # ---- apply seeds ----
-        seed_len = (seed_rows[:, Wl] & jnp.uint32(0x7FFFFFFF)
+        seed_len = (seed_rows[:, W] & jnp.uint32(0x7FFFFFFF)
                     ).astype(jnp.int32)
-        seed_cnt = eng._onehot_read(bits.unpack(seed_rows[:, :Wl], Lb),
-                                    seed_len)
-        counts = jnp.where(ok_seed[:, None, None], seed_cnt, counts)
+        seed_cnt = eng._lane_inc(bits.unpack(seed_rows[:, :W], Lb),
+                                 seed_len)
+        counts = jnp.where(ok_seed[:, None], seed_cnt, counts)
         ref_len = jnp.where(ok_seed, seed_len, ref_len)
         shift_base = jnp.where(ok_seed, 0, shift_base)
         active = active | ok_seed
@@ -488,69 +508,85 @@ def build_dist_round(mesh: Mesh, cfg: DistConfig, starts: list[int],
 
         new_state = dict(counts=counts, ref_len=ref_len, active=active,
                          shift_base=shift_base, first_rid=first_rid,
-                         left_phase=left_phase, rows=rows_local,
-                         claimed=claimed, queue_pos=qpos, n_queue=nq)
+                         left_phase=left_phase, claimed=claimed,
+                         queue_pos=qpos, n_queue=nq)
         return new_state, emit.astype(jnp.int32)
 
-    CAP = FLUSH_CAP = eng.FLUSH_ROUNDS * 3 + S_EMIT
+    # ---------------- the flush (FLUSH_ROUNDS in one dispatch) ----------
 
-    def flush_fn(state, lengths, btabs, drids, seed_slice, maxshift):
-        Bl = state["counts"].shape[0]
-        buf0 = jnp.full((Bl, CAP + 1, 2), -1, jnp.int32)
+    def flush_fn(state, btab, pairs, rows_local, seed_slice, maxshift):
+        # per-round emissions are stacked by the scan and compacted ONCE
+        # per flush with a stable sort (the per-round positional scatter
+        # this replaces cost ~17% of the single-chip round)
         cnt0 = jnp.zeros((Bl,), jnp.int32)
-        bidx = jnp.arange(Bl)[:, None]
 
         def body(carry, _):
-            st, buf, cnt = carry
+            st, cnt = carry
             room = cnt < CAP - S_EMIT
-            st2, emit = round_fn(st, lengths, btabs, drids, seed_slice,
-                                 None, maxshift, room)
-            valid = emit[:, :, 0] >= 0
-            rank = jnp.cumsum(valid, axis=1) - 1
-            pos = jnp.where(valid, cnt[:, None] + rank, CAP)
-            buf = buf.at[bidx, pos].set(emit)
-            cnt = cnt + jnp.sum(valid, axis=1)
-            return (st2, buf, cnt), None
+            st2, emit = round_fn(st, btab, pairs, rows_local, seed_slice,
+                                 maxshift, room)
+            cnt = cnt + jnp.sum(emit[:, :, 0] >= 0, axis=1)
+            return (st2, cnt), emit
 
-        (state, buf, cnt), _ = jax.lax.scan(
-            body, (state, buf0, cnt0), None, length=eng.FLUSH_ROUNDS)
-        return state, buf[:, :CAP], cnt
+        (state, cnt), ys = jax.lax.scan(
+            body, (state, cnt0), None, length=eng.FLUSH_ROUNDS)
+        em = jnp.moveaxis(ys, 0, 1).reshape(
+            Bl, eng.FLUSH_ROUNDS * S_EMIT, 2)
+        empty = (em[:, :, 0] < 0).astype(jnp.int32)
+        _, w0, w1 = jax.lax.sort(
+            (empty, em[:, :, 0], em[:, :, 1]), dimension=1, num_keys=1)
+        buf = jnp.stack([w0[:, :CAP], w1[:, :CAP]], axis=-1)
+        # per-flush stats as ONE tiny transfer (claimed popcount is
+        # computed on the replicated bitmap — identical on every device)
+        stats = jnp.stack([
+            jnp.sum(jax.lax.population_count(
+                state["claimed"][: Np // 32])).astype(jnp.int32),
+            state["queue_pos"][0],
+            jnp.sum(state["active"]).astype(jnp.int32),
+            jnp.sum(cnt)])[None, :]
+        return state, buf, stats
 
-    sh = Pspec("shard")
-    rep = Pspec()
     state_spec = dict(counts=sh, ref_len=sh, active=sh, shift_base=sh,
-                      first_rid=sh, left_phase=sh, rows=sh,
-                      claimed=rep, queue_pos=sh, n_queue=sh)
-    fn = flush_fn if scan_rounds else flush_fn
-    mapped = shard_map(
-        fn, mesh=mesh,
-        in_specs=(state_spec, rep, [sh] * D, [sh] * D, sh, rep),
+                      first_rid=sh, left_phase=sh, claimed=rep,
+                      queue_pos=sh, n_queue=sh)
+    flush = jax.jit(shard_map(
+        flush_fn, mesh=mesh,
+        in_specs=(state_spec, sh, sh, sh, sh, rep),
         out_specs=(state_spec, sh, sh),
-        check_vma=False,
-    )
-    return jax.jit(mapped, donate_argnums=(0,))
+        check_vma=False), donate_argnums=(0,))
+    return dict(build=build, compact=compact, flush=flush,
+                CAP=CAP, Bl=Bl, Npl=Npl, M=M)
 
 
 class DistReorderEngine:
     """Multi-device counterpart of ReorderEngine: walkers DP, dictionaries
-    and packed rows sharded, probe/row traffic over all_to_all."""
+    and packed rows sharded, probe/candidate/row traffic over capacity-
+    limited all_to_alls. Same emissions contract as ReorderEngine.run."""
 
     ordered_emissions = True
 
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
                  cfg: DistConfig, mesh: Mesh | None = None):
         self.mesh = mesh or make_mesh()
-        n = self.n = self.mesh.devices.size
+        n = self.n = int(self.mesh.devices.size)
         self.cfg = cfg
         self.N = packed.shape[0]
         self.W = packed.shape[1]
         self.Lb = self.W * bits.BASES_PER_WORD
         self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64 * n)
+        # same auto walker sizing as the single-chip engine (~256 reads
+        # per walker), rounded to the mesh
         self.B = int(min(cfg.num_walkers,
                          max(8 * n, self.Np // 256)) // n * n)
         self.windows = dct.default_windows(cfg.max_readlen)
-        self.btabs, self.drids, self.dict_starts = build_shard_dicts(
-            packed, lengths, self.windows, n)
+        self._prog = _dist_programs(
+            self.mesh, self.Np, self.W, self.B, cfg.candidates,
+            cfg.shift_chunk, cfg.accept_slots,
+            tuple(w.start for w in self.windows), cfg.thresh,
+            cfg.capacity_factor)
+        # padded rows + length word; padding rows carry the claimed bit
+        # (the only claim bit rows ever hold — live claim state is the
+        # replicated bitmap, rows are READ-ONLY)
         packed_p = np.zeros((self.Np, self.W + 1), np.uint32)
         packed_p[: self.N, : self.W] = packed
         lengths_p = np.zeros(self.Np, np.int32)
@@ -559,21 +595,18 @@ class DistReorderEngine:
         packed_p[self.N:, self.W] |= np.uint32(1 << 31)
         self.packed = packed_p
         self.lengths = lengths_p
-        self._flush = build_dist_round(self.mesh, cfg, self.dict_starts,
-                                       self.Np)
 
     def _queue_slices(self, remaining: np.ndarray):
-        """Strided split of the seed queue over devices, padded equal."""
-        n = self.n
-        slices = [remaining[d::n] for d in range(n)]
-        cap = max((len(s) for s in slices), default=1)
-        cap = max(cap, 1)
-        out = np.full((n, cap), self.Np - 1, np.int32)
+        """Strided split of the seed queue over devices at a FIXED width
+        (Npl) so queue compaction never changes the flush shape."""
+        n, Npl = self.n, self._prog["Npl"]
+        out = np.full((n, Npl), self.Np - 1, np.int32)
         nq = np.zeros((n, 1), np.int32)
-        for d, s in enumerate(slices):
+        for d in range(n):
+            s = remaining[d::n]
             out[d, : len(s)] = s
             nq[d, 0] = len(s)
-        return out.reshape(n * cap), nq.reshape(n)
+        return out.reshape(n * Npl), nq.reshape(n)
 
     def init_state(self):
         n = self.n
@@ -587,14 +620,13 @@ class DistReorderEngine:
         # every array enters the mesh with its final sharding so the state
         # builds correctly under multi-process meshes too (multihost.py)
         return dict(
-            counts=mh.put_sharded(m, np.zeros((self.B, 4, self.Lb),
-                                              np.int32)),
+            counts=mh.put_sharded(m, np.zeros((self.B, self.Lb),
+                                              np.uint32)),
             ref_len=mh.put_sharded(m, np.zeros(self.B, np.int32)),
             active=mh.put_sharded(m, np.zeros(self.B, bool)),
             shift_base=mh.put_sharded(m, np.zeros(self.B, np.int32)),
             first_rid=mh.put_sharded(m, np.zeros(self.B, np.int32)),
             left_phase=mh.put_sharded(m, np.zeros(self.B, bool)),
-            rows=mh.put_sharded(m, self.packed),
             claimed=mh.put_replicated(m, claimed),
             queue_pos=mh.put_sharded(m, np.zeros(n, np.int32)),
             n_queue=mh.put_sharded(m, np.zeros(n, np.int32)),
@@ -604,37 +636,54 @@ class DistReorderEngine:
             progress=None) -> np.ndarray:
         """Full distributed reorder. Returns filtered walker-major
         (rid, flag, pos_delta, rc) rows like ReorderEngine.run."""
+        import sys
+        prog = self._prog
+        m = self.mesh
+        rows_dev = mh.put_sharded(m, self.packed)
+        btab, keys_dev, rids, pairs, dropped = prog["build"](rows_dev)
+        nd = int(np.asarray(mh.to_host(dropped)).sum())
+        if nd:
+            print(f"[dict] {nd} keys overflowed the sharded hash tables "
+                  "and were dropped", file=sys.stderr)
         stride = max(self.N // max(self.B, 1), 1)
         idx = np.arange(self.N, dtype=np.int32)
         so = (np.concatenate([idx[r::stride] for r in range(stride)])
               if self.N else idx)
         queue = so.astype(np.int32)
         state = self.init_state()
-        qslice, nq = self._queue_slices(queue)
-        m = self.mesh
-        state["n_queue"] = mh.put_sharded(m, nq)
-        lengths = mh.put_replicated(m, self.lengths)
-        btabs = [mh.put_sharded(m, b.reshape(-1, b.shape[-1]))
-                 for b in self.btabs]
-        drids = [mh.put_sharded(m, r.reshape(-1)) for r in self.drids]
+        qslice, nq_arr = self._queue_slices(queue)
+        state["n_queue"] = mh.put_sharded(m, nq_arr)
+        seed_dev = mh.put_sharded(m, qslice)
         maxshift = mh.put_replicated(m, np.int32(self.cfg.max_shift))
         chunks = []
         rounds = 0
-        seed_dev = mh.put_sharded(m, qslice)
+        last_claimed = 0
+
+        def dispatch():
+            nonlocal state
+            state, buf, stats = prog["flush"](state, btab, pairs,
+                                              rows_dev, seed_dev, maxshift)
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass
+            return buf, stats
+
+        # pipelined loop: flush k+1 is dispatched before flush k's stats
+        # are read (single-chip pattern — the speculative flush after the
+        # exit runs on a finished state and emits nothing)
+        inflight = dispatch()
         while True:
-            state, buf, cnt = self._flush(state, lengths, btabs, drids,
-                                          seed_dev, maxshift)
+            nxt = dispatch()
+            buf_k, stats_k = inflight
+            inflight = nxt
+            stats_np = np.asarray(mh.to_host(stats_k)).reshape(self.n, 4)
+            chunks.append(eng._compact_emit(np.asarray(mh.to_host(buf_k))))
             rounds += eng.FLUSH_ROUNDS
-            chunks.append(eng._compact_emit(mh.to_host(buf)))
-            emitted = int(mh.to_host(cnt).sum())
-            any_active = bool(mh.to_host(state["active"]).any())
-            claimed_np = np.unpackbits(
-                mh.to_host(state["claimed"])[: self.Np // 32].view(np.uint8),
-                bitorder="little")[: self.N].astype(bool)
-            n_claimed = int(claimed_np.sum())
-            qpos = mh.to_host(state["queue_pos"])
-            nq_np = mh.to_host(state["n_queue"])
-            drained = bool((qpos >= nq_np).all())
+            n_claimed = int(stats_np[0, 0]) - (self.Np - self.N)
+            any_active = stats_np[:, 2].sum() > 0
+            emitted = int(stats_np[:, 3].sum())
+            drained = bool((stats_np[:, 1] >= nq_arr).all())
             if progress is not None:
                 progress(n_claimed, self.N)
             if drained and not any_active and (emitted == 0
@@ -642,14 +691,31 @@ class DistReorderEngine:
                 break
             if max_rounds is not None and rounds >= max_rounds:
                 break
-            # endgame queue compaction (host), as in the single-chip run
-            if n_claimed < self.N:
+            # periodic in-bin dictionary compaction (live entries to the
+            # front of every bin so the C-cap fetch sees live reads;
+            # single-chip analog engine.py _compact_dicts)
+            if n_claimed - last_claimed > eng.REBUILD_FRACTION * max(
+                    self.N, 1):
+                rids, pairs = prog["compact"](keys_dev, rids,
+                                              state["claimed"])
+                last_claimed = n_claimed
+            # endgame seed-queue compaction (drop claimed reads so the
+            # tail doesn't burn rounds skipping them batch by batch)
+            if n_claimed < self.N and \
+                    self.N - n_claimed < 0.5 * max(int(nq_arr.sum()), 1):
+                claimed_np = np.unpackbits(
+                    np.asarray(mh.to_host(state["claimed"]))
+                    [: self.Np // 32].view(np.uint8),
+                    bitorder="little")[: self.N].astype(bool)
                 remaining = queue[~claimed_np[queue]]
-                if len(remaining) < 0.5 * max(int(nq_np.sum()), 1):
+                if len(remaining) < int(nq_arr.sum()):
                     queue = remaining
-                    qslice, nq = self._queue_slices(queue)
+                    qslice, nq_arr = self._queue_slices(queue)
                     seed_dev = mh.put_sharded(m, qslice)
-                    state["n_queue"] = mh.put_sharded(m, nq)
+                    state["n_queue"] = mh.put_sharded(m, nq_arr)
                     state["queue_pos"] = mh.put_sharded(
                         m, np.zeros(self.n, np.int32))
+        # drain the speculative in-flight flush
+        buf_k, _ = inflight
+        chunks.append(eng._compact_emit(np.asarray(mh.to_host(buf_k))))
         return eng._emissions_from_chunks(chunks)

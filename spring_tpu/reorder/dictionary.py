@@ -380,7 +380,8 @@ def build_hash_dict_seq_dev(seq_words, total, word_offset: int, S: int):
     return _hash_build_core(keys, ok, S)
 
 
-def _hash_build_core(keys_raw, ok, S: int, compact: bool = False):
+def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
+                     rids=None):
     """Shared device build, ONE sort total.
 
     Rows are sorted by h = key * _HASH_MULT — a bijection of the key, so
@@ -389,9 +390,13 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False):
     ranks, and placement all follow from neighbor compares and cumulative
     ops — the two extra placement sorts of the previous form tripled the
     compiled program size, and the tunnel server re-JITs big deserialized
-    executables (~1-3 minutes at 16M-row shapes)."""
+    executables (~1-3 minutes at 16M-row shapes).
+
+    ``rids`` carries explicit payload ids (the sharded build routes
+    (key, global rid) pairs between devices); default is the position."""
     Np = keys_raw.shape[0]
-    rid = jnp.arange(Np, dtype=jnp.int32)
+    rid = (jnp.arange(Np, dtype=jnp.int32) if rids is None
+           else rids.astype(jnp.int32))
     h = jnp.where(ok, keys_raw * jnp.uint32(_HASH_MULT),
                   jnp.uint32(0xFFFFFFFF))
     # secondary sort key puts padding (-1 rid) after real rids within a bin

@@ -81,19 +81,15 @@ def test_dist_end_to_end_roundtrip(tmp_path, mesh8, monkeypatch):
 
 def test_dist_ratio_parity_with_single_device(tmp_path, mesh8, monkeypatch):
     # the sharded engine must produce archives of comparable size to the
-    # single-device engine on identical input (VERDICT r1: the old dist
-    # round silently degraded ratio)
+    # single-device engine on identical input at a scale where bin
+    # saturation and endgame effects are visible (VERDICT r1: the old
+    # dist round silently degraded ratio; VERDICT r2: the 3k-read test
+    # could not see saturation — raised to 100k)
     from spring_tpu import api
-    rng = np.random.default_rng(17)
-    genome = rng.integers(0, 4, size=10000)
-    L, n = 100, 3000
-    starts = rng.integers(0, len(genome) - L, size=n)
-    base = b"ACGT"
+    from spring_tpu.utils import synth
     fq = tmp_path / "p.fastq"
-    with open(fq, "wb") as f:
-        for i, s in enumerate(starts):
-            seg = bytes(base[c] for c in genome[s:s + L])
-            f.write(b"@p%d\n%s\n+\n%s\n" % (i, seg, b"E" * L))
+    synth.make_se(str(fq), n_reads=100_000, read_len=100,
+                  genome_size=2_000_000, seed=17)
     arcs = {}
     for mode in ("single", "dist"):
         if mode == "dist":
@@ -102,7 +98,7 @@ def test_dist_ratio_parity_with_single_device(tmp_path, mesh8, monkeypatch):
             monkeypatch.delenv("SPRING_TPU_DIST", raising=False)
         arc = str(tmp_path / f"{mode}.stpu")
         api.compress([str(fq)], arc,
-                     api.CompressOptions(num_threads=2, verbose=False))
+                     api.CompressOptions(num_threads=4, verbose=False))
         arcs[mode] = arc
     import os
     s1, s2 = os.path.getsize(arcs["single"]), os.path.getsize(arcs["dist"])
