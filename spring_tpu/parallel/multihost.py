@@ -42,20 +42,26 @@ _initialized = False
 def maybe_initialize() -> bool:
     """jax.distributed.initialize from SPRING_TPU_COORD/NPROCS/PROC (or
     standard JAX env). Idempotent; returns True when a multi-process
-    runtime is (already) up."""
+    runtime is (already) up.
+
+    The env check comes FIRST: jax.process_count() initializes the XLA
+    backend, and jax.distributed.initialize refuses to run after that
+    (2-process smoke caught this — tools/multihost_smoke.py)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return True
     coord = os.environ.get("SPRING_TPU_COORD")
-    if not coord:
-        return False
-    nprocs = int(os.environ["SPRING_TPU_NPROCS"])
-    proc = int(os.environ["SPRING_TPU_PROC"])
-    jax.distributed.initialize(coordinator_address=coord,
-                               num_processes=nprocs, process_id=proc)
-    _initialized = True
-    return True
+    if coord:
+        nprocs = int(os.environ["SPRING_TPU_NPROCS"])
+        proc = int(os.environ["SPRING_TPU_PROC"])
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=nprocs, process_id=proc)
+        _initialized = True
+        return True
+    if jax.process_count() > 1:
+        _initialized = True
+        return True
+    return False
 
 
 def is_multiprocess() -> bool:

@@ -103,3 +103,16 @@ def test_dist_ratio_parity_with_single_device(tmp_path, mesh8, monkeypatch):
     import os
     s1, s2 = os.path.getsize(arcs["single"]), os.path.getsize(arcs["dist"])
     assert abs(s2 - s1) <= 0.05 * s1 + 10240, (s1, s2)
+
+
+def test_two_process_multihost_smoke():
+    # spawns 2 local CPU processes under jax.distributed, forms a mesh
+    # spanning both, runs the full sharded reorder, and compares
+    # emissions against a single-process 2-device run (VERDICT r2
+    # missing #4: multihost.py had never executed with process_count>1)
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import multihost_smoke
+    res = multihost_smoke.run(timeout=300)
+    assert res.get("ok"), res
