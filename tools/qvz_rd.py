@@ -94,10 +94,14 @@ def main():
 
     # ours-only intermediate points: the global rate allocation makes the
     # curve smooth between the reference's mid-rate and collapsed regimes
+    # high-rate points let the curves compare at MATCHED RATE: the ratio
+    # knob is not a rate (ours allocates a global budget, the reference
+    # applies one per-column target), so same-knob rows are not
+    # comparable — find the our-curve MSE at the reference's byte count
     extra = []
     from spring_tpu.pipeline import qvz as qvz_mod
     from spring_tpu.codecs import qv
-    for ratio in (0.8, 0.6, 0.4, 0.1):
+    for ratio in (2.0, 1.6, 1.4, 0.8, 0.6, 0.4, 0.1):
         qmat = (q0 + 33).astype(np.uint8)
         lens = np.full(args.reads, qmat.shape[1], np.int32)
         qq = qvz_mod.quantize_matrix(qmat, lens, ratio)
