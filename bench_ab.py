@@ -65,13 +65,14 @@ def run_reference(infiles, outfile, workdir, reorder=False, threads=8,
 
 
 def run_ours(infiles, outfile, reorder=False, threads=8,
-             long_mode=False):
+             long_mode=False, warm=True):
     from spring_tpu import api
     from spring_tpu.io.container import ArchiveReader
     opts = api.CompressOptions(num_threads=threads, verbose=False,
                                reorder=reorder, long_mode=long_mode)
-    # warm-up (compile) pass, then the timed pass
-    api.compress(list(infiles), outfile, opts)
+    if warm:
+        # warm-up (compile) pass, then the timed pass
+        api.compress(list(infiles), outfile, opts)
     t0 = time.time()
     api.compress(list(infiles), outfile, opts)
     dt = time.time() - t0
@@ -112,6 +113,112 @@ def verify(orig, outs, order_insensitive=False):
     return recset(orig) == recset(outs)
 
 
+# Robustness grid (VERDICT r2 #4): one-factor-at-a-time from the base
+# profile plus a combined stress cell — the available substitute for the
+# reference's human-scale variable-profile benchmark data (no network).
+# Each profile is (name, n_reads, synth kwargs, modes).
+GRID_PROFILES = [
+    ("cov5", 100_000, {}, "se,pe,se-r,pe-r"),
+    ("cov50", 1_000_000, {}, "se,pe,se-r,pe-r"),
+    ("genome100M", 2_000_000, {"genome_size": 100_000_000}, "se,se-r"),
+    ("varlen", 500_000, {"len_range": (36, 151)}, "se,pe,se-r,pe-r"),
+    ("qual40", 500_000, {"qual_levels": 40}, "se,pe,se-r,pe-r"),
+    ("n0.1%", 500_000, {"n_rate": 0.001}, "se,pe,se-r,pe-r"),
+    ("sra_perm", 500_000, {"id_style": "sra_perm"}, "se,pe,se-r,pe-r"),
+    ("stress", 250_000, {"len_range": (36, 151), "qual_levels": 40,
+                         "n_rate": 0.001, "id_style": "sra_perm",
+                         "genome_size": 10_000_000}, "se,pe,se-r,pe-r"),
+]
+
+
+def run_grid(threads: int, report: str, only: str | None = None) -> None:
+    from spring_tpu.utils import synth
+    rows = []
+    for name, n, kw, modes in GRID_PROFILES:
+        if only and name not in only.split(","):
+            continue
+        tmp = tempfile.mkdtemp(prefix=f"spring_grid_{name.replace('%','')}_")
+        modes = modes.split(",")
+        datasets = {}
+        if any(m.startswith("se") for m in modes):
+            se = os.path.join(tmp, "se.fastq")
+            log(f"[{name}] generating SE ({n} reads) ...")
+            synth.make_se(se, n, **kw)
+            datasets["se"] = [se]
+        if any(m.startswith("pe") for m in modes):
+            p1 = os.path.join(tmp, "pe_1.fastq")
+            p2 = os.path.join(tmp, "pe_2.fastq")
+            log(f"[{name}] generating PE ({n // 2} pairs) ...")
+            synth.make_pe(p1, p2, n // 2, **kw)
+            datasets["pe"] = [p1, p2]
+        for mode in modes:
+            base = mode.split("-")[0]
+            reorder = mode.endswith("-r")
+            infiles = datasets[base]
+            wd = os.path.join(tmp, f"ref_{mode}")
+            os.makedirs(wd, exist_ok=True)
+            try:
+                ref = run_reference(infiles, os.path.join(wd, "a.spring"),
+                                    wd, reorder=reorder, threads=threads)
+            except subprocess.CalledProcessError as e:
+                log(f"[{name}/{mode}] reference FAILED: "
+                    f"{(e.stderr or '')[-200:]}")
+                ref = None
+            ours = run_ours(infiles, os.path.join(tmp, f"o_{mode}.stpu"),
+                            reorder=reorder, threads=threads, warm=False)
+            cell = {"profile": name, "mode": mode, "n": n,
+                    "ref": ref, "ours": ours}
+            rows.append(cell)
+            r = (f"{ours['size'] / ref['size']:.3f}x" if ref else "ref-fail")
+            log(f"[{name}/{mode}] size ratio ours/ref: {r} "
+                f"(ok={ours['roundtrip_ok']}"
+                + (f", ref_ok={ref['roundtrip_ok']})" if ref else ")"))
+            # free the per-mode outputs early; keep datasets for other modes
+            for f in os.listdir(tmp):
+                if f.startswith(("o_", "ref_")) and f.endswith(".fastq"):
+                    os.unlink(os.path.join(tmp, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = ["", "## Robustness grid (synthetic profile matrix)", "",
+             "One-factor-at-a-time from the base profile (2 Mbp genome, "
+             "fixed 100 bp, 8-level qualities, 0 N, affine ids) plus a "
+             "combined stress cell. Size = total archive bytes, "
+             "ratio = ours/reference on identical input; both tools "
+             "round-trip verified per cell.", "",
+             "| profile | mode | reads | ref B | ours B | size ratio | "
+             "quality ratio | id ratio | ours c/d (s) | round-trip |",
+             "|---|---|---|---|---|---|---|---|---|---|"]
+    for c in rows:
+        o, r = c["ours"], c["ref"]
+        ok = "ok" if o["roundtrip_ok"] and (not r or r["roundtrip_ok"]) \
+            else "FAIL"
+        if r:
+            qr = o["streams"]["quality"] / max(r["streams"]["quality"], 1)
+            ir = o["streams"]["id"] / max(r["streams"]["id"], 1)
+            lines.append(
+                f"| {c['profile']} | {c['mode']} | {c['n']} | {r['size']} "
+                f"| {o['size']} | {o['size'] / r['size']:.3f}x "
+                f"| {qr:.3f}x | {ir:.3f}x "
+                f"| {o['time_c']:.1f}/{o['time_d']:.1f} | {ok} |")
+        else:
+            lines.append(
+                f"| {c['profile']} | {c['mode']} | {c['n']} | ref FAIL "
+                f"| {o['size']} | — | — | — "
+                f"| {o['time_c']:.1f}/{o['time_d']:.1f} | {ok} |")
+    grid_md = "\n".join(lines) + "\n"
+    txt = ""
+    if os.path.exists(report):
+        txt = open(report).read()
+        if "## Robustness grid" in txt:
+            txt = txt[:txt.index("## Robustness grid")].rstrip() + "\n"
+    with open(report, "w") as f:
+        f.write(txt + grid_md)
+    log(f"grid -> {report}")
+    bad = [c for c in rows if not c["ours"]["roundtrip_ok"]]
+    print(json.dumps({"grid_cells": len(rows), "roundtrip_failures":
+                      [f"{c['profile']}/{c['mode']}" for c in bad]}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int,
@@ -119,7 +226,14 @@ def main():
     ap.add_argument("--modes", default="se,pe,se-r,pe-r")
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 8)
     ap.add_argument("--report", default=os.path.join(REPO, "AB_REPORT.md"))
+    ap.add_argument("--grid", action="store_true",
+                    help="run the robustness profile matrix instead")
+    ap.add_argument("--profiles", default=None,
+                    help="comma-separated grid profile names to run")
     args = ap.parse_args()
+    if args.grid:
+        run_grid(args.threads, args.report, args.profiles)
+        return
 
     from spring_tpu.utils import synth
     tmp = tempfile.mkdtemp(prefix="spring_ab_")

@@ -140,22 +140,37 @@ def _drop_pages(buf: np.ndarray, start: int = 0, end: int | None = None
 _SEG_RECORDS = 1 << 19
 
 
+def ckpt_stride() -> int:
+    return int(native.load().stpu_fastq_ckpt_stride())
+
+
 def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
                       packed: np.ndarray, lengths: np.ndarray,
                       quals: np.ndarray | None, idbuf: np.ndarray,
                       idlens: np.ndarray, fasta: bool = False,
-                      num_threads: int = 0) -> np.ndarray:
+                      num_threads: int = 0, qual_sink=None) -> np.ndarray:
     """Record-parallel parse straight into caller-owned array slices:
     packed (n, ceil(ml/16)) 2-bit rows (N packs as A), lengths, quality
     rows at stride ml, id blob. Returns the N-position (rid, pos) pairs
     (int32 (k, 2), unsorted). The byte codes matrix never exists, and
     input pages are released segment by segment (peak RSS = output arrays
-    + one ~128 MB window, not input + outputs)."""
+    + one ~128 MB window, not input + outputs).
+
+    With ``qual_sink``, quality rows never land in a file-sized matrix:
+    each segment parses into a reused (seg, ml) staging buffer and
+    ``qual_sink(r0, rows)`` consumes it before the next segment (rows is
+    only valid during the call — copy or compress, don't keep). This is
+    what bounds compress-side quality memory by O(segment), the analog of
+    the reference's block-streamed preprocess (src/preprocess.cpp:141-285).
+    """
     lib = native.load()
     stride = lib.stpu_fastq_ckpt_stride()
     assert _SEG_RECORDS % stride == 0
     n = info.n
     exc_parts = []
+    staging = None
+    if qual_sink is not None and n:
+        staging = np.empty((min(_SEG_RECORDS, n), ml), np.uint8)
     for r0 in range(0, max(n, 1), _SEG_RECORDS):
         n_seg = min(_SEG_RECORDS, n - r0)
         if n_seg <= 0:
@@ -165,18 +180,65 @@ def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
         cki = np.ascontiguousarray(
             info.ckpt_id[c0:c0 + nck] - info.ckpt_id[c0])
         idbase = int(info.ckpt_id[c0])
+        qdst = (staging[:n_seg] if staging is not None
+                else quals[r0:r0 + n_seg] if quals is not None else None)
         exc = _parse_segment(
             lib, buf, path, fasta, ml, n_seg, packed[r0:r0 + n_seg],
-            lengths[r0:r0 + n_seg],
-            quals[r0:r0 + n_seg] if quals is not None else None,
+            lengths[r0:r0 + n_seg], qdst,
             idbuf[idbase:], idlens[r0:r0 + n_seg],
             np.ascontiguousarray(info.ckpt_byte[c0:c0 + nck]), cki,
             num_threads)
+        if staging is not None:
+            qual_sink(r0, staging[:n_seg])
         if len(exc):
             exc[:, 0] += r0
             exc_parts.append(exc)
         seg_end = (int(info.ckpt_byte[c0 + nck])
                    if c0 + nck < len(info.ckpt_byte) and r0 + n_seg < n
+                   else len(buf))
+        _drop_pages(buf, int(info.ckpt_byte[c0]), seg_end)
+    return (np.concatenate(exc_parts) if exc_parts
+            else np.empty((0, 2), np.int32))
+
+
+def parse_packed_range(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
+                       r0: int, n_rec: int, packed: np.ndarray,
+                       lengths: np.ndarray, quals: np.ndarray | None,
+                       idbuf: np.ndarray, idlens: np.ndarray,
+                       fasta: bool = False,
+                       num_threads: int = 0) -> np.ndarray:
+    """Parse records [r0, r0 + n_rec) of one scanned buffer (r0 must be a
+    checkpoint-stride multiple). Output slices are indexed from 0; the id
+    blob slice must start at byte info.ckpt_id[r0 // stride]. Returns the
+    N-position pairs with rids relative to r0. Used by the paired-end
+    lockstep parse: both mates of a block range are in memory together so
+    quality can stream per block without a file-sized spool."""
+    lib = native.load()
+    stride = lib.stpu_fastq_ckpt_stride()
+    assert r0 % stride == 0
+    exc_parts = []
+    for s0 in range(0, max(n_rec, 1), _SEG_RECORDS):
+        n_seg = min(_SEG_RECORDS, n_rec - s0)
+        if n_seg <= 0:
+            break
+        c0 = (r0 + s0) // stride
+        nck = -(-n_seg // stride)
+        cki = np.ascontiguousarray(
+            info.ckpt_id[c0:c0 + nck] - info.ckpt_id[c0])
+        idbase = int(info.ckpt_id[c0] - info.ckpt_id[r0 // stride])
+        exc = _parse_segment(
+            lib, buf, path, fasta, ml, n_seg, packed[s0:s0 + n_seg],
+            lengths[s0:s0 + n_seg],
+            quals[s0:s0 + n_seg] if quals is not None else None,
+            idbuf[idbase:], idlens[s0:s0 + n_seg],
+            np.ascontiguousarray(info.ckpt_byte[c0:c0 + nck]), cki,
+            num_threads)
+        if len(exc):
+            exc[:, 0] += s0
+            exc_parts.append(exc)
+        seg_end = (int(info.ckpt_byte[c0 + nck])
+                   if c0 + nck < len(info.ckpt_byte)
+                   and r0 + s0 + n_seg < info.n
                    else len(buf))
         _drop_pages(buf, int(info.ckpt_byte[c0]), seg_end)
     return (np.concatenate(exc_parts) if exc_parts

@@ -164,26 +164,98 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     packed_buf = np.empty((n_pad, W), np.uint32)
     packed_all = packed_buf[:n]
     lengths = np.empty(n, np.int32)
-    quals = np.empty((n, ml), np.uint8) if want_q else None
     idbytes = sum(i.idbytes for i in infos)
     idbuf = np.empty(idbytes, np.uint8)
     idlens = np.empty(n, np.uint32)
+
+    # --- quality memory plan (VERDICT r2 missing #1): the full (n, ml)
+    # quality matrix never exists. Order-preserving mode streams each
+    # block's quality through the codec DURING parse; reorder mode (and
+    # QVZ, whose codebooks train at gather time) spills raw rows to an
+    # unlinked spool and gathers per output bin later (the reference's
+    # bin strategy, src/reorder_compress_quality_id.cpp:64-68).
+    from . import qualstream
+    q_stream = want_q and cp.preserve_order and cp.quality_mode != "qvz"
+    q_spool = want_q and not q_stream
+    table = (qual_mod.make_table(cp.quality_mode, cp.qvz_ratio,
+                                 cp.bin_thresholds)
+             if want_q and cp.quality_mode in ("ill_bin", "binary")
+             else None)
+    fine_pos = cp.quality_mode == "qvz"
+    # leave one core for the main thread + TPU tunnel client: with every
+    # core in the codec pool, device dispatches crawl (the 10M dict build
+    # measured 58-85 s under codec load vs ~1 s on an idle host).
+    # Deprioritizing the workers with nice +10 instead was measured WORSE
+    # (159.7 s vs 110.9 s at 10M): the axon tunnel helper process runs at
+    # nice 0 and then out-competes the codec pool whenever it is busy.
+    workers = max(1, num_threads - 1)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    futs = []
+    inflight_cap = 2 * workers
+    streamer = None
+    spool = None
+    if q_stream:
+        streamer = qualstream.BlockQualityStreamer(
+            pool, futs, block, ml, n, per_file, paired, lengths, table,
+            fine_pos, inflight_cap)
+    elif q_spool:
+        spool = qualstream.QualSpool(
+            n, ml, dir=os.path.dirname(files[0]) or ".")
+
     exc_parts = []
-    off = 0
-    ido = 0
-    for buf, info, f in zip(bufs, infos, files):
-        if info.n:
-            exc = fastq_native.parse_packed_into(
-                buf, f, info, ml, packed_all[off:off + info.n],
-                lengths[off:off + info.n],
-                quals[off:off + info.n] if quals is not None else None,
-                idbuf[ido:ido + info.idbytes], idlens[off:off + info.n],
-                fasta=cp.fasta_input, num_threads=num_threads)
-            if len(exc):
-                exc[:, 0] += off
-                exc_parts.append(exc)
-        off += info.n
-        ido += info.idbytes
+    if q_stream and paired and per_file:
+        # lockstep range parse: both mates of each block range are in
+        # memory together, so PE pair blocks stream like SE blocks
+        SEG = fastq_native._SEG_RECORDS
+        stride = fastq_native.ckpt_stride()
+        assert SEG % stride == 0
+        stag = [np.empty((min(SEG, per_file), ml), np.uint8)
+                for _ in range(2)]
+        ido_f = [0, infos[0].idbytes]
+        for r0 in range(0, per_file, SEG):
+            k = min(SEG, per_file - r0)
+            for fi in (0, 1):
+                info = infos[fi]
+                goff = fi * per_file
+                idbase = ido_f[fi] + int(info.ckpt_id[r0 // stride])
+                exc = fastq_native.parse_packed_range(
+                    bufs[fi], files[fi], info, ml, r0, k,
+                    packed_all[goff + r0: goff + r0 + k],
+                    lengths[goff + r0: goff + r0 + k], stag[fi][:k],
+                    idbuf[idbase:], idlens[goff + r0: goff + r0 + k],
+                    fasta=cp.fasta_input, num_threads=num_threads)
+                if len(exc):
+                    exc[:, 0] += goff + r0
+                    exc_parts.append(exc)
+                streamer.feed(goff + r0, stag[fi][:k])
+        del stag
+    else:
+        off = 0
+        ido = 0
+        for buf, info, f in zip(bufs, infos, files):
+            if info.n:
+                if streamer is not None:
+                    sink = (lambda o: lambda r0, rows:
+                            streamer.feed(o + r0, rows))(off)
+                elif spool is not None:
+                    sink = (lambda o: lambda r0, rows:
+                            spool.write(o + r0, rows))(off)
+                else:
+                    sink = None
+                exc = fastq_native.parse_packed_into(
+                    buf, f, info, ml, packed_all[off:off + info.n],
+                    lengths[off:off + info.n], None,
+                    idbuf[ido:ido + info.idbytes],
+                    idlens[off:off + info.n],
+                    fasta=cp.fasta_input, num_threads=num_threads,
+                    qual_sink=sink)
+                if len(exc):
+                    exc[:, 0] += off
+                    exc_parts.append(exc)
+            off += info.n
+            ido += info.idbytes
+    if streamer is not None:
+        streamer.finish()
     del bufs, infos
     overlay = cons.NOverlay.from_pairs(
         np.concatenate(exc_parts) if exc_parts else
@@ -191,15 +263,6 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     del exc_parts
     idoffs = np.concatenate([[0], np.cumsum(idlens.astype(np.int64))])
     mark("load+parse")
-
-    # --- quality quantization (inline, reference src/preprocess.cpp:220-229)
-    if quals is not None and cp.quality_mode in ("ill_bin", "binary"):
-        table = qual_mod.make_table(cp.quality_mode, cp.qvz_ratio,
-                                    cp.bin_thresholds)
-        quals = qual_mod.quantize_matrix(quals, lengths, table)
-    elif quals is not None and cp.quality_mode == "qvz":
-        from . import qvz
-        quals = qvz.quantize_matrix(quals, lengths, cp.qvz_ratio)
 
     # --- PE id pattern detection (reference src/preprocess.cpp:113-140)
     pattern_code = 0
@@ -215,69 +278,92 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     cp.paired_id_match = bool(pattern_ok and pattern_code)
     cp.paired_id_code = pattern_code if cp.paired_id_match else 0
 
-    # leave one core for the main thread + TPU tunnel client: with every
-    # core in the codec pool, device dispatches crawl (the 10M dict build
-    # measured 58-85 s under codec load vs ~1 s on an idle host).
-    # Deprioritizing the workers with nice +10 instead was measured WORSE
-    # (159.7 s vs 110.9 s at 10M): the axon tunnel helper process runs at
-    # nice 0 and then out-competes the codec pool whenever it is busy.
-    pool = ThreadPoolExecutor(max_workers=max(1, num_threads - 1))
-    futs = []
-
-    # the per-block row/id gathers run INSIDE the worker so at most
+    # the per-block id gathers run INSIDE the worker so at most
     # num_threads block-sized copies are live at once (submitting the
     # gathered arrays directly would materialize every block up front)
-    def _q_task(sel):
-        # qvz output is near-deterministic per column: fine pos contexts
-        return qv.compress_rows(quals[sel], lengths[sel], num_threads=1,
-                                fine_pos=cp.quality_mode == "qvz")
-
     def _id_task(sel):
         return idcodec.compress_ids_raw(
             *_gather_ids(idbuf, idoffs, idlens, sel))
 
-    def _submit_quality_ids_se(order):
+    def _submit_ids_se(order):
+        if not cp.preserve_id:
+            return
         for b in range(cp.num_blocks):
             sel = order[b * block:(b + 1) * block]
-            if quals is not None:
-                futs.append((f"quality.{b}", pool.submit(_q_task, sel)))
-            if cp.preserve_id:
-                futs.append((f"id.{b}", pool.submit(_id_task, sel)))
+            futs.append((f"id.{b}", pool.submit(_id_task, sel)))
 
-    def _submit_quality_ids_pe(pairs):
+    def _submit_ids_pe(pairs):
+        if not cp.preserve_id:
+            return
         nb = -(-per_file // block) if per_file else 0
         for b in range(nb):
             p1 = pairs[b * block:(b + 1) * block]
-            both = np.concatenate([p1, p1 + per_file])
-            if quals is not None:
-                futs.append((f"quality.{b}", pool.submit(_q_task, both)))
-            if cp.preserve_id:
-                idsel = p1 if cp.paired_id_match else both
-                futs.append((f"id.{b}", pool.submit(_id_task, idsel)))
+            idsel = (p1 if cp.paired_id_match
+                     else np.concatenate([p1, p1 + per_file]))
+            futs.append((f"id.{b}", pool.submit(_id_task, idsel)))
+
+    def _quality_sels(order_or_pairs) -> list:
+        """(member name, global row indices) per output quality block —
+        the layout the resident-matrix path compressed (PE: file-1 rows
+        then file-2 rows of the same pair block)."""
+        if paired:
+            nb = -(-per_file // block) if per_file else 0
+            out = []
+            for b in range(nb):
+                p1 = order_or_pairs[b * block:(b + 1) * block]
+                out.append((f"quality.{b}",
+                            np.concatenate([p1, p1 + per_file])))
+            return out
+        return [(f"quality.{b}",
+                 order_or_pairs[b * block:(b + 1) * block])
+                for b in range(cp.num_blocks)]
+
+    bin_threads = []
+
+    def _start_quality_bins(sels):
+        """Spool-backed quality compression on its own thread (the bin
+        gather must not block the engine's flush loop or the stream
+        submission; futs.append is atomic under the GIL and the list is
+        only drained after join)."""
+        if spool is None or not sels:
+            return
+        import threading
+        t = threading.Thread(
+            target=qualstream.drive_quality_bins,
+            args=(spool, pool, futs, sels, lengths, cp.quality_mode,
+                  table, cp.qvz_ratio, fine_pos, inflight_cap),
+            daemon=True)
+        t.start()
+        bin_threads.append(t)
 
     # in order-preserving mode the output order is known before the reorder
-    # runs — quality/id codec work overlaps the device-side engine. It is
-    # submitted from the engine's first progress callback (after the dict
-    # build): codec workers contending with the tunnel client during init
-    # cost 15+ s at 10M reads (dict build 17.5 s under load vs ~2 s after
-    # the deferral), while the rounds that follow leave host cores idle.
-    quality_ids_submitted = False
+    # runs — id codec work (and spooled qvz quality) overlaps the device
+    # engine. It is submitted from the engine's first progress callback
+    # (after the dict build): codec workers contending with the tunnel
+    # client during init cost 15+ s at 10M reads (dict build 17.5 s under
+    # load vs ~2 s after the deferral). Streamed quality was already
+    # compressed during parse.
+    deferred_submitted = False
 
-    def _submit_quality_ids():
+    def _submit_deferred():
         # order-preserving mode only; in -r mode the flag stays False and
         # the post-reorder paths submit with the final output order
-        nonlocal quality_ids_submitted
-        if quality_ids_submitted or not (cp.preserve_order and n):
+        nonlocal deferred_submitted
+        if deferred_submitted or not (cp.preserve_order and n):
             return
-        quality_ids_submitted = True
+        deferred_submitted = True
         if paired:
             cp.num_blocks = -(-per_file // block) if per_file else 0
-            _submit_quality_ids_pe(np.arange(per_file, dtype=np.int64))
+            pairs = np.arange(per_file, dtype=np.int64)
+            _submit_ids_pe(pairs)
+            _start_quality_bins(_quality_sels(pairs))
         else:
-            _submit_quality_ids_se(np.arange(n, dtype=np.int64))
+            order = np.arange(n, dtype=np.int64)
+            _submit_ids_se(order)
+            _start_quality_bins(_quality_sels(order))
 
     def _progress(_claimed, _total):
-        _submit_quality_ids()
+        _submit_deferred()
 
     mark("quantize+idcheck")
     has_n = overlay.has_n_mask(n)
@@ -314,7 +400,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                                        select=clean_rids)
         mark("dict_build")
         emissions = engine.run(progress=_progress)
-        _submit_quality_ids()   # zero-flush runs never fire the callback
+        _submit_deferred()      # zero-flush runs never fire the callback
         mark("reorder_run")
         # contigs below MIN_CONTIG_READS don't pay for a consensus copy:
         # their reads join the leftover pool and re-place against the
@@ -360,7 +446,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 [[0], np.cumsum(nn.astype(np.int64))[:-1]])
             lay_rank[g] = np.arange(len(g))
 
-    _submit_quality_ids()   # engine may not have run (no clean reads,
+    _submit_deferred()      # engine may not have run (no clean reads,
     # maxlen < 32) — make sure order-preserving codec work is in flight
 
     # second chance: align N-reads and singleton-contig reads against the
@@ -458,8 +544,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         # paired file-2 read costs ~2 bytes of metadata.
         cp.num_blocks = -(-per_file // block) if per_file else 0
         pairs_out = order_out[:per_file]
-        if not quality_ids_submitted:
-            _submit_quality_ids_pe(pairs_out)
+        if not deferred_submitted:
+            _submit_ids_pe(pairs_out)
+            _start_quality_bins(_quality_sels(pairs_out))
         for b in range(cp.num_blocks):
             p1 = pairs_out[b * block:(b + 1) * block]
             p2 = p1 + per_file
@@ -497,8 +584,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 futs.append((name,
                              pool.submit(bsc.compress, raw, num_threads=1)))
     else:
-        if not quality_ids_submitted:
-            _submit_quality_ids_se(order_out)
+        if not deferred_submitted:
+            _submit_ids_se(order_out)
+            _start_quality_bins(_quality_sels(order_out))
         for b in range(cp.num_blocks):
             s, e = b * block, min((b + 1) * block, n)
             sel = order_out[s:e]
@@ -520,9 +608,13 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                              pool.submit(bsc.compress, raw, num_threads=1)))
 
     mark("block_streams_submit")
+    for t in bin_threads:
+        t.join()
     for name, fut in futs:
         writer.add(name, fut.result())
     pool.shutdown()
+    if spool is not None:
+        spool.close()
     mark("codec+write")
 
 
