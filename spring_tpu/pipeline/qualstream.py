@@ -37,21 +37,22 @@ from ..codecs import qv
 
 class _Throttle:
     """Bound in-flight codec tasks so staged block copies can't outrun
-    the pool (an unbounded queue re-grows quality memory to O(n))."""
+    the pool (an unbounded queue re-grows quality memory to O(n)).
+    ``sink(name, fn, *args)`` is the pipeline's submit-and-write hook."""
 
     def __init__(self, window: int):
         self._sem = threading.Semaphore(window)
 
-    def submit(self, pool, futs, name, fn, *args):
+    def submit(self, sink, name, fn, *args):
         self._sem.acquire()
 
-        def run(a=args):
+        def run(*a):
             try:
                 return fn(*a)
             finally:
                 self._sem.release()
 
-        futs.append((name, pool.submit(run)))
+        sink(name, run, *args)
 
 
 def _apply_table(rows: np.ndarray, lens: np.ndarray,
@@ -76,11 +77,11 @@ class BlockQualityStreamer:
     handed to the codec task (and replaced) when complete.
     """
 
-    def __init__(self, pool, futs, block: int, ml: int, n: int,
+    def __init__(self, sink, block: int, ml: int, n: int,
                  per_file: int, paired: bool, lengths: np.ndarray,
                  table: np.ndarray | None, fine_pos: bool,
                  max_inflight: int):
-        self.pool, self.futs = pool, futs
+        self.sink = sink
         self.block, self.ml, self.n = block, ml, n
         self.paired = paired
         self.per_file = per_file if paired else n
@@ -120,7 +121,7 @@ class BlockQualityStreamer:
             lens = self.lengths[s:e].copy()
         rows = _apply_table(buf, lens, self.table)
         self.throttle.submit(
-            self.pool, self.futs, f"quality.{b}", qv.compress_rows,
+            self.sink, f"quality.{b}", qv.compress_rows,
             rows, lens, 1, self.fine_pos)
 
     def feed(self, g0: int, rows: np.ndarray) -> None:
@@ -192,7 +193,7 @@ class QualSpool:
         self._f.close()
 
 
-def drive_quality_bins(spool: QualSpool, pool, futs,
+def drive_quality_bins(spool: QualSpool, sink,
                        block_sels: list[tuple[str, np.ndarray]],
                        lengths: np.ndarray, quality_mode: str,
                        table: np.ndarray | None, qvz_ratio: float,
@@ -232,7 +233,7 @@ def drive_quality_bins(spool: QualSpool, pool, futs,
         off = 0
         for name, s in block_sels[i:jn]:
             sl = slice(off, off + len(s))
-            throttle.submit(pool, futs, name, qv.compress_rows,
+            throttle.submit(sink, name, qv.compress_rows,
                             mat[sl], lens[sl], 1, fine_pos)
             off += len(s)
         i = jn

@@ -191,12 +191,27 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     workers = max(1, num_threads - 1)
     pool = ThreadPoolExecutor(max_workers=workers)
     futs = []
+
+    def _sink(name, fn, *args):
+        """Submit a codec task that writes its member the moment it
+        completes (the spooled writer is thread-safe and emits the tar
+        in canonical order at finish) — compressed bytes never pile up
+        in retained futures; futs only carries errors to the drain."""
+        def run():
+            writer.add(name, fn(*args))
+        futs.append(pool.submit(run))
+
+    def _bsc1(raw):
+        # one OMP thread per block-stream task: the pool is the
+        # parallelism; full-width teams from every worker thrash 4 cores
+        return bsc.compress(raw, num_threads=1)
+
     inflight_cap = 2 * workers
     streamer = None
     spool = None
     if q_stream:
         streamer = qualstream.BlockQualityStreamer(
-            pool, futs, block, ml, n, per_file, paired, lengths, table,
+            _sink, block, ml, n, per_file, paired, lengths, table,
             fine_pos, inflight_cap)
     elif q_spool:
         spool = qualstream.QualSpool(
@@ -280,17 +295,19 @@ def compress_short(files: list[str], writer: ArchiveWriter,
 
     # the per-block id gathers run INSIDE the worker so at most
     # num_threads block-sized copies are live at once (submitting the
-    # gathered arrays directly would materialize every block up front)
-    def _id_task(sel):
-        return idcodec.compress_ids_raw(
-            *_gather_ids(idbuf, idoffs, idlens, sel))
+    # gathered arrays directly would materialize every block up front).
+    # The id arrays ride as EXPLICIT task args — once every id task is
+    # submitted the main frame drops its references (the blob is ~300 MB
+    # at 10M reads) and the memory dies with the last task.
+    def _id_task(ib, io_, il, sel):
+        return idcodec.compress_ids_raw(*_gather_ids(ib, io_, il, sel))
 
     def _submit_ids_se(order):
         if not cp.preserve_id:
             return
         for b in range(cp.num_blocks):
             sel = order[b * block:(b + 1) * block]
-            futs.append((f"id.{b}", pool.submit(_id_task, sel)))
+            _sink(f"id.{b}", _id_task, idbuf, idoffs, idlens, sel)
 
     def _submit_ids_pe(pairs):
         if not cp.preserve_id:
@@ -300,7 +317,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             p1 = pairs[b * block:(b + 1) * block]
             idsel = (p1 if cp.paired_id_match
                      else np.concatenate([p1, p1 + per_file]))
-            futs.append((f"id.{b}", pool.submit(_id_task, idsel)))
+            _sink(f"id.{b}", _id_task, idbuf, idoffs, idlens, idsel)
 
     def _quality_sels(order_or_pairs) -> list:
         """(member name, global row indices) per output quality block —
@@ -323,14 +340,14 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     def _start_quality_bins(sels):
         """Spool-backed quality compression on its own thread (the bin
         gather must not block the engine's flush loop or the stream
-        submission; futs.append is atomic under the GIL and the list is
-        only drained after join)."""
+        submission; _sink appends futures atomically under the GIL and
+        the spooled writer serializes member writes)."""
         if spool is None or not sels:
             return
         import threading
         t = threading.Thread(
             target=qualstream.drive_quality_bins,
-            args=(spool, pool, futs, sels, lengths, cp.quality_mode,
+            args=(spool, _sink, sels, lengths, cp.quality_mode,
                   table, cp.qvz_ratio, fine_pos, inflight_cap),
             daemon=True)
         t.start()
@@ -344,6 +361,12 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # load vs ~2 s after the deferral). Streamed quality was already
     # compressed during parse.
     deferred_submitted = False
+
+    def _release_ids():
+        # every id task is submitted (tasks own their array args): drop
+        # the main frame's references so the blob dies with the last task
+        nonlocal idbuf, idoffs, idlens
+        idbuf = idoffs = idlens = None
 
     def _submit_deferred():
         # order-preserving mode only; in -r mode the flag stays False and
@@ -361,6 +384,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             order = np.arange(n, dtype=np.int64)
             _submit_ids_se(order)
             _start_quality_bins(_quality_sels(order))
+        _release_ids()
 
     def _progress(_claimed, _total):
         _submit_deferred()
@@ -491,11 +515,10 @@ def compress_short(files: list[str], writer: ArchiveWriter,
               f"read bases)", flush=True)
 
     # seq stream: u64 length + 2-bit packed consensus
-    futs.append(("seq.0", pool.submit(
-        bsc.compress,
-        np.uint64(len(seq_codes)).tobytes()
-        + packing.codes_to_bitstream_2bit(
-            seq_codes[None, :], np.array([len(seq_codes)])))))
+    _sink("seq.0", bsc.compress,
+          np.uint64(len(seq_codes)).tobytes()
+          + packing.codes_to_bitstream_2bit(
+              seq_codes[None, :], np.array([len(seq_codes)])))
 
     # --- output order (-r): re-block by the internal reorder instead of the
     # original order. PE keeps pairing implicit by position: output k pairs
@@ -547,6 +570,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         if not deferred_submitted:
             _submit_ids_pe(pairs_out)
             _start_quality_bins(_quality_sels(pairs_out))
+            _release_ids()
         for b in range(cp.num_blocks):
             p1 = pairs_out[b * block:(b + 1) * block]
             p2 = p1 + per_file
@@ -581,12 +605,12 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 f"literal.{b}": _literal_blob(lit),
             }
             for name, raw in members.items():
-                futs.append((name,
-                             pool.submit(bsc.compress, raw, num_threads=1)))
+                _sink(name, _bsc1, raw)
     else:
         if not deferred_submitted:
             _submit_ids_se(order_out)
             _start_quality_bins(_quality_sels(order_out))
+            _release_ids()
         for b in range(cp.num_blocks):
             s, e = b * block, min((b + 1) * block, n)
             sel = order_out[s:e]
@@ -604,14 +628,13 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 f"literal.{b}": _literal_blob(lit),
             }
             for name, raw in members.items():
-                futs.append((name,
-                             pool.submit(bsc.compress, raw, num_threads=1)))
+                _sink(name, _bsc1, raw)
 
     mark("block_streams_submit")
     for t in bin_threads:
         t.join()
-    for name, fut in futs:
-        writer.add(name, fut.result())
+    for fut in futs:
+        fut.result()        # propagate codec/writer errors
     pool.shutdown()
     if spool is not None:
         spool.close()

@@ -361,6 +361,29 @@ def _build_hash_dict_dev(rows, n_real, start, S: int):
     return _hash_build_core(lo.astype(jnp.uint32), ok, S, compact=True)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def build_hash_dict_seq_seg(seq_words, total, base, word_offset: int,
+                            nw_seg: int, S: int):
+    """Segmented variant of build_hash_dict_seq_dev: keys for the
+    (nw_seg - 2) * 16 positions starting at flat-sequence base ``base``
+    (a multiple of 16), payload = GLOBAL position. Bounds the build's
+    table + sort memory by the segment size regardless of consensus
+    length — a 100 Mbp consensus needs a 19 GB build program whole
+    (measured OOM on 16 GB v5e), but segments of 2^24 positions fit."""
+    w0 = word_offset + (base >> 4)
+    seg = jax.lax.dynamic_slice(seq_words, (w0,), (nw_seg,))
+    npos = (nw_seg - 2) * 16
+    p = jnp.arange(npos, dtype=jnp.int32)
+    wi = p >> 4
+    r2 = (2 * (p & 15)).astype(jnp.uint32)
+    lo = seg[jnp.clip(wi, 0, nw_seg - 1)]
+    hi = seg[jnp.clip(wi + 1, 0, nw_seg - 1)]
+    keys = jnp.where(r2 > 0, (lo >> r2) | (hi << (32 - r2)), lo)
+    gp = p + base
+    ok = gp <= total - KEY_BASES
+    return _hash_build_core(keys, ok, S, rids=gp)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def build_hash_dict_seq_dev(seq_words, total, word_offset: int, S: int):
     """Sliding-window hash dict over a packed flat sequence (device):

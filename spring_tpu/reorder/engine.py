@@ -428,10 +428,21 @@ class ReorderEngine:
         """Assemble the engine's (Np, W+1) padded row array on device:
         gather packed[select], append the length word with the claimed flag
         (bit 31) pre-set on padding rows (one row gather in the round
-        fetches data + length + claimed state)."""
+        fetches data + length + claimed state).
+
+        Only the rows the select actually reaches ride the wire —
+        transferring the caller's pow2-padded buffer whole shipped (and
+        page-faulted) up to 2x the real bytes (190 MB of np.empty padding
+        at 10M reads over the ~100 MB/s tunnel). The slice length is
+        rounded up to 1/8-of-octave granules so _assemble_rows keeps a
+        few compiled shapes per size bucket, not one per dataset."""
         sel_p = np.full(self.Np, -1, np.int32)
         sel_p[: self.N] = self._sel
-        return _assemble_rows(jnp.asarray(self._full),
+        n_full = self._full.shape[0]
+        n_used = int(self._sel.max()) + 1 if self.N else 1
+        gran = max(1 << max(int(n_used - 1).bit_length() - 3, 6), 64)
+        n_used = min(-(-n_used // gran) * gran, n_full)
+        return _assemble_rows(jnp.asarray(self._full[:n_used]),
                               jnp.asarray(sel_p), self.lengths)
 
     def _build_dicts(self, rows) -> None:

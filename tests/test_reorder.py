@@ -257,3 +257,40 @@ def test_device_bin_compaction_matches_host():
         dev_out = np.asarray(dct.compact_bins_dev(
             dd.keys_dev, dd.rids, jnp.asarray(cl)))
         np.testing.assert_array_equal(host_out, dev_out)
+
+
+def test_layout_native_matches_numpy():
+    """csrc/layout.cpp must byte-match the numpy layout_from_emissions
+    body (both tie-stable in timeline order) on random walker streams."""
+    from spring_tpu.encode import consensus as cons
+    rng = np.random.default_rng(7)
+    n_reads = 50_000
+    lengths = rng.integers(40, 101, size=n_reads).astype(np.int32)
+    rows = []
+    rid = 0
+    for _ in range(800):
+        k = int(rng.integers(1, 60))
+        for j in range(k):
+            rows.append((rid % n_reads,
+                         0 if j == 0 else int(rng.integers(1, 3)),
+                         int(rng.integers(0, 12)), int(rng.integers(0, 2))))
+            rid += 1
+    arr = np.array(rows, np.int32)
+    import os
+    os.environ["SPRING_TPU_NATIVE_LAYOUT"] = "0"
+    try:
+        l1, s1 = cons.layout_from_emissions(arr, 1, lengths, min_reads=2,
+                                            ordered=True)
+    finally:
+        del os.environ["SPRING_TPU_NATIVE_LAYOUT"]
+    out = cons._layout_native(arr, lengths, 2)
+    assert out is not None
+    l2, s2 = out
+    np.testing.assert_array_equal(l1.rids, l2.rids)
+    np.testing.assert_array_equal(l1.gpos, l2.gpos)
+    np.testing.assert_array_equal(l1.rc, l2.rc)
+    assert l1.seq_len == l2.seq_len
+    np.testing.assert_array_equal(l1.cbase, l2.cbase)
+    np.testing.assert_array_equal(l1.clen, l2.clen)
+    np.testing.assert_array_equal(l1.ccount, l2.ccount)
+    np.testing.assert_array_equal(s1, s2)
