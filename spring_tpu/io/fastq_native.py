@@ -148,7 +148,8 @@ def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
                       packed: np.ndarray, lengths: np.ndarray,
                       quals: np.ndarray | None, idbuf: np.ndarray,
                       idlens: np.ndarray, fasta: bool = False,
-                      num_threads: int = 0, qual_sink=None) -> np.ndarray:
+                      num_threads: int = 0, qual_sink=None,
+                      row_sink=None) -> np.ndarray:
     """Record-parallel parse straight into caller-owned array slices:
     packed (n, ceil(ml/16)) 2-bit rows (N packs as A), lengths, quality
     rows at stride ml, id blob. Returns the N-position (rid, pos) pairs
@@ -190,6 +191,9 @@ def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
             num_threads)
         if staging is not None:
             qual_sink(r0, staging[:n_seg])
+        if row_sink is not None:
+            # overlap the packed-rows device transfer with the parse
+            row_sink(r0, packed[r0:r0 + n_seg])
         if len(exc):
             exc[:, 0] += r0
             exc_parts.append(exc)

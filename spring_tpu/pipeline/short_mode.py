@@ -217,6 +217,14 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         spool = qualstream.QualSpool(
             n, ml, dir=os.path.dirname(files[0]) or ".")
 
+    # overlap the engine's packed-rows h2d with the parse (single-file
+    # inputs; multi-file offsets break the stager's tail-pad ordering).
+    # ~3 s and a ~300 MB client staging spike at 10M reads otherwise.
+    stager = None
+    if (len(files) == 1 and n >= 2_000_000 and maxlen >= 32
+            and not os.environ.get("SPRING_TPU_DIST")):
+        stager = eng.DeviceRowStager(n, W, fastq_native._SEG_RECORDS)
+
     exc_parts = []
     if q_stream and paired and per_file:
         # lockstep range parse: both mates of each block range are in
@@ -263,7 +271,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                     idbuf[ido:ido + info.idbytes],
                     idlens[off:off + info.n],
                     fasta=cp.fasta_input, num_threads=num_threads,
-                    qual_sink=sink)
+                    qual_sink=sink,
+                    row_sink=stager.feed if stager is not None else None)
                 if len(exc):
                     exc[:, 0] += off
                     exc_parts.append(exc)
@@ -420,8 +429,9 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                 if v:
                     setattr(cfg, attr, int(v))
             # the clean-row gather happens on device (engine `select`)
-            engine = eng.ReorderEngine(packed_buf, lengths, cfg,
-                                       select=clean_rids)
+            engine = eng.ReorderEngine(
+                packed_buf, lengths, cfg, select=clean_rids,
+                rows_dev=stager.rows() if stager is not None else None)
         mark("dict_build")
         emissions = engine.run(progress=_progress)
         _submit_deferred()      # zero-flush runs never fire the callback

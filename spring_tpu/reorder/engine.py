@@ -355,6 +355,46 @@ def _assemble_rows(full, sel, lengths_p):
     return jnp.concatenate([rows, lw[:, None]], axis=1)
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _dus_rows(buf, seg, r0):
+    return jax.lax.dynamic_update_slice(buf, seg, (r0, 0))
+
+
+class DeviceRowStager:
+    """Overlap the packed-rows host->device transfer with the parse.
+
+    ``feed(r0, rows)`` ships each parsed segment (~14 MB) into a
+    device-resident table while the next segment parses, so the engine
+    starts from device rows instead of paying the whole ~300 MB transfer
+    (plus its client-side staging spike) after the parse — ~3 s at 10M
+    reads over the ~100 MB/s tunnel. The table is sized at 1/8-octave
+    granularity (multiple of the feed segment) so the update program and
+    downstream gathers stay shape-bucketed."""
+
+    def __init__(self, n: int, W: int, seg: int):
+        gran = max(1 << max(int(max(n, 1) - 1).bit_length() - 3, 6), seg)
+        self.cap = -(-max(n, 1) // gran) * gran
+        self.W = W
+        self.seg = seg
+        self._buf = None
+
+    def feed(self, r0: int, rows: np.ndarray) -> None:
+        if self._buf is None:
+            self._buf = jnp.zeros((self.cap, self.W), jnp.uint32)
+        if rows.shape[0] != self.seg:          # tail segment: pad to shape
+            pad = np.zeros((self.seg, self.W), np.uint32)
+            pad[: rows.shape[0]] = rows
+            rows = pad
+        self._buf = _dus_rows(self._buf, jax.device_put(rows),
+                              jnp.asarray(r0, jnp.int32))
+
+    def rows(self):
+        """The (cap, W) device table (zeros if nothing was fed)."""
+        if self._buf is None:
+            self._buf = jnp.zeros((self.cap, self.W), jnp.uint32)
+        return self._buf
+
+
 # --------------- single-device engine ---------------
 
 class ReorderEngine:
@@ -369,13 +409,16 @@ class ReorderEngine:
 
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
                  cfg: ReorderConfig, codes: np.ndarray | None = None,
-                 select: np.ndarray | None = None):
+                 select: np.ndarray | None = None, rows_dev=None):
         """packed: (n, W) uint32 packed rows; lengths: matching lengths.
         With ``select``, packed covers the FULL read set and the engine
         operates on packed[select] (the row gather happens ON DEVICE — a
         host-side fancy-index of 32 MB costs ~1 s on this host's lazily
-        faulted memory, and the rows transfer anyway)."""
+        faulted memory, and the rows transfer anyway). ``rows_dev`` is an
+        already-device-resident (>= max rid + 1, W) row table (from
+        DeviceRowStager) — the h2d transfer was overlapped with parse."""
         self.cfg = cfg
+        self._rows_dev = rows_dev
         if select is None:
             select = np.arange(packed.shape[0], dtype=np.int32)
             lengths_sel = lengths
@@ -438,6 +481,9 @@ class ReorderEngine:
         few compiled shapes per size bucket, not one per dataset."""
         sel_p = np.full(self.Np, -1, np.int32)
         sel_p[: self.N] = self._sel
+        if self._rows_dev is not None:
+            return _assemble_rows(self._rows_dev, jnp.asarray(sel_p),
+                                  self.lengths)
         n_full = self._full.shape[0]
         n_used = int(self._sel.max()) + 1 if self.N else 1
         gran = max(1 << max(int(n_used - 1).bit_length() - 3, 6), 64)

@@ -49,12 +49,14 @@ def _quals(rng: np.random.Generator, n: int, read_len: int,
 
 
 def _ids(rng: np.random.Generator, n: int, read_len: int,
-         style: str = "affine", mate: int = 0) -> "list[str]":
+         style: str = "affine", mate: int = 0,
+         base: int = 0) -> "list[str]":
     suffix = f"/{mate}" if mate else ""
     if style == "affine":
         if mate:
-            return [f"@SYN.{i + 1}{suffix}" for i in range(n)]
-        return [f"@SYN.{i + 1} {i + 1} length={read_len}" for i in range(n)]
+            return [f"@SYN.{base + i + 1}{suffix}" for i in range(n)]
+        return [f"@SYN.{base + i + 1} {base + i + 1} length={read_len}"
+                for i in range(n)]
     if style == "sra_perm":
         # SRA accession with a permuted spot index: breaks every
         # delta/affine assumption an id model might lean on
@@ -71,9 +73,10 @@ def _ids(rng: np.random.Generator, n: int, read_len: int,
 
 
 def _write_fastq(path: str, chars: np.ndarray, quals: np.ndarray,
-                 ids: "list[str]", lens: np.ndarray | None = None) -> None:
+                 ids: "list[str]", lens: np.ndarray | None = None,
+                 mode: str = "wb") -> None:
     n = chars.shape[0]
-    with open(path, "wb") as f:
+    with open(path, mode) as f:
         block = 100_000
         for s in range(0, n, block):
             e = min(s + block, n)
@@ -117,27 +120,40 @@ def make_se(path: str, n_reads: int, read_len: int = 100,
     if len_range is not None:
         read_len = int(len_range[1])
     genome = rng.integers(0, 4, size=genome_size, dtype=np.int8)
-    starts = rng.integers(0, genome_size - read_len, size=n_reads)
-    reads = genome[starts[:, None] + np.arange(read_len)[None, :]]
-    nerr = int(err_rate * n_reads * read_len)
-    er = rng.integers(0, n_reads, size=nerr)
-    ec = rng.integers(0, read_len, size=nerr)
-    reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=nerr)) % 4
-    rc = rng.random(n_reads) < 0.5
-    reads[rc] = 3 - reads[rc][:, ::-1]
-    chars = np.frombuffer(b"ACGT", dtype=np.uint8)[reads]
-    err_mask = None
-    if qual_levels > 8:
-        err_mask = np.zeros(reads.shape, bool)
-        err_mask[er, ec] = True
-        # reflect strand flips so depressed quality stays on the error
-        err_mask[rc] = err_mask[rc][:, ::-1]
-    quals = _quals(rng, n_reads, read_len, qual_levels, err_mask)
-    _apply_n(rng, chars, quals, n_rate)
-    lens = (rng.integers(len_range[0], len_range[1] + 1, size=n_reads)
-            .astype(np.int32) if len_range is not None else None)
-    ids = _ids(rng, n_reads, read_len, id_style)
-    _write_fastq(path, chars, quals, ids, lens)
+    # permuted-id styles draw the id list whole (needs a global
+    # permutation); sequential styles stream it per chunk
+    ids_all = (_ids(rng, n_reads, read_len, id_style)
+               if id_style != "affine" else None)
+    # chunked generation: the float64 normals behind the quality model
+    # are 8 bytes/base — one whole-dataset draw at 100M x 100 bp is
+    # ~80 GB of transient; 2M-read chunks keep it ~1.6 GB
+    chunk = 2_000_000
+    mode = "wb"
+    for c0 in range(0, n_reads, chunk):
+        nc = min(chunk, n_reads - c0)
+        starts = rng.integers(0, genome_size - read_len, size=nc)
+        reads = genome[starts[:, None] + np.arange(read_len)[None, :]]
+        nerr = int(err_rate * nc * read_len)
+        er = rng.integers(0, nc, size=nerr)
+        ec = rng.integers(0, read_len, size=nerr)
+        reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=nerr)) % 4
+        rc = rng.random(nc) < 0.5
+        reads[rc] = 3 - reads[rc][:, ::-1]
+        chars = np.frombuffer(b"ACGT", dtype=np.uint8)[reads]
+        err_mask = None
+        if qual_levels > 8:
+            err_mask = np.zeros(reads.shape, bool)
+            err_mask[er, ec] = True
+            # reflect strand flips so depressed quality stays on the error
+            err_mask[rc] = err_mask[rc][:, ::-1]
+        quals = _quals(rng, nc, read_len, qual_levels, err_mask)
+        _apply_n(rng, chars, quals, n_rate)
+        lens = (rng.integers(len_range[0], len_range[1] + 1, size=nc)
+                .astype(np.int32) if len_range is not None else None)
+        ids = (ids_all[c0:c0 + nc] if ids_all is not None else
+               _ids(rng, nc, read_len, id_style, base=c0))
+        _write_fastq(path, chars, quals, ids, lens, mode=mode)
+        mode = "ab"
 
 
 def make_pe(path1: str, path2: str, n_pairs: int, read_len: int = 100,
