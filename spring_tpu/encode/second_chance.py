@@ -95,15 +95,18 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
             okc &= q != exclude[:, None]
         wi = (q >> 4) + (_PAD // 16)
         r2 = (2 * (q & 15)).astype(jnp.uint32)
-        # fetch the W+1 consensus words per candidate as TWO 8-wide row
+        # fetch the W+1 consensus words per candidate as K 8-wide row
         # gathers + an offset select chain (the per-word single-element
-        # gathers this replaces paid per element, ~2x the whole match)
+        # gathers this replaces paid per element, ~2x the whole match).
+        # K covers offset 7 + W+1 words: two rows suffice only for
+        # W <= 8 (reads <= 128 bases); longer reads need a third.
+        k8 = -(-(W + 8) // 8)
         s8 = seq_j.reshape(-1, 8)
         nrows8 = s8.shape[0]
-        b0 = jnp.clip(wi >> 3, 0, nrows8 - 2)
+        b0 = jnp.clip(wi >> 3, 0, nrows8 - k8)
         both = jnp.concatenate(
-            [s8[b0.reshape(-1)], s8[b0.reshape(-1) + 1]],
-            axis=-1).reshape(*wi.shape, 16)
+            [s8[b0.reshape(-1) + i] for i in range(k8)],
+            axis=-1).reshape(*wi.shape, 8 * k8)
         woff = wi & 7
         wrows = both[..., : W + 1]
         for o in range(1, 8):

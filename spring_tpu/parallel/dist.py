@@ -21,7 +21,7 @@ structure sharded:
     pairs to their owners with one all_to_all;
   * the probe is METADATA-ONLY and capacity-limited (the MoE dispatch
     pattern: sort by owner, rank within group, drop overflow): keys ship
-    to their owner, one packed (start << 6 | count) word returns. Each
+    to their owner, one packed (start | count) sc word returns. Each
     walker then top-k selects the GSEL best-priority hitting groups and
     only THOSE ship a candidate-fetch request (one pairs-row gather at
     the owner, C rids back) — the eager all-K fetch this replaces was the
@@ -152,7 +152,7 @@ def _collect(replies: jnp.ndarray, src: jnp.ndarray, Q: int) -> jnp.ndarray:
 
 
 def _probe_meta_sc(btab: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
-    """Compact-table metadata probe: packed (start << 6 | count) words,
+    """Compact-table metadata probe: packed (start | count) sc words,
     0 on miss (same math as dct.probe_meta's compact branch)."""
     S = btab.shape[0]
     shift = 32 - int(np.log2(S))
@@ -163,7 +163,7 @@ def _probe_meta_sc(btab: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
     tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
                      axis=2).reshape(-1, dct.SLOTS)
     qtag = ((keys * jnp.uint32(dct._TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
-    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(63)) > 0)
+    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(dct.SC_CMASK)) > 0)
     first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
     return jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
 
@@ -299,7 +299,7 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
         recv_k = a2a(sends_q[0]).astype(jnp.uint32)
         sc_back = a2a(_probe_meta_sc(btab, recv_k))
         sc_g = _collect(sc_back, src_q, Bl * G).reshape(Bl, G)
-        hit_g = ((sc_g & jnp.uint32(63)) > 0) & searching[:, None]
+        hit_g = ((sc_g & jnp.uint32(dct.SC_CMASK)) > 0) & searching[:, None]
 
         # ---- pick the GSEL best-priority hitting groups ----
         negp = jnp.where(hit_g, -jnp.arange(G, dtype=jnp.int32)[None, :],
@@ -308,9 +308,9 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
         gok = negg != -_BIG
         g_id = jnp.where(gok, -negg, 0)
         sc_sel = jnp.take_along_axis(sc_g, g_id, axis=1)
-        st_sel = (sc_sel >> 6).astype(jnp.int32)
+        st_sel = (sc_sel >> dct.SC_SHIFT).astype(jnp.int32)
         ct_sel = jnp.where(gok,
-                           (sc_sel & jnp.uint32(63)).astype(jnp.int32), 0)
+                           (sc_sel & jnp.uint32(dct.SC_CMASK)).astype(jnp.int32), 0)
         key_sel = jnp.take_along_axis(keys_bg, g_id, axis=1)
         o_sel = (g_id // D) % 2
         srel = g_id // (2 * D)

@@ -86,18 +86,25 @@ SLOTS = 8
 _HASH_MULT = np.uint32(0x9E3779B1)
 _TAG_MULT = np.uint32(0x85EBCA6B)
 # compact btab row: SLOTS/2 words of packed 16-bit key tags + SLOTS words of
-# (start << 6 | min(count, 63)). Probe gathers are BYTE-bound on TPU
+# (start << SC_SHIFT | min(count, SC_CMASK)). Probe gathers are BYTE-bound on TPU
 # (~7 GB/s measured) so halving the row halves the probe cost; a 16-bit tag
 # false-positive (~2^-16/slot) only adds candidates that Hamming verification
-# rejects. start fits 26 bits -> tables cap at 2^26 entries.
+# rejects. start fits 27 bits -> tables cap at 2^27 entries (count
+# saturates at 31 — only the min(count, C<=8) candidate fetch reads it).
 COMPACT_WORDS = SLOTS // 2 + SLOTS
-MAX_COMPACT_ENTRIES = 1 << 26
+SC_SHIFT = 5
+SC_CMASK = (1 << SC_SHIFT) - 1
+MAX_COMPACT_ENTRIES = 1 << (32 - SC_SHIFT)
 
 
 def table_buckets(n_keys: int) -> int:
     """Bucket count for n_keys (pow2, ~2 slots per key: bucket-overflow
-    drop rate ~1e-4 at SLOTS=8)."""
-    return max(1 << int(max(4 * n_keys // SLOTS, 1) - 1).bit_length(), 64)
+    drop rate ~1e-4 at SLOTS=8). Capped at 2^25 buckets so the tables of
+    a 100M+-read build still fit HBM beside the row table (load factor
+    rises to ~0.5 there; overflow drops grow but stay a ratio nit —
+    dropped keys just leave their reads to the second-chance pass)."""
+    b = max(1 << int(max(4 * n_keys // SLOTS, 1) - 1).bit_length(), 64)
+    return min(b, 1 << 25)
 
 
 def pairs_from_rids(rids: jnp.ndarray) -> jnp.ndarray:
@@ -195,8 +202,8 @@ def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
             assert len(keys) <= MAX_COMPACT_ENTRIES
             t8 = ((bkey * _TAG_MULT) >> np.uint32(16)) & np.uint32(0xFFFF)
             tagw = t8[:, 0::2] | (t8[:, 1::2] << np.uint32(16))
-            scw = (bstart.astype(np.uint32) << np.uint32(6)) \
-                | np.minimum(bcount, 63).astype(np.uint32)
+            scw = (bstart.astype(np.uint32) << np.uint32(SC_SHIFT)) \
+                | np.minimum(bcount, SC_CMASK).astype(np.uint32)
             btab = np.concatenate([tagw, scw], axis=1)
             out.append(HashDict(
                 btab=jnp.asarray(btab), rids=jnp.asarray(rids),
@@ -232,11 +239,11 @@ def probe_meta(btab, queries: jnp.ndarray
         tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
                          axis=2).reshape(-1, SLOTS)
         qtag = ((flat * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
-        hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(63)) > 0)
+        hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(SC_CMASK)) > 0)
         first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
         sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
-        start = (sc >> 6).astype(jnp.int32)
-        count = (sc & jnp.uint32(63)).astype(jnp.int32)
+        start = (sc >> SC_SHIFT).astype(jnp.int32)
+        count = (sc & jnp.uint32(SC_CMASK)).astype(jnp.int32)
     else:
         krow = row[:, :SLOTS]
         srow = row[:, SLOTS:2 * SLOTS].astype(jnp.int32)
@@ -253,7 +260,7 @@ def probe_meta(btab, queries: jnp.ndarray
 def probe_meta_sc_stacked(btab_all, S: int, queries) -> jnp.ndarray:
     """Metadata probe of D compact tables stacked along axis 0 (dict d's
     buckets at rows [d*S, (d+1)*S)). queries: (D, ...) uint32 keys.
-    Returns the raw packed sc words (start << 6 | count, 0 on miss) with
+    Returns the raw packed sc words (start << SC_SHIFT | count, 0 on miss) with
     queries' shape — ONE btab row gather serves every dictionary, and the
     caller splits start/count after its own selection step."""
     D = queries.shape[0]
@@ -269,7 +276,7 @@ def probe_meta_sc_stacked(btab_all, S: int, queries) -> jnp.ndarray:
                      axis=2).reshape(-1, SLOTS)
     qtag = ((flat.reshape(-1) * jnp.uint32(_TAG_MULT)) >> 16) \
         & jnp.uint32(0xFFFF)
-    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(63)) > 0)
+    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(SC_CMASK)) > 0)
     first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
     sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
     return sc.reshape(queries.shape)
@@ -468,7 +475,7 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     if compact:
         t8 = ((k8 * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
         tagw = t8[:, 0::2] | (t8[:, 1::2] << 16)
-        scw = (s8 << 6) | jnp.minimum(c8, jnp.uint32(63))
+        scw = (s8 << SC_SHIFT) | jnp.minimum(c8, jnp.uint32(SC_CMASK))
         btab = jnp.concatenate([tagw, scw], axis=1)
     else:
         btab = jnp.concatenate([k8, s8, c8], axis=1)

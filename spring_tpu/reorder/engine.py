@@ -589,7 +589,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
                                              shift_base, SC)
         q, v = walker_queries(frames, s_tot, ref_len, starts)
 
-        # ---- metadata-only probe: one packed (start << 6 | count) word
+        # ---- metadata-only probe: one packed (start|count) sc word
         # per (shift, orient, dict) group from ONE stacked-table gather;
         # NO candidate rids are fetched yet. Probe gathers are byte-bound
         # (~7 GB/s), so fetching C rids for all G groups eagerly cost
@@ -602,7 +602,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         # (shift > orientation > dict — the reference search order,
         # src/reorder.h:479-557)
         sc_g = jnp.moveaxis(sc_d, 0, 3).reshape(B, G)
-        hit_g = ((sc_g & jnp.uint32(63)) > 0) & searching[:, None]
+        hit_g = ((sc_g & jnp.uint32(dct.SC_CMASK)) > 0) & searching[:, None]
 
         # ---- pick the GSEL best-priority hitting groups; only those
         # fetch candidate rows (one pairs-row gather each) ----
@@ -612,9 +612,9 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         gok = negg != -_BIG
         g_id = jnp.where(gok, -negg, 0)
         sc_sel = jnp.take_along_axis(sc_g, g_id, axis=1)
-        st_sel = (sc_sel >> 6).astype(jnp.int32)
-        ct_sel = jnp.where(gok, (sc_sel & jnp.uint32(63)).astype(jnp.int32),
-                           0)
+        st_sel = (sc_sel >> dct.SC_SHIFT).astype(jnp.int32)
+        ct_sel = jnp.where(
+            gok, (sc_sel & jnp.uint32(dct.SC_CMASK)).astype(jnp.int32), 0)
         d_sel = g_id % D
         o_sel = (g_id // D) % 2
         srel = g_id // (2 * D)

@@ -220,3 +220,38 @@ def test_recompression_deterministic(fq1, tmp_path):
     api.compress([fq1], str(a1), opts)
     api.compress([fq1], str(a2), opts)
     assert a1.read_bytes() == a2.read_bytes()
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_se_variable_151bp_short_mode(tmp_path, reorder):
+    """Variable lengths up to 151 bp (W = 10 packed words): reads past
+    128 bases exercise the three-row consensus word fetch in
+    second_chance (grid varlen failure, round 3) and the variable-length
+    rlen/noise streams."""
+    from spring_tpu.utils import synth
+    fq = tmp_path / "v.fastq"
+    synth.make_se(str(fq), 4000, genome_size=60_000, seed=13,
+                  len_range=(36, 151))
+    arc = tmp_path / "v.stpu"
+    out = tmp_path / "v.out.fastq"
+    api.compress([str(fq)], str(arc),
+                 api.CompressOptions(reorder=reorder, verbose=False))
+    api.decompress(str(arc), [str(out)], verbose=False)
+    if reorder:
+        assert_same_multiset(str(fq), str(out))
+    else:
+        assert_same(str(fq), str(out))
+
+
+def test_pe_variable_151bp_short_mode(tmp_path):
+    from spring_tpu.utils import synth
+    f1, f2 = tmp_path / "v1.fastq", tmp_path / "v2.fastq"
+    synth.make_pe(str(f1), str(f2), 2000, genome_size=60_000, seed=14,
+                  len_range=(36, 151))
+    arc = tmp_path / "v.stpu"
+    o1, o2 = tmp_path / "o1.fastq", tmp_path / "o2.fastq"
+    api.compress([str(f1), str(f2)], str(arc),
+                 api.CompressOptions(verbose=False))
+    api.decompress(str(arc), [str(o1), str(o2)], verbose=False)
+    assert_same(str(f1), str(o1))
+    assert_same(str(f2), str(o2))

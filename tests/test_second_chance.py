@@ -69,3 +69,19 @@ def test_n_bases_count_as_mismatch():
     lens = np.full(n, L, np.int32)
     _gpos, _grc, placed = sc.align_leftovers(seq, codes, lens)
     assert not placed.any()
+
+
+def test_second_chance_long_reads():
+    """Reads > 128 bases (W > 8): the consensus word fetch needs three
+    8-word rows — two truncated the offset select chain (grid varlen
+    failure, round 3)."""
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, size=3000).astype(np.uint8)
+    L = 151
+    starts = np.arange(0, len(genome) - L, 13)
+    codes = np.stack([genome[s:s + L] for s in starts])
+    lengths = np.full(len(codes), L, np.int32)
+    gpos, rc, placed = sc.align_leftovers(genome, codes, lengths)
+    assert placed.all()
+    np.testing.assert_array_equal(gpos, starts)
+    assert not rc.any()
