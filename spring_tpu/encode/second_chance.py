@@ -67,7 +67,7 @@ def _assemble_sc_rows(pk, nm_f, nm_r, lens):
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
                  thresh: int, windows: tuple = WINDOWS,
-                 exclude=None):
+                 exclude=None, rcbit=None):
     """Each oriented leftover read probes the consensus sliding-window
     dict at its 16-aligned windows and Hamming-verifies the candidate
     placements in place. ONE dispatch, no scatter, and work scales with
@@ -76,13 +76,16 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
     rows for every consensus position at a ~1% hit rate (gather-bound,
     ~1.6 s/1M reads on v5e; this form is ~0.1 s).
 
-    Returns (nr//2,) per-read best = min(pos<<1 | rc) or _BIG; the rc half
-    of rows_j (rows [nr//2, nr)) is folded onto the forward half."""
+    Returns (nr,) per-row best = min(pos<<1 | rc) or _BIG (the caller
+    min-folds the rc half onto the forward half; ``rcbit`` marks rc rows
+    so row chunks can be dispatched separately — the whole-set program's
+    candidate-row intermediates exhausted HBM at 10M reads)."""
     nr = rows_j.shape[0]
-    half = nr // 2
     nwords = seq_j.shape[0]
     clen = rows_j[:, 2 * W].astype(jnp.int32)
-    rcbit = (jnp.arange(nr, dtype=jnp.int32) >= half).astype(jnp.int32)
+    if rcbit is None:
+        rcbit = (jnp.arange(nr, dtype=jnp.int32)
+                 >= nr // 2).astype(jnp.int32)
     best = jnp.full((nr,), _BIG, jnp.int32)
     for st in windows:
         key = rows_j[:, st // 16]            # windows are 16-aligned
@@ -127,7 +130,7 @@ def _match_reads(seq_j, btab, rids, rows_j, total_j, W: int,
         okc &= ham <= thresh
         val = jnp.where(okc, (q << 1) | rcbit[:, None], _BIG)
         best = jnp.minimum(best, jnp.min(val, axis=1))
-    return jnp.minimum(best[:half], best[half:])
+    return best
 
 
 def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
@@ -206,7 +209,27 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
         ex_p = np.full(k2, -2, np.int32)
         ex_p[:n] = exclude
         ex_j = jnp.asarray(np.concatenate([ex_p, ex_p]))  # both orient rows
+    rc_j = jnp.concatenate([jnp.zeros(k2, jnp.int32),
+                            jnp.ones(k2, jnp.int32)])
 
+    # row-chunked dispatch: the match's candidate-row intermediates are
+    # O(rows x CANDS x 16 words); the whole oriented set in one program
+    # peaked past HBM at 10M reads (~1M oriented rows on top of the
+    # resident consensus/dict tables). 2^17-row chunks bound it at ~1 GB
+    # and share ONE compiled program across chunks, calls, and stitch.
+    CH = min(2 * k2, 1 << 17)
+
+    def match_fold(btab, pos_bins, best):
+        for c0 in range(0, 2 * k2, CH):
+            b = np.asarray(_match_reads(
+                seq_j, btab, pos_bins, rows_j[c0:c0 + CH], total_j, W,
+                thresh, windows,
+                None if ex_j is None else ex_j[c0:c0 + CH],
+                rc_j[c0:c0 + CH]))
+            np.minimum(best[c0:c0 + CH], b, out=best[c0:c0 + CH])
+        return best
+
+    best2 = np.full(2 * k2, _BIG, np.int32)
     if nseg == 1:
         # ONE sliding-window dict over the consensus, built on device; the
         # oriented reads probe it (work scales with reads, not positions)
@@ -215,22 +238,17 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
         btab, _keys, pos_bins, dropped = dct.build_hash_dict_seq_dev(
             seq_j, total_j, _PAD // 16, S)
         mark("dicts")
-        best = np.asarray(_match_reads(
-            seq_j, btab, pos_bins, rows_j, total_j, W, thresh, windows,
-            ex_j))[:n]
+        best2 = match_fold(btab, pos_bins, best2)
     else:
         S = dct.table_buckets(seg_bases)
         nw_seg = seg_bases // 16 + 2
-        best = np.full(n, _BIG, np.int32)
         for k in range(nseg):
             btab, _keys, pos_bins, _ = dct.build_hash_dict_seq_seg(
                 seq_j, total_j, jnp.asarray(k * seg_bases, jnp.int32),
                 _PAD // 16, nw_seg, S)
-            b = np.asarray(_match_reads(
-                seq_j, btab, pos_bins, rows_j, total_j, W, thresh,
-                windows, ex_j))[:n]
-            best = np.minimum(best, b)
+            best2 = match_fold(btab, pos_bins, best2)
         mark(f"dicts+match x{nseg}")
+    best = np.minimum(best2[:k2], best2[k2:])[:n]
     mark("match")
     placed = best != _BIG
     out_pos[placed] = (best[placed] >> 1).astype(np.int64)

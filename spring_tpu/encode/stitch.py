@@ -186,6 +186,7 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
         orr = np.where(f2 == 0, o2 + orr, o2 - orr)
         fr = fr ^ f2
         root = root[root]
+    mark("roots")
 
     # per-read transform
     cid = np.repeat(np.arange(nc), counts)
@@ -195,6 +196,7 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
     pos_r = np.where(f_read == 0, orr[cid] + pos_local,
                      orr[cid] - pos_local - rlen)
     rc_new = (layout.rc ^ fr[cid].astype(np.uint8)).astype(np.uint8)
+    mark("transform")
 
     # rebase each group to min 0, compute extents, rebuild concatenated
     # coords (group order = first-member contig order, stable). ONE
@@ -210,6 +212,7 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
     pmin = int(pos_r.min())
     span = int(pos_r.max() + rlen.max()) - pmin + 1
     order = np.argsort(grank * span + (pos_r - pmin))
+    mark("sort")
     gr_s = grank[order]
     pos_s = pos_r[order]
     rlen_s = rlen[order]

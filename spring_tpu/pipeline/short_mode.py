@@ -446,6 +446,15 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         layout, _singles = cons.layout_from_emissions(
             emissions, engine.B, c_len, min_reads=min_reads,
             ordered=getattr(engine, "ordered_emissions", False))
+        # release the engine's device residency (dict tables, row table,
+        # stager buffer) before the consensus/second-chance device work —
+        # at 10M reads these pin ~2 GB of HBM the matcher then needs
+        for attr in ("_dicts", "_rows_dev", "lengths"):
+            if hasattr(engine, attr):
+                setattr(engine, attr, None)
+        if stager is not None:
+            stager._buf = None
+        engine = None
         mark("assemble_contigs")
         if layout.seq_len:
             g = clean_rids[layout.rids]          # layout order -> global rid

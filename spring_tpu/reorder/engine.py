@@ -926,10 +926,15 @@ def _engine_run(self, progress=None) -> np.ndarray:
                     and (emitted == 0 or n_claimed >= self.N)):
                 break
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
+                tc = time.time()
                 drids1 = self._compact_dicts(drids1, state["claimed"])
                 pairs_all = jnp.concatenate(
                     [dct.pairs_from_rids(r) for r in drids1], axis=0)
                 last_claimed = n_claimed
+                if trace:
+                    jax.block_until_ready(pairs_all)
+                    print(f"[trace] reorder dict-compact "
+                          f"{time.time() - tc:.3f}s", flush=True)
             # compact the seed queue: drop already-claimed reads so the
             # endgame doesn't burn rounds skipping them one walker-batch
             # at a time (95% of reads are claimed within a few flushes).
@@ -937,6 +942,7 @@ def _engine_run(self, progress=None) -> np.ndarray:
             # (live queue half-consumed) needs no bitmap transfer.
             if (queue_pos > 0 and n_claimed < self.N
                     and self.N - n_claimed < 0.5 * int(n_real)):
+                tq = time.time()
                 claimed_np = np.unpackbits(
                     np.asarray(state["claimed"])[: self.Np // 32]
                     .view(np.uint8), bitorder="little")[: self.N]
@@ -948,6 +954,10 @@ def _engine_run(self, progress=None) -> np.ndarray:
                             np.int32)]).astype(np.int32))
                 n_real = jnp.asarray(len(remaining), jnp.int32)
                 state["queue_pos"] = jnp.zeros((), jnp.int32)
+                if trace:
+                    print(f"[trace] reorder queue-compact "
+                          f"{time.time() - tq:.3f}s "
+                          f"({len(remaining)} left)", flush=True)
         _t2 = time.time()
         # drain the speculative in-flight flush (its rounds found nothing
         # but its buffer must be harvested for ordering consistency)
