@@ -197,7 +197,11 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
          np.zeros((W + 2) * 16, np.uint8)])[None, :])[0]
     need = max(len(seq_pk),
                _PAD // 16 + nseg * (seg_bases // 16) + 2)
-    nw = max(1 << max(need - 1, 1).bit_length(), 64)
+    # 1/8-octave padding, not pow2: the dict build sorts every padded
+    # position, and pow2 padding made that sort up to 2x the real size
+    # (shape-bucket count stays bounded at 8 per octave)
+    gran = max(1 << max(int(need - 1).bit_length() - 3, 6), 64)
+    nw = -(-need // gran) * gran
     seq_p = np.zeros(nw, np.uint32)
     seq_p[: len(seq_pk)] = seq_pk
     seq_j = jnp.asarray(seq_p)
@@ -215,26 +219,42 @@ def align_leftovers_packed(seq_codes: np.ndarray, pk: np.ndarray,
     # row-chunked dispatch: the match's candidate-row intermediates are
     # O(rows x CANDS x 16 words); the whole oriented set in one program
     # peaked past HBM at 10M reads (~1M oriented rows on top of the
-    # resident consensus/dict tables). 2^17-row chunks bound it at ~1 GB
-    # and share ONE compiled program across chunks, calls, and stitch.
+    # resident consensus/dict tables). 2^17-row chunks bound it at ~1 GB;
+    # at the sizes the chunking targets they share one compiled program
+    # (pow2 padding bounds the variant count for smaller leftover sets).
+    # ALL chunks are dispatched before any is read back, so chunk k+1's
+    # compute overlaps chunk k's d2h (a per-chunk np.asarray serialized
+    # them and cost a tunnel round-trip per chunk).
     CH = min(2 * k2, 1 << 17)
 
     def match_fold(btab, pos_bins, best):
+        outs = []
         for c0 in range(0, 2 * k2, CH):
-            b = np.asarray(_match_reads(
+            b = _match_reads(
                 seq_j, btab, pos_bins, rows_j[c0:c0 + CH], total_j, W,
                 thresh, windows,
                 None if ex_j is None else ex_j[c0:c0 + CH],
-                rc_j[c0:c0 + CH]))
-            np.minimum(best[c0:c0 + CH], b, out=best[c0:c0 + CH])
+                rc_j[c0:c0 + CH])
+            try:
+                b.copy_to_host_async()
+            except Exception:
+                pass
+            outs.append((c0, b))
+        for c0, b in outs:
+            np.minimum(best[c0:c0 + CH], np.asarray(b),
+                       out=best[c0:c0 + CH])
         return best
 
     best2 = np.full(2 * k2, _BIG, np.int32)
     if nseg == 1:
         # ONE sliding-window dict over the consensus, built on device; the
-        # oriented reads probe it (work scales with reads, not positions)
+        # oriented reads probe it (work scales with reads, not positions).
+        # Half the read-dict bucket budget (load ~0.5): overflow-dropped
+        # positions only cost a read its match if ALL its probe windows
+        # land on dropped 16-mers (~(0.03)^4 — negligible), and the
+        # bucket table + its placement scatters halve.
         npos = (nw - _PAD // 16) * 16
-        S = dct.table_buckets(npos)
+        S = max(dct.table_buckets(npos) // 2, 64)
         btab, _keys, pos_bins, dropped = dct.build_hash_dict_seq_dev(
             seq_j, total_j, _PAD // 16, S)
         mark("dicts")

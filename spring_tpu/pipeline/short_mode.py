@@ -13,9 +13,10 @@ Redesign decisions (vs the reference's temp-file dataflow):
     which is what gives random access (reference
     src/reorder_compress_streams.cpp:201-427 does the same re-blocking).
   * A read is either `aligned` (flag 1: consensus substring + noise) or
-    `literal` (flag 0: raw bases — N-containing reads and singleton-contig
-    reads). The reference's second-chance singleton alignment
-    (src/encoder.h:242-351) is a planned ratio upgrade.
+    `literal` (flag 0: raw bases). N-containing reads and singleton-contig
+    reads get a second-chance alignment against the built consensus
+    (encode/second_chance.py, wired below; reference analog
+    src/encoder.h:242-351) before falling back to literal.
 
 Stream members per block b:
   flag.b rlen.b  — all reads;  pos.b rc.b nn.b npos.b nchar.b — aligned;
@@ -449,11 +450,14 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         # release the engine's device residency (dict tables, row table,
         # stager buffer) before the consensus/second-chance device work —
         # at 10M reads these pin ~2 GB of HBM the matcher then needs
-        for attr in ("_dicts", "_rows_dev", "lengths"):
-            if hasattr(engine, attr):
-                setattr(engine, attr, None)
+        if hasattr(engine, "release"):
+            engine.release()
+        else:                       # dist engine: null the device attrs
+            for attr in ("_dicts", "_rows_dev", "lengths"):
+                if hasattr(engine, attr):
+                    setattr(engine, attr, None)
         if stager is not None:
-            stager._buf = None
+            stager.release()
         engine = None
         mark("assemble_contigs")
         if layout.seq_len:

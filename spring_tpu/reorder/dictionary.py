@@ -84,17 +84,28 @@ def _window_keys_packed(packed: np.ndarray, start: int) -> np.ndarray:
 
 SLOTS = 8
 _HASH_MULT = np.uint32(0x9E3779B1)
+_HASH_MULT_INV = np.uint32(0x0E8B2F51)   # modular inverse mod 2^32
 _TAG_MULT = np.uint32(0x85EBCA6B)
 # compact btab row: SLOTS/2 words of packed 16-bit key tags + SLOTS words of
 # (start << SC_SHIFT | min(count, SC_CMASK)). Probe gathers are BYTE-bound on TPU
 # (~7 GB/s measured) so halving the row halves the probe cost; a 16-bit tag
 # false-positive (~2^-16/slot) only adds candidates that Hamming verification
-# rejects. start fits 27 bits -> tables cap at 2^27 entries (count
-# saturates at 31 — only the min(count, C<=8) candidate fetch reads it).
+# rejects. start fits 27 bits in the packed word (count saturates at 31 —
+# only the min(count, C<=8) candidate fetch reads it); tables past 2^27
+# entries switch to the WIDE row automatically: full 32-bit starts + a
+# plane of 8-bit counts (56 B/bucket vs 48), addressing the int32 rid
+# space (reference: BooPHF + CSR index every read, src/BooPHF.h:754,
+# src/bitset_util.h:167-216).
 COMPACT_WORDS = SLOTS // 2 + SLOTS
+WIDE_WORDS = SLOTS // 2 + SLOTS + SLOTS // 4
 SC_SHIFT = 5
 SC_CMASK = (1 << SC_SHIFT) - 1
 MAX_COMPACT_ENTRIES = 1 << (32 - SC_SHIFT)
+FORCE_WIDE = False     # tests flip this to exercise the wide format small
+
+
+def _use_wide(n_entries: int) -> bool:
+    return FORCE_WIDE or n_entries > MAX_COMPACT_ENTRIES
 
 
 def table_buckets(n_keys: int) -> int:
@@ -199,19 +210,26 @@ def _build_hash_dicts(keyfn, lengths: np.ndarray, windows: list[DictSpec],
         bcount[bi, si] = counts[fits]
         dropped = int((~fits).sum())
         if compact:
-            assert len(keys) <= MAX_COMPACT_ENTRIES
             t8 = ((bkey * _TAG_MULT) >> np.uint32(16)) & np.uint32(0xFFFF)
             tagw = t8[:, 0::2] | (t8[:, 1::2] << np.uint32(16))
-            scw = (bstart.astype(np.uint32) << np.uint32(SC_SHIFT)) \
-                | np.minimum(bcount, SC_CMASK).astype(np.uint32)
-            btab = np.concatenate([tagw, scw], axis=1)
+            if _use_wide(len(keys)):
+                c8 = np.minimum(bcount, 255).astype(np.uint32)
+                countw = (c8[:, 0::4] | (c8[:, 1::4] << np.uint32(8))
+                          | (c8[:, 2::4] << np.uint32(16))
+                          | (c8[:, 3::4] << np.uint32(24)))
+                btab = np.concatenate(
+                    [tagw, bstart.astype(np.uint32), countw], axis=1)
+            else:
+                scw = (bstart.astype(np.uint32) << np.uint32(SC_SHIFT)) \
+                    | np.minimum(bcount, SC_CMASK).astype(np.uint32)
+                btab = np.concatenate([tagw, scw], axis=1)
             out.append(HashDict(
                 btab=jnp.asarray(btab), rids=jnp.asarray(rids),
                 start=spec.start, keys_sorted=keys))
             continue
         if dropped:
             import sys
-            print(f"[dict] {dropped}/{len(uk)} keys overflowed the hash "
+            print(f"[dict] {dropped}/{len(uh)} keys overflowed the hash "
                   "table and were dropped", file=sys.stderr)
         btab = np.concatenate([bkey, bstart.view(np.uint32),
                                bcount.view(np.uint32)], axis=1)
@@ -244,6 +262,23 @@ def probe_meta(btab, queries: jnp.ndarray
         sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
         start = (sc >> SC_SHIFT).astype(jnp.int32)
         count = (sc & jnp.uint32(SC_CMASK)).astype(jnp.int32)
+    elif btab.shape[1] == WIDE_WORDS:
+        tagw = row[:, :SLOTS // 2]
+        srow = row[:, SLOTS // 2: SLOTS // 2 + SLOTS]
+        cw = row[:, SLOTS // 2 + SLOTS:]
+        tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
+                         axis=2).reshape(-1, SLOTS)
+        cnts = jnp.stack([cw & jnp.uint32(0xFF),
+                          (cw >> 8) & jnp.uint32(0xFF),
+                          (cw >> 16) & jnp.uint32(0xFF),
+                          cw >> 24], axis=2).reshape(-1, SLOTS)
+        qtag = ((flat * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+        hit = (tags == qtag[:, None]) & (cnts > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        start = jnp.sum(jnp.where(first_hit, srow, 0),
+                        axis=1).astype(jnp.int32)
+        count = jnp.sum(jnp.where(first_hit, cnts, 0),
+                        axis=1).astype(jnp.int32)
     else:
         krow = row[:, :SLOTS]
         srow = row[:, SLOTS:2 * SLOTS].astype(jnp.int32)
@@ -257,29 +292,45 @@ def probe_meta(btab, queries: jnp.ndarray
     return start.reshape(queries.shape), count.reshape(queries.shape)
 
 
-def probe_meta_sc_stacked(btab_all, S: int, queries) -> jnp.ndarray:
-    """Metadata probe of D compact tables stacked along axis 0 (dict d's
-    buckets at rows [d*S, (d+1)*S)). queries: (D, ...) uint32 keys.
-    Returns the raw packed sc words (start << SC_SHIFT | count, 0 on miss) with
-    queries' shape — ONE btab row gather serves every dictionary, and the
-    caller splits start/count after its own selection step."""
+def probe_meta_split_stacked(btab_all, S: int, queries
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Metadata probe of D compact/wide tables stacked along axis 0
+    (dict d's buckets at rows [d*S, (d+1)*S)). queries: (D, ...) uint32
+    keys. Returns (start, count) int32 planes with queries' shape (count
+    0 on miss) — ONE btab row gather serves every dictionary; the format
+    is chosen by the stacked table's row width."""
     D = queries.shape[0]
     flat = queries.reshape(D, -1)
-    Q = flat.shape[1]
     shift = 32 - int(np.log2(S))
     b = (flat * jnp.uint32(_HASH_MULT)) >> shift
     b = b.astype(jnp.int32) + (jnp.arange(D, dtype=jnp.int32) * S)[:, None]
     row = btab_all[b.reshape(-1)]
     tagw = row[:, :SLOTS // 2]
-    scw = row[:, SLOTS // 2:]
     tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
                      axis=2).reshape(-1, SLOTS)
     qtag = ((flat.reshape(-1) * jnp.uint32(_TAG_MULT)) >> 16) \
         & jnp.uint32(0xFFFF)
-    hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(SC_CMASK)) > 0)
-    first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
-    sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
-    return sc.reshape(queries.shape)
+    if btab_all.shape[1] == COMPACT_WORDS:
+        scw = row[:, SLOTS // 2:]
+        hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(SC_CMASK)) > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
+        start = (sc >> SC_SHIFT).astype(jnp.int32)
+        count = (sc & jnp.uint32(SC_CMASK)).astype(jnp.int32)
+    else:
+        srow = row[:, SLOTS // 2: SLOTS // 2 + SLOTS]
+        cw = row[:, SLOTS // 2 + SLOTS:]
+        cnts = jnp.stack([cw & jnp.uint32(0xFF),
+                          (cw >> 8) & jnp.uint32(0xFF),
+                          (cw >> 16) & jnp.uint32(0xFF),
+                          cw >> 24], axis=2).reshape(-1, SLOTS)
+        hit = (tags == qtag[:, None]) & (cnts > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        start = jnp.sum(jnp.where(first_hit, srow, 0),
+                        axis=1).astype(jnp.int32)
+        count = jnp.sum(jnp.where(first_hit, cnts, 0),
+                        axis=1).astype(jnp.int32)
+    return start.reshape(queries.shape), count.reshape(queries.shape)
 
 
 def probe_hash(btab, rids, queries: jnp.ndarray,
@@ -345,8 +396,8 @@ class DeviceDict:
     dropped: jnp.ndarray   # () int32 — overflowed unique keys
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _build_hash_dict_dev(rows, n_real, start, S: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _build_hash_dict_dev(rows, n_real, start, S: int, wide: bool = False):
     """Build one bucketed hash dict from packed rows living on device.
 
     rows: (Np, W+1) uint32 — packed reads + length word (engine layout).
@@ -365,7 +416,8 @@ def _build_hash_dict_dev(rows, n_real, start, S: int):
     lo = jnp.where(b2 > 0, lo | (two[:, 1] << (32 - b2)), lo)
     rid = jnp.arange(Np, dtype=jnp.int32)
     ok = (rid < n_real) & (lengths >= start + KEY_BASES)
-    return _hash_build_core(lo.astype(jnp.uint32), ok, S, compact=True)
+    return _hash_build_core(lo.astype(jnp.uint32), ok, S, compact=True,
+                            wide=wide)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -411,7 +463,7 @@ def build_hash_dict_seq_dev(seq_words, total, word_offset: int, S: int):
 
 
 def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
-                     rids=None):
+                     rids=None, wide: bool = False):
     """Shared device build, ONE sort total.
 
     Rows are sorted by h = key * _HASH_MULT — a bijection of the key, so
@@ -422,6 +474,12 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     compiled program size, and the tunnel server re-JITs big deserialized
     executables (~1-3 minutes at 16M-row shapes).
 
+    The sort carries exactly TWO operands: h and a rid key that encodes
+    padding as INT32_MAX (so padding sorts after real rids within a bin).
+    The original key is recovered from h by the modular inverse of the
+    odd multiplier; a 4-operand sort (separate padding key + carried
+    original keys) measured ~2x this one on v5e at 4M rows.
+
     ``rids`` carries explicit payload ids (the sharded build routes
     (key, global rid) pairs between devices); default is the position."""
     Np = keys_raw.shape[0]
@@ -429,11 +487,10 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
            else rids.astype(jnp.int32))
     h = jnp.where(ok, keys_raw * jnp.uint32(_HASH_MULT),
                   jnp.uint32(0xFFFFFFFF))
-    # secondary sort key puts padding (-1 rid) after real rids within a bin
     ridkey = jnp.where(ok, rid, jnp.int32(2**31 - 1))
-    keys_c = jnp.where(ok, keys_raw, jnp.uint32(0xFFFFFFFF))
-    h_s, _, rids_s, keys_s = jax.lax.sort(
-        (h, ridkey, jnp.where(ok, rid, -1), keys_c), num_keys=2)
+    h_s, rk_s = jax.lax.sort((h, ridkey), num_keys=2)
+    rids_s = jnp.where(rk_s == jnp.int32(2**31 - 1), -1, rk_s)
+    keys_s = h_s * jnp.uint32(_HASH_MULT_INV)    # original window keys
 
     pos = jnp.arange(Np, dtype=jnp.int32)
     first = jnp.concatenate(
@@ -475,8 +532,14 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     if compact:
         t8 = ((k8 * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
         tagw = t8[:, 0::2] | (t8[:, 1::2] << 16)
-        scw = (s8 << SC_SHIFT) | jnp.minimum(c8, jnp.uint32(SC_CMASK))
-        btab = jnp.concatenate([tagw, scw], axis=1)
+        if wide:
+            cb = jnp.minimum(c8, jnp.uint32(255))
+            countw = (cb[:, 0::4] | (cb[:, 1::4] << 8)
+                      | (cb[:, 2::4] << 16) | (cb[:, 3::4] << 24))
+            btab = jnp.concatenate([tagw, s8, countw], axis=1)
+        else:
+            scw = (s8 << SC_SHIFT) | jnp.minimum(c8, jnp.uint32(SC_CMASK))
+            btab = jnp.concatenate([tagw, scw], axis=1)
     else:
         btab = jnp.concatenate([k8, s8, c8], axis=1)
     return btab, h_s, rids_s, dropped
@@ -491,7 +554,7 @@ def build_hash_dicts_device(rows, n_real: int,
     out = []
     for spec in windows:
         btab, keys_s, rids_s, dropped = _build_hash_dict_dev(
-            rows, nr, spec.start, S)
+            rows, nr, spec.start, S, _use_wide(Np))
         out.append(DeviceDict(btab=btab, rids=rids_s, keys_dev=keys_s,
                               start=spec.start, dropped=dropped))
     return out

@@ -377,6 +377,7 @@ class DeviceRowStager:
         self.W = W
         self.seg = seg
         self._buf = None
+        self._released = False
 
     def feed(self, r0: int, rows: np.ndarray) -> None:
         if self._buf is None:
@@ -390,9 +391,17 @@ class DeviceRowStager:
 
     def rows(self):
         """The (cap, W) device table (zeros if nothing was fed)."""
+        if self._released:
+            raise RuntimeError("DeviceRowStager used after release()")
         if self._buf is None:
             self._buf = jnp.zeros((self.cap, self.W), jnp.uint32)
         return self._buf
+
+    def release(self) -> None:
+        """Drop the device table and mark the stager unusable — rows()
+        after release raises instead of silently recreating zeros."""
+        self._buf = None
+        self._released = True
 
 
 # --------------- single-device engine ---------------
@@ -463,9 +472,22 @@ class ReorderEngine:
     def dicts(self) -> list[dct.DeviceDict]:
         """Device dictionaries (built lazily from a fresh rows copy when
         accessed outside run() — run() builds from its own state rows)."""
+        if getattr(self, "_released", False):
+            raise RuntimeError("ReorderEngine used after release()")
         if self._dicts is None:
             self._build_dicts(self._device_rows())
         return self._dicts
+
+    def release(self) -> None:
+        """Drop the engine's device residency (dict tables, row table,
+        lengths — ~2 GB of HBM at 10M reads) and mark it unusable: device
+        accessors raise after release instead of silently rebuilding from
+        nulled state."""
+        self._dicts = None
+        self._rows_dev = None
+        self.lengths = None
+        self._full = None
+        self._released = True
 
     def _device_rows(self):
         """Assemble the engine's (Np, W+1) padded row array on device:
@@ -479,6 +501,8 @@ class ReorderEngine:
         at 10M reads over the ~100 MB/s tunnel). The slice length is
         rounded up to 1/8-of-octave granules so _assemble_rows keeps a
         few compiled shapes per size bucket, not one per dataset."""
+        if getattr(self, "_released", False):
+            raise RuntimeError("ReorderEngine used after release()")
         sel_p = np.full(self.Np, -1, np.int32)
         sel_p[: self.N] = self._sel
         if self._rows_dev is not None:
@@ -596,13 +620,14 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         # more than the whole rest of the round ----
         Sdict = dkeys.shape[0] // D
         q_by_d = jnp.moveaxis(q, 2, 0)             # (D, B, SC, 2)
-        sc_d = dct.probe_meta_sc_stacked(dkeys, Sdict, q_by_d)
-        sc_d = jnp.where(jnp.moveaxis(v, 2, 0), sc_d, jnp.uint32(0))
+        st_d, ct_d = dct.probe_meta_split_stacked(dkeys, Sdict, q_by_d)
+        ct_d = jnp.where(jnp.moveaxis(v, 2, 0), ct_d, 0)
         # group axis g = ((s*2 + o)*D + d): slot order IS the priority
         # (shift > orientation > dict — the reference search order,
         # src/reorder.h:479-557)
-        sc_g = jnp.moveaxis(sc_d, 0, 3).reshape(B, G)
-        hit_g = ((sc_g & jnp.uint32(dct.SC_CMASK)) > 0) & searching[:, None]
+        st_g = jnp.moveaxis(st_d, 0, 3).reshape(B, G)
+        ct_g = jnp.moveaxis(ct_d, 0, 3).reshape(B, G)
+        hit_g = (ct_g > 0) & searching[:, None]
 
         # ---- pick the GSEL best-priority hitting groups; only those
         # fetch candidate rows (one pairs-row gather each) ----
@@ -611,10 +636,8 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         negg, _ = jax.lax.top_k(negp, GSEL)        # (B, GSEL)
         gok = negg != -_BIG
         g_id = jnp.where(gok, -negg, 0)
-        sc_sel = jnp.take_along_axis(sc_g, g_id, axis=1)
-        st_sel = (sc_sel >> dct.SC_SHIFT).astype(jnp.int32)
-        ct_sel = jnp.where(
-            gok, (sc_sel & jnp.uint32(dct.SC_CMASK)).astype(jnp.int32), 0)
+        st_sel = jnp.take_along_axis(st_g, g_id, axis=1)
+        ct_sel = jnp.where(gok, jnp.take_along_axis(ct_g, g_id, axis=1), 0)
         d_sel = g_id % D
         o_sel = (g_id // D) % 2
         srel = g_id // (2 * D)
@@ -797,12 +820,16 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         # FLUSH_ROUNDS rounds in ONE dispatch — per-call latency (host,
         # and especially the TPU tunnel) would otherwise dominate.
         # Per-round emissions are stacked by the scan (a cheap contiguous
-        # dynamic-update-slice) and compacted ONCE per flush with a stable
-        # sort that pushes empty slots to the back — the per-round
-        # buf.at[bidx, pos].set scatter this replaces cost 2.8 ms/round,
-        # ~17% of the whole round. The transfer still ships only CAP
-        # slots/walker. A walker whose buffer is nearly full stalls until
-        # the next flush.
+        # dynamic-update-slice), compacted per walker with a stable sort
+        # that pushes empty slots to the back, then ONE scatter packs the
+        # walker regions into a dense global prefix so the host fetches
+        # only ~emitted rows. (A per-round scatter into a carried buffer
+        # was tried instead of the stack+sort: TPU scatter lowering cost
+        # +7.5 ms/round — the sort is effectively free next to it.) The
+        # previous whole-buffer transfer shipped CAP slots per walker
+        # regardless of fill (15-59 MB/flush over a ~40 MB/s d2h tunnel).
+        # A walker whose buffer is nearly full stalls until the next
+        # flush.
         B = state["counts"].shape[0]
         cnt0 = jnp.zeros((B,), jnp.int32)
 
@@ -821,7 +848,16 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         empty = (em[:, :, 0] < 0).astype(jnp.int32)
         _, w0, w1 = jax.lax.sort(
             (empty, em[:, :, 0], em[:, :, 1]), dimension=1, num_keys=1)
-        buf = jnp.stack([w0[:, :CAP], w1[:, :CAP]], axis=-1)
+        # dense prefix: walker w's first cnt[w] compacted slots move to
+        # [base[w], base[w]+cnt[w]) — walker-major, slot order kept
+        base = jnp.cumsum(cnt) - cnt
+        s_idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+        fill2 = s_idx < cnt[:, None]
+        dst2 = jnp.where(fill2, base[:, None] + s_idx, B * CAP).reshape(-1)
+        dense = jnp.full((B * CAP + 1, 2), -1, jnp.int32)
+        dense = dense.at[dst2].set(
+            jnp.stack([w0[:, :CAP].reshape(-1),
+                       w1[:, :CAP].reshape(-1)], axis=-1))
         # per-flush stats as ONE tiny transfer: pulling the 4 MB claimed
         # bitmap every flush cost ~60 ms of tunnel time per flush
         stats = jnp.stack([
@@ -830,9 +866,18 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
             state["queue_pos"],
             jnp.sum(state["active"]).astype(jnp.int32),
             jnp.sum(cnt)])
-        return state, buf, stats
+        return state, dense, cnt, stats
 
     return round_fn, jax.jit(flush_fn, donate_argnums=(0,)), CAP
+
+
+@functools.lru_cache(maxsize=None)
+def _take_prefix_fn(k: int):
+    """Jitted static-size prefix slice (pow2-bucketed so a run compiles a
+    handful of variants): fetch only the filled rows of a flush's dense
+    emission buffer."""
+    return jax.jit(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, 0, k, axis=0))
 
 
 def _engine_run(self, progress=None) -> np.ndarray:
@@ -882,32 +927,66 @@ def _engine_run(self, progress=None) -> np.ndarray:
 
         def dispatch():
             nonlocal state
-            state, emit, stats = self._round_fn(
+            state, dense, cnt, stats = self._round_fn(
                 state, lengths, dkeys, pairs_all, seed_order, n_real,
                 maxshift, rows_tab)
+            for a in (cnt, stats):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            return dense, cnt, stats
+
+        cap_rows = self.B * self.emit_cap
+
+        def fetch(dense_k, cnt_k, emitted):
+            """Enqueue the device slice + async d2h of flush k's filled
+            emission rows (pow2-bucketed size: a handful of compiled
+            slice variants per run, ~emitted rows on the wire instead of
+            the whole B*CAP buffer)."""
+            p2 = min(max(64, 1 << max(emitted - 1, 1).bit_length()),
+                     cap_rows)
+            em_dev = _take_prefix_fn(p2)(dense_k)
             try:
-                emit.copy_to_host_async()
+                em_dev.copy_to_host_async()
             except Exception:
                 pass
-            return emit, stats
+            return em_dev, np.asarray(cnt_k), emitted
+
+        def harvest(em_dev, cnt_np, emitted):
+            """(walker, rid, word) triples for one flush — walker column
+            reconstructed from the per-walker counts (the dense prefix is
+            walker-major with slot order preserved)."""
+            em = np.asarray(em_dev)[:emitted]
+            out = np.empty((emitted, 3), np.int32)
+            out[:, 0] = np.repeat(
+                np.arange(len(cnt_np), dtype=np.int32), cnt_np)
+            out[:, 1:] = em
+            return out
 
         # pipelined loop: flush k+1 is DISPATCHED before flush k's stats
         # are read, so the device runs flushes back to back while the host
-        # processes results one flush behind. The one speculative flush
-        # after the exit condition runs on a finished state (no live
-        # walkers, queue drained) and emits nothing. Compaction decisions
-        # lag one flush — harmless, claims are monotone.
+        # processes results one flush behind; emission prefixes are
+        # harvested one MORE flush behind so their d2h overlaps compute.
+        # The one speculative flush after the exit condition runs on a
+        # finished state (no live walkers, queue drained) and emits
+        # nothing. Compaction decisions lag one flush — harmless, claims
+        # are monotone.
         inflight = dispatch()
+        fetch_q = []
         while True:
             t0 = time.time()
             nxt = dispatch()
-            emit_k, stats_k = inflight
+            dense_k, cnt_k, stats_k = inflight
             inflight = nxt
             # ONE small transfer syncs flush k (k+1 is already running);
             # the claimed bitmap (4 MB over the tunnel) is pulled only
             # when seed-queue compaction triggers
             stats_np = np.asarray(stats_k)
-            chunks.append(_compact_emit(np.asarray(emit_k)))
+            if int(stats_np[3]):
+                fetch_q.append(fetch(dense_k, cnt_k, int(stats_np[3])))
+            while len(fetch_q) > 1:
+                chunks.append(harvest(*fetch_q.pop(0)))
             n_claimed = int(stats_np[0]) - (self.Np - self.N)
             queue_pos = int(stats_np[1])
             any_active = stats_np[2] > 0
@@ -960,9 +1039,15 @@ def _engine_run(self, progress=None) -> np.ndarray:
                           f"({len(remaining)} left)", flush=True)
         _t2 = time.time()
         # drain the speculative in-flight flush (its rounds found nothing
-        # but its buffer must be harvested for ordering consistency)
-        emit_k, _ = inflight
-        chunks.append(_compact_emit(np.asarray(emit_k)))
+        # but its buffer must be harvested for ordering consistency) and
+        # any emission prefixes still in the fetch queue
+        dense_k, cnt_k, stats_k = inflight
+        emitted_tail = int(np.asarray(stats_k)[3])
+        if emitted_tail:
+            fetch_q.append(fetch(dense_k, cnt_k, emitted_tail))
+        for f in fetch_q:
+            chunks.append(harvest(*f))
+        del fetch_q[:]
         _t3 = time.time()
         dt = time.time() - t_start
         out = _emissions_from_chunks(chunks)

@@ -294,3 +294,60 @@ def test_layout_native_matches_numpy():
     np.testing.assert_array_equal(l1.clen, l2.clen)
     np.testing.assert_array_equal(l1.ccount, l2.ccount)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_wide_dict_format_matches_compact():
+    """The wide btab format (full 32-bit starts + 8-bit counts; selected
+    automatically past 2^27 entries, VERDICT r3 next #5) answers every
+    probe identically to the compact packed-word format, host and device,
+    including the engine's stacked split probe."""
+    rng = np.random.default_rng(11)
+    n, L = 3000, 100
+    codes = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    codes[1000:1500] = codes[:500]          # multi-entry bins
+    lengths = np.full(n, L, np.int32)
+    packed = packing.pack_codes(codes)
+    windows = dct.default_windows(L)
+
+    compact = dct.build_hash_dicts_packed(packed, lengths, windows)
+    old = dct.FORCE_WIDE
+    dct.FORCE_WIDE = True
+    try:
+        jax.clear_caches()                  # FORCE_WIDE is trace-time state
+        wide = dct.build_hash_dicts_packed(packed, lengths, windows)
+        W = packed.shape[1]
+        Np = max(1 << max(n - 1, 1).bit_length(), 64)
+        rows = np.zeros((Np, W + 1), np.uint32)
+        rows[:n, :W] = packed
+        lp = np.zeros(Np, np.int32)
+        lp[:n] = lengths
+        rows[:, W] = lp.view(np.uint32)
+        rows[n:, W] |= np.uint32(1 << 31)
+        dev_wide = dct.build_hash_dicts_device(jnp.asarray(rows), n, windows)
+    finally:
+        dct.FORCE_WIDE = old
+        jax.clear_caches()
+
+    for cd, wd, dd in zip(compact, wide, dev_wide):
+        assert cd.btab.shape[1] == dct.COMPACT_WORDS
+        assert wd.btab.shape[1] == dct.WIDE_WORDS
+        np.testing.assert_array_equal(np.asarray(wd.btab),
+                                      np.asarray(dd.btab))
+        q = np.unique(np.asarray(cd.keys_sorted))
+        q = q[q != 0xFFFFFFFF]
+        qj = jnp.asarray(q)
+        cs, cc = dct.probe_meta(cd.btab, qj)
+        ws, wc = dct.probe_meta(wd.btab, qj)
+        np.testing.assert_array_equal(np.asarray(cs), np.asarray(ws))
+        np.testing.assert_array_equal(np.asarray(cc), np.asarray(wc))
+        # stacked split probe agrees across formats
+        for d, S in ((cd, cd.btab.shape[0]), (wd, wd.btab.shape[0])):
+            st, ct = dct.probe_meta_split_stacked(
+                d.btab, S, qj[None, :])
+            np.testing.assert_array_equal(np.asarray(st[0]), np.asarray(cs))
+            np.testing.assert_array_equal(np.asarray(ct[0]), np.asarray(cc))
+        cr, cv = dct.probe_hash(cd.btab, cd.rids, qj, 8)
+        wr, wv = dct.probe_hash(wd.btab, wd.rids, qj, 8)
+        np.testing.assert_array_equal(np.asarray(cv), np.asarray(wv))
+        np.testing.assert_array_equal(
+            np.asarray(cr)[np.asarray(cv)], np.asarray(wr)[np.asarray(wv)])

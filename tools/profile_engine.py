@@ -52,13 +52,13 @@ def main():
             jnp.asarray(e.cfg.max_shift, jnp.int32), rows_tab)
 
     t0 = time.time()
-    state, emit, stats = e._round_fn(state, *args)   # compile + run
-    jax.block_until_ready(emit)
+    state, dense, cnt, stats = e._round_fn(state, *args)   # compile + run
+    jax.block_until_ready(dense)
     print(f"first flush (incl compile) {time.time() - t0:.1f}s")
     t0 = time.time()
     with jax.profiler.trace(out):
-        state, emit, stats = e._round_fn(state, *args)
-        jax.block_until_ready(emit)
+        state, dense, cnt, stats = e._round_fn(state, *args)
+        jax.block_until_ready(dense)
     dt = time.time() - t0
     print(f"profiled flush {dt:.2f}s ({1000 * dt / eng.FLUSH_ROUNDS:.1f} ms/round)")
 

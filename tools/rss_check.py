@@ -1,10 +1,11 @@
 """Peak-RSS check for the compression pipeline at scale.
 
-VERDICT r1 #5 done-criterion: compress 10M synthetic reads in < 8 GB RSS.
 Reference behavior for comparison: SPRING compresses NA12878 (560M reads)
 at 32.6 GB peak (logs/8_29_18/NA12878-Rep-1_S1_L001.log:203) by streaming
-blocks (src/preprocess.cpp:141-285); our design keeps packed 2-bit rows +
-quality matrix resident and mmaps the input text.
+blocks (src/preprocess.cpp:141-285). Our memory plan: packed 2-bit rows
+stay resident (n x W uint32); the quality matrix never exists — qualities
+stream through the codec during parse (order-preserving mode) or spill to
+an unlinked disk spool gathered per output bin (pipeline/qualstream.py).
 
 Usage: python tools/rss_check.py [n_reads] [read_len]
 Runs compress in a child under resource tracking, prints one JSON line.
