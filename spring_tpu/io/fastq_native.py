@@ -205,50 +205,6 @@ def parse_packed_into(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
             else np.empty((0, 2), np.int32))
 
 
-def parse_packed_range(buf: np.ndarray, path: str, info: ScanInfo, ml: int,
-                       r0: int, n_rec: int, packed: np.ndarray,
-                       lengths: np.ndarray, quals: np.ndarray | None,
-                       idbuf: np.ndarray, idlens: np.ndarray,
-                       fasta: bool = False,
-                       num_threads: int = 0) -> np.ndarray:
-    """Parse records [r0, r0 + n_rec) of one scanned buffer (r0 must be a
-    checkpoint-stride multiple). Output slices are indexed from 0; the id
-    blob slice must start at byte info.ckpt_id[r0 // stride]. Returns the
-    N-position pairs with rids relative to r0. Used by the paired-end
-    lockstep parse: both mates of a block range are in memory together so
-    quality can stream per block without a file-sized spool."""
-    lib = native.load()
-    stride = lib.stpu_fastq_ckpt_stride()
-    assert r0 % stride == 0
-    exc_parts = []
-    for s0 in range(0, max(n_rec, 1), _SEG_RECORDS):
-        n_seg = min(_SEG_RECORDS, n_rec - s0)
-        if n_seg <= 0:
-            break
-        c0 = (r0 + s0) // stride
-        nck = -(-n_seg // stride)
-        cki = np.ascontiguousarray(
-            info.ckpt_id[c0:c0 + nck] - info.ckpt_id[c0])
-        idbase = int(info.ckpt_id[c0] - info.ckpt_id[r0 // stride])
-        exc = _parse_segment(
-            lib, buf, path, fasta, ml, n_seg, packed[s0:s0 + n_seg],
-            lengths[s0:s0 + n_seg],
-            quals[s0:s0 + n_seg] if quals is not None else None,
-            idbuf[idbase:], idlens[s0:s0 + n_seg],
-            np.ascontiguousarray(info.ckpt_byte[c0:c0 + nck]), cki,
-            num_threads)
-        if len(exc):
-            exc[:, 0] += s0
-            exc_parts.append(exc)
-        seg_end = (int(info.ckpt_byte[c0 + nck])
-                   if c0 + nck < len(info.ckpt_byte)
-                   and r0 + s0 + n_seg < info.n
-                   else len(buf))
-        _drop_pages(buf, int(info.ckpt_byte[c0]), seg_end)
-    return (np.concatenate(exc_parts) if exc_parts
-            else np.empty((0, 2), np.int32))
-
-
 def _parse_segment(lib, buf, path, fasta, ml, n, packed, lengths, quals,
                    idbuf, idlens, ckpt_byte, ckpt_id,
                    num_threads) -> np.ndarray:

@@ -6,20 +6,16 @@ and the reorder-compress stage re-reads the flat quality file once per
 RAM bin of numreads/4 rows (src/reorder_compress_quality_id.cpp:64-68).
 The round-2 pipeline materialized the full (n, maxlen) quality matrix
 instead, which capped it far below the reference's proven 560M-read
-scale (VERDICT r2 missing #1). This module restores O(block) quality
-memory in both modes:
-
-  * ``BlockQualityStreamer`` — order-preserving mode: output blocks are
-    parse-order ranges, so each block's quality compresses DURING parse
-    from a segment staging buffer and is freed; the full matrix never
-    exists. Paired-end inputs parse in LOCKSTEP ranges (both mates of a
-    block range in memory together), feeding the same streamer.
-  * ``QualSpool`` — reorder mode (and QVZ, whose codebook training needs
-    whole rows at gather time): raw quality rows spill to an unlinked
-    temp file during parse; after the output order is known,
-    ``drive_quality_bins`` gathers rows per bin of ~n/8 output rows with
-    ONE sequential spool scan each and submits per-block codec tasks
-    (two bins at most are resident — the reference's n/4 budget).
+scale (VERDICT r2 missing #1). This module keeps quality memory O(bin)
+in every mode: raw rows spill to an unlinked temp file (``QualSpool``)
+during parse; once the output order is known, ``drive_quality_bins``
+gathers rows per bin of ~n/8 output rows with ONE sequential spool scan
+each and submits per-block codec tasks (two bins at most are resident —
+the reference's n/4 budget). A round-3 variant compressed order-
+preserving blocks DURING parse instead; it was removed because the
+parser then ran throttled behind the quality codec (~9 s of the 13 s
+10M parse stage) while the host sat idle during the device engine phase
+— the spool defers exactly that work into the idle window.
 
 Wire format is identical to the resident-matrix path: the same rows in
 the same block layout reach the same codec.
@@ -63,90 +59,6 @@ def _apply_table(rows: np.ndarray, lens: np.ndarray,
         return rows
     valid = np.arange(rows.shape[1])[None, :] < lens[:, None]
     return np.where(valid, table[rows], 0).astype(np.uint8)
-
-
-class BlockQualityStreamer:
-    """Compress quality per output block during parse (order-preserving).
-
-    SE block b holds reads [b*block, (b+1)*block). PE block b holds
-    file-1 reads [s, e) followed by file-2 reads [per_file + s,
-    per_file + e) — the exact row layout the resident path's
-    _q_task(concat(p1, p2)) produced, so the wire is unchanged.
-    ``feed(g0, rows)`` consumes parser segments addressed by global read
-    index; partially filled blocks stage in (rows, ml) buffers that are
-    handed to the codec task (and replaced) when complete.
-    """
-
-    def __init__(self, sink, block: int, ml: int, n: int,
-                 per_file: int, paired: bool, lengths: np.ndarray,
-                 table: np.ndarray | None, fine_pos: bool,
-                 max_inflight: int):
-        self.sink = sink
-        self.block, self.ml, self.n = block, ml, n
-        self.paired = paired
-        self.per_file = per_file if paired else n
-        self.lengths = lengths
-        self.table = table
-        self.fine_pos = fine_pos
-        self.throttle = _Throttle(max_inflight)
-        self._stag: dict[int, np.ndarray] = {}
-        self._filled: dict[int, int] = {}
-
-    def _bounds(self, b: int) -> tuple[int, int]:
-        s = b * self.block
-        e = min(s + self.block, self.per_file)
-        return s, e
-
-    def _rows_of(self, b: int) -> int:
-        s, e = self._bounds(b)
-        return (e - s) * (2 if self.paired else 1)
-
-    def _buf(self, b: int) -> np.ndarray:
-        buf = self._stag.get(b)
-        if buf is None:
-            buf = np.empty((self._rows_of(b), self.ml), np.uint8)
-            self._stag[b] = buf
-            self._filled[b] = 0
-        return buf
-
-    def _submit(self, b: int) -> None:
-        buf = self._stag.pop(b)
-        del self._filled[b]
-        s, e = self._bounds(b)
-        if self.paired:
-            lens = np.concatenate([self.lengths[s:e],
-                                   self.lengths[self.per_file + s:
-                                                self.per_file + e]])
-        else:
-            lens = self.lengths[s:e].copy()
-        rows = _apply_table(buf, lens, self.table)
-        self.throttle.submit(
-            self.sink, f"quality.{b}", qv.compress_rows,
-            rows, lens, 1, self.fine_pos)
-
-    def feed(self, g0: int, rows: np.ndarray) -> None:
-        """Consume parser rows for global reads [g0, g0 + len(rows))."""
-        k = len(rows)
-        half2 = self.paired and g0 >= self.per_file
-        f0 = g0 - self.per_file if half2 else g0
-        off = 0
-        while off < k:
-            r = f0 + off
-            b = r // self.block
-            s, e = self._bounds(b)
-            take = min(e - r, k - off)
-            buf = self._buf(b)
-            base = (e - s) if half2 else 0
-            buf[base + (r - s): base + (r - s) + take] = rows[off:off + take]
-            self._filled[b] += take
-            if self._filled[b] >= self._rows_of(b):
-                self._submit(b)
-            off += take
-
-    def finish(self) -> None:
-        """Flush any partially-filled blocks (empty-input edge cases)."""
-        for b in sorted(self._stag):
-            self._submit(b)
 
 
 class QualSpool:

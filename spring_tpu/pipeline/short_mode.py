@@ -84,21 +84,30 @@ def check_quality_lengths(blk, path: str) -> None:
                 "(FASTA input needs --fasta-input)")
 
 
+# stage wall seconds of the most recent compress_short run — bench.py
+# reports this next to the headline so a regression is attributable to a
+# stage (and separable from tunnel weather via the bench's device probe)
+LAST_STAGE_SECONDS: dict[str, float] = {}
+
+
 def compress_short(files: list[str], writer: ArchiveWriter,
                    cp: P.CompressionParams, num_threads: int = 8) -> None:
     from ..reorder import engine as eng
 
     trace = os.environ.get("SPRING_TPU_TRACE")
+    LAST_STAGE_SECONDS.clear()
     _t = time.time()
 
     def mark(stage):
         nonlocal _t
+        now = time.time()
+        LAST_STAGE_SECONDS[stage] = round(
+            LAST_STAGE_SECONDS.get(stage, 0.0) + (now - _t), 3)
         if trace:
-            now = time.time()
             rss, hwm = _vm()
             print(f"[trace] {stage}: {now - _t:.2f}s rss={rss:.2f}G "
                   f"hwm={hwm:.2f}G", flush=True)
-            _t = now
+        _t = now
 
     block = cp.num_reads_per_block
     want_q = cp.preserve_quality and not cp.fasta_input
@@ -170,14 +179,14 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     idlens = np.empty(n, np.uint32)
 
     # --- quality memory plan (VERDICT r2 missing #1): the full (n, ml)
-    # quality matrix never exists. Order-preserving mode streams each
-    # block's quality through the codec DURING parse; reorder mode (and
-    # QVZ, whose codebooks train at gather time) spills raw rows to an
-    # unlinked spool and gathers per output bin later (the reference's
-    # bin strategy, src/reorder_compress_quality_id.cpp:64-68).
+    # quality matrix never exists. Raw rows spill to an unlinked spool
+    # during parse and are gathered per output bin later (the reference's
+    # bin strategy, src/reorder_compress_quality_id.cpp:64-68) — in
+    # EVERY mode: compressing blocks during parse (the round-3 streamer)
+    # throttled the parser behind the quality codec (~9 s of the 13 s
+    # 10M parse stage), while the spool defers that codec work to the
+    # reorder phase, where the host sits idle next to the device engine.
     from . import qualstream
-    q_stream = want_q and cp.preserve_order and cp.quality_mode != "qvz"
-    q_spool = want_q and not q_stream
     table = (qual_mod.make_table(cp.quality_mode, cp.qvz_ratio,
                                  cp.bin_thresholds)
              if want_q and cp.quality_mode in ("ill_bin", "binary")
@@ -208,13 +217,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         return bsc.compress(raw, num_threads=1)
 
     inflight_cap = 2 * workers
-    streamer = None
     spool = None
-    if q_stream:
-        streamer = qualstream.BlockQualityStreamer(
-            _sink, block, ml, n, per_file, paired, lengths, table,
-            fine_pos, inflight_cap)
-    elif q_spool:
+    if want_q:
         spool = qualstream.QualSpool(
             n, ml, dir=os.path.dirname(files[0]) or ".")
 
@@ -227,60 +231,28 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         stager = eng.DeviceRowStager(n, W, fastq_native._SEG_RECORDS)
 
     exc_parts = []
-    if q_stream and paired and per_file:
-        # lockstep range parse: both mates of each block range are in
-        # memory together, so PE pair blocks stream like SE blocks
-        SEG = fastq_native._SEG_RECORDS
-        stride = fastq_native.ckpt_stride()
-        assert SEG % stride == 0
-        stag = [np.empty((min(SEG, per_file), ml), np.uint8)
-                for _ in range(2)]
-        ido_f = [0, infos[0].idbytes]
-        for r0 in range(0, per_file, SEG):
-            k = min(SEG, per_file - r0)
-            for fi in (0, 1):
-                info = infos[fi]
-                goff = fi * per_file
-                idbase = ido_f[fi] + int(info.ckpt_id[r0 // stride])
-                exc = fastq_native.parse_packed_range(
-                    bufs[fi], files[fi], info, ml, r0, k,
-                    packed_all[goff + r0: goff + r0 + k],
-                    lengths[goff + r0: goff + r0 + k], stag[fi][:k],
-                    idbuf[idbase:], idlens[goff + r0: goff + r0 + k],
-                    fasta=cp.fasta_input, num_threads=num_threads)
-                if len(exc):
-                    exc[:, 0] += goff + r0
-                    exc_parts.append(exc)
-                streamer.feed(goff + r0, stag[fi][:k])
-        del stag
-    else:
-        off = 0
-        ido = 0
-        for buf, info, f in zip(bufs, infos, files):
-            if info.n:
-                if streamer is not None:
-                    sink = (lambda o: lambda r0, rows:
-                            streamer.feed(o + r0, rows))(off)
-                elif spool is not None:
-                    sink = (lambda o: lambda r0, rows:
-                            spool.write(o + r0, rows))(off)
-                else:
-                    sink = None
-                exc = fastq_native.parse_packed_into(
-                    buf, f, info, ml, packed_all[off:off + info.n],
-                    lengths[off:off + info.n], None,
-                    idbuf[ido:ido + info.idbytes],
-                    idlens[off:off + info.n],
-                    fasta=cp.fasta_input, num_threads=num_threads,
-                    qual_sink=sink,
-                    row_sink=stager.feed if stager is not None else None)
-                if len(exc):
-                    exc[:, 0] += off
-                    exc_parts.append(exc)
-            off += info.n
-            ido += info.idbytes
-    if streamer is not None:
-        streamer.finish()
+    off = 0
+    ido = 0
+    for buf, info, f in zip(bufs, infos, files):
+        if info.n:
+            if spool is not None:
+                sink = (lambda o: lambda r0, rows:
+                        spool.write(o + r0, rows))(off)
+            else:
+                sink = None
+            exc = fastq_native.parse_packed_into(
+                buf, f, info, ml, packed_all[off:off + info.n],
+                lengths[off:off + info.n], None,
+                idbuf[ido:ido + info.idbytes],
+                idlens[off:off + info.n],
+                fasta=cp.fasta_input, num_threads=num_threads,
+                qual_sink=sink,
+                row_sink=stager.feed if stager is not None else None)
+            if len(exc):
+                exc[:, 0] += off
+                exc_parts.append(exc)
+        off += info.n
+        ido += info.idbytes
     del bufs, infos
     overlay = cons.NOverlay.from_pairs(
         np.concatenate(exc_parts) if exc_parts else
@@ -364,12 +336,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         bin_threads.append(t)
 
     # in order-preserving mode the output order is known before the reorder
-    # runs — id codec work (and spooled qvz quality) overlaps the device
+    # runs — id codec and spooled quality-bin work overlaps the device
     # engine. It is submitted from the engine's first progress callback
     # (after the dict build): codec workers contending with the tunnel
     # client during init cost 15+ s at 10M reads (dict build 17.5 s under
-    # load vs ~2 s after the deferral). Streamed quality was already
-    # compressed during parse.
+    # load vs ~2 s after the deferral).
     deferred_submitted = False
 
     def _release_ids():

@@ -563,15 +563,23 @@ def build_hash_dicts_device(rows, n_real: int,
 @jax.jit
 def compact_bins_dev(keys_s, rids_s, claimed):
     """Device-side in-bin compaction: live entries to each bin's front
-    (same contract as compact_bins; claimed is the engine's bitmap)."""
-    Np = rids_s.shape[0]
+    (same contract as compact_bins; claimed is the engine's bitmap).
+
+    TWO sort operands: the dead flag rides bit 31 of the rid word, so
+    within a bin live entries order by ascending rid — exactly the
+    canonical in-bin order the build produces (rids are the secondary
+    build sort key), making this equivalent to the 4-operand
+    (keys, dead, pos, rids) sort it replaces at half the cost (the
+    compaction ran ~2.5 s per call at 16M rows)."""
     safe = jnp.clip(rids_s, 0, claimed.shape[0] * 32 - 1)
     bit = (claimed[safe >> 5] >> (safe & 31).astype(jnp.uint32)) & 1
-    dead = ((rids_s < 0) | (bit == 1)).astype(jnp.int32)
-    pos = jnp.arange(Np, dtype=jnp.int32)
-    _, dead_srt, _, rids_srt = jax.lax.sort(
-        (keys_s, dead, pos, rids_s), num_keys=3)
-    return jnp.where(dead_srt == 1, -1, rids_srt)
+    dead = (rids_s < 0) | (bit == 1)
+    key2 = jnp.where(dead, jnp.uint32(1 << 31), jnp.uint32(0)) \
+        | jnp.where(rids_s < 0, jnp.uint32(0),
+                    rids_s.astype(jnp.uint32))
+    _, key2_s = jax.lax.sort((keys_s, key2), num_keys=2)
+    return jnp.where((key2_s >> 31) == 1, -1,
+                     key2_s.astype(jnp.int32))
 
 
 def compact_bins(rids_np, keys_np, claimed_np):

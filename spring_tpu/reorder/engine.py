@@ -53,6 +53,10 @@ SHIFT_CHUNK = 4        # shifts probed per round
 FLUSH_ROUNDS = int(_os.environ.get("SPRING_TPU_FLUSH_ROUNDS", "32"))
 REBUILD_FRACTION = 0.10  # compact dicts when claimed grew by this fraction
 
+# stats of the most recent run() — bench.py reports them next to the
+# headline (rounds, flush wall, emission bytes fetched over the tunnel)
+LAST_RUN_STATS: dict = {}
+
 _ODD = jnp.uint32(0x55555555)
 _ONES = jnp.uint32(0xFFFFFFFF)
 _BIG = jnp.iinfo(jnp.int32).max
@@ -923,6 +927,7 @@ def _engine_run(self, progress=None) -> np.ndarray:
         chunks = []
         last_claimed = 0
         rounds = accepts = seeds = 0
+        LAST_RUN_STATS.clear()
         t_start = time.time()
 
         def dispatch():
@@ -951,6 +956,8 @@ def _engine_run(self, progress=None) -> np.ndarray:
                 em_dev.copy_to_host_async()
             except Exception:
                 pass
+            LAST_RUN_STATS["emit_mb"] = round(
+                LAST_RUN_STATS.get("emit_mb", 0.0) + p2 * 8 / 1e6, 1)
             return em_dev, np.asarray(cnt_k), emitted
 
         def harvest(em_dev, cnt_np, emitted):
@@ -1051,6 +1058,10 @@ def _engine_run(self, progress=None) -> np.ndarray:
         _t3 = time.time()
         dt = time.time() - t_start
         out = _emissions_from_chunks(chunks)
+        LAST_RUN_STATS.update(
+            rounds=rounds, flush_wall_s=round(dt, 3),
+            ms_per_round=round(1000 * dt / max(rounds, 1), 2),
+            emitted=int(len(out)), walkers=self.B)
         if trace:
             print(f"[trace] reorder tail: last-buf {_t3 - _t2:.3f}s "
                   f"assemble {time.time() - _t3:.3f}s", flush=True)

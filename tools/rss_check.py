@@ -4,10 +4,10 @@ Reference behavior for comparison: SPRING compresses NA12878 (560M reads)
 at 32.6 GB peak (logs/8_29_18/NA12878-Rep-1_S1_L001.log:203) by streaming
 blocks (src/preprocess.cpp:141-285). Our memory plan: packed 2-bit rows
 stay resident (n x W uint32); the quality matrix never exists — qualities
-stream through the codec during parse (order-preserving mode) or spill to
-an unlinked disk spool gathered per output bin (pipeline/qualstream.py).
+spill to an unlinked disk spool during parse and are gathered per output
+bin of ~n/8 rows (pipeline/qualstream.py).
 
-Usage: python tools/rss_check.py [n_reads] [read_len]
+Usage: python tools/rss_check.py [n_reads] [read_len] [limit_gb]
 Runs compress in a child under resource tracking, prints one JSON line.
 """
 import json
@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+LIMIT_GB = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 CHILD = r"""
 import sys, time
@@ -62,13 +63,13 @@ def main():
     if os.path.exists(hwm_file):
         pipe_kb = int(open(hwm_file).read().strip() or 0)
         os.unlink(hwm_file)
-    ok = rc.returncode == 0 and (pipe_kb or peak_kb) * 1024 < 8 << 30
+    ok = rc.returncode == 0 and (pipe_kb or peak_kb) * 1024 < LIMIT_GB << 30
     print(json.dumps({
         "n_reads": N, "read_len": L, "input_bytes": sz,
         "archive_bytes": os.path.getsize(out) if rc.returncode == 0 else -1,
         "peak_rss_gb": round(peak_kb / 1e6, 3),
         "pipeline_hwm_gb": round(pipe_kb / 1e6, 3),
-        "limit_gb": 8, "ok": ok}))
+        "limit_gb": LIMIT_GB, "ok": ok}))
     for f in (fq, out):
         if os.path.exists(f):
             os.unlink(f)
