@@ -124,6 +124,8 @@ def drive_quality_bins(spool: QualSpool, sink,
     """
     if not block_sels:
         return
+    import time
+    trace = os.environ.get("SPRING_TPU_TRACE")
     if bin_rows is None:
         bin_rows = max(len(block_sels[0][1]), spool.n // 8)
     throttle = _Throttle(max_inflight)
@@ -135,7 +137,11 @@ def drive_quality_bins(spool: QualSpool, sink,
             rows += len(block_sels[jn][1])
             jn += 1
         sel = np.concatenate([s for _, s in block_sels[i:jn]])
+        _tg = time.time()
         mat = spool.gather(sel)
+        if trace:
+            print(f"[trace] qbin gather[{i}:{jn}] {time.time() - _tg:.2f}s",
+                  flush=True)
         lens = lengths[sel]
         if quality_mode == "qvz":
             from . import qvz

@@ -627,6 +627,7 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     mark("block_streams_submit")
     for t in bin_threads:
         t.join()
+    mark("qbins_join")
     for fut in futs:
         fut.result()        # propagate codec/writer errors
     pool.shutdown()

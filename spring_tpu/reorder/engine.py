@@ -51,7 +51,11 @@ SHIFT_CHUNK = 4        # shifts probed per round
 # compaction and the endgame exit only happen between flushes, and the
 # extra tail rounds cost more than the amortization saved
 FLUSH_ROUNDS = int(_os.environ.get("SPRING_TPU_FLUSH_ROUNDS", "32"))
-REBUILD_FRACTION = 0.10  # compact dicts when claimed grew by this fraction
+# compact dicts when claimed grew by this fraction since the last compact
+# (0.22 halves the compaction count vs 0.10 with identical round count,
+# accepts, and archive size at 10M — measured on-chip)
+REBUILD_FRACTION = float(_os.environ.get("SPRING_TPU_REBUILD_FRACTION",
+                                         "0.22"))
 
 # stats of the most recent run() — bench.py reports them next to the
 # headline (rounds, flush wall, emission bytes fetched over the tunnel)
@@ -548,6 +552,7 @@ class ReorderEngine:
             shift_base=jnp.zeros((B,), jnp.int32),
             first_rid=jnp.zeros((B,), jnp.int32),
             left_phase=jnp.zeros((B,), bool),
+            grew=jnp.zeros((B,), bool),
             claimed=jnp.asarray(claimed),
             queue_pos=jnp.zeros((), jnp.int32),
             rows=self._device_rows(),          # fresh device copy per run
@@ -751,14 +756,20 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         shift_base = jnp.where(matched_any, 0, shift_base)
 
         # walkers that found nothing advance their shift window; an
-        # exhausted forward walker restarts leftward from the contig's
-        # first read, reverse-complemented (reference left search,
-        # src/reorder.h:562-571); an exhausted left walker dies
+        # exhausted forward walker whose contig GREW restarts leftward
+        # from the contig's first read, reverse-complemented (reference
+        # left search, src/reorder.h:562-571); an exhausted left walker
+        # dies. A walker still alone on its seed skips the left phase
+        # entirely — re-scanning the RC'd seed rarely finds what the
+        # forward scan's rc-orient probes missed, and singleton deaths
+        # dominate the endgame rounds (~1/3 of all rounds at 10M); a
+        # missed left-pair costs only a stitchable contig split.
+        grew = state["grew"] | matched_any
         missed = searching & ~matched_any
         shift_base = jnp.where(missed, shift_base + SC, shift_base)
         death = missed & (shift_base > maxshift)
-        start_left = death & ~left_phase
-        active = active & ~(death & left_phase)
+        start_left = death & ~left_phase & grew
+        active = active & ~(death & (left_phase | ~grew))
         left_phase = left_phase | start_left
         shift_base = jnp.where(start_left, 0, shift_base)
         fr_rows = packed[jnp.clip(first_rid, 0, Np - 1)]
@@ -785,6 +796,7 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         shift_base = jnp.where(ok_seed, 0, shift_base)
         active = active | ok_seed
         left_phase = jnp.where(ok_seed, False, left_phase)
+        grew = jnp.where(ok_seed, False, grew)
         first_rid = jnp.where(ok_seed, seed_rid, first_rid)
         queue_pos = state["queue_pos"] + jnp.sum(in_range)
 
@@ -808,8 +820,8 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
 
         new_state = dict(counts=counts, ref_len=ref_len, active=active,
                          shift_base=shift_base, first_rid=first_rid,
-                         left_phase=left_phase, claimed=claimed,
-                         queue_pos=queue_pos)
+                         left_phase=left_phase, grew=grew,
+                         claimed=claimed, queue_pos=queue_pos)
         return new_state, emit.astype(jnp.int32)
 
     S = M + 1
@@ -1033,6 +1045,11 @@ def _engine_run(self, progress=None) -> np.ndarray:
                     np.asarray(state["claimed"])[: self.Np // 32]
                     .view(np.uint8), bitorder="little")[: self.N]
                 remaining = queue[~claimed_np[queue].astype(bool)]
+                if not len(remaining):
+                    # stats lag one flush: every queued read is already
+                    # claimed — skip the pointless seed-order re-upload
+                    queue = remaining
+                    continue
                 queue = remaining
                 seed_order = jnp.asarray(np.concatenate([
                     remaining,
