@@ -195,7 +195,13 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
     capc = max(int(np.ceil(capf * (Bl * GSEL) / n)), 1)
     capr = max(int(np.ceil(capf * (Bl * (M + 2)) / n)), 1)
     R = n * capk                    # per-device dictionary entries
-    assert R <= dct.MAX_COMPACT_ENTRIES
+    if R > dct.MAX_COMPACT_ENTRIES:
+        raise ValueError(
+            f"per-device dictionary of {R} entries exceeds the compact "
+            f"table's {dct.MAX_COMPACT_ENTRIES} (packed 27-bit starts); "
+            "add mesh devices to shrink the per-device shard (the wide "
+            "format used by the single-chip engine past 2^27 entries is "
+            "not wired into the dist probe exchange yet)")
     S = dct.table_buckets(max(D * Np // n, 64))
     salt = jnp.asarray(np.array(_SALTS[:D], np.uint32))
 
