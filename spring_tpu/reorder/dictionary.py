@@ -508,10 +508,6 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     shift = 32 - int(np.log2(S))
     b = (h_s >> shift).astype(jnp.int32)     # monotonic buckets
 
-    fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
-    fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
-    fcount = jnp.zeros(S * SLOTS + 1, jnp.uint32)
-
     # rank of each ENTRY (bin head) within its bucket: entries before it
     # in the same bucket, via cumsum of entries minus the bucket's base
     bfirst = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
@@ -520,11 +516,34 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     rank = ecum0 - base
     fits = entry & (rank < SLOTS)
     flat = jnp.where(fits, b * SLOTS + rank, S * SLOTS)
+    dropped = jnp.sum(entry & ~fits).astype(jnp.int32)
+
+    if compact and not wide:
+        # scatter the pre-packed slot values directly — TWO S*SLOTS
+        # arrays instead of key/start/count triple (the triple pushed
+        # the 2^27-entry build program past v5e HBM: 18.0 of 15.75 GB).
+        # Empty slots stay 0 in both planes, matching the 3-array form's
+        # zeroed keys/starts/counts bit for bit.
+        t16 = ((keys_s * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+        scv = (pos.astype(jnp.uint32) << SC_SHIFT) \
+            | jnp.minimum(ucount, SC_CMASK).astype(jnp.uint32)
+        ftag = jnp.zeros(S * SLOTS + 1, jnp.uint32).at[flat].set(
+            jnp.where(fits, t16, 0))
+        fsc = jnp.zeros(S * SLOTS + 1, jnp.uint32).at[flat].set(
+            jnp.where(fits, scv, 0))
+        t8 = ftag[: S * SLOTS].reshape(S, SLOTS)
+        tagw = t8[:, 0::2] | (t8[:, 1::2] << 16)
+        scw = fsc[: S * SLOTS].reshape(S, SLOTS)
+        return (jnp.concatenate([tagw, scw], axis=1),
+                h_s, rids_s, dropped)
+
+    fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
+    fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
+    fcount = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fkey = fkey.at[flat].set(jnp.where(fits, keys_s, 0))
     fstart = fstart.at[flat].set(jnp.where(fits, pos, 0).astype(jnp.uint32))
     fcount = fcount.at[flat].set(
         jnp.where(fits, ucount, 0).astype(jnp.uint32))
-    dropped = jnp.sum(entry & ~fits).astype(jnp.int32)
 
     k8 = fkey[: S * SLOTS].reshape(S, SLOTS)
     s8 = fstart[: S * SLOTS].reshape(S, SLOTS)
@@ -532,14 +551,10 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     if compact:
         t8 = ((k8 * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
         tagw = t8[:, 0::2] | (t8[:, 1::2] << 16)
-        if wide:
-            cb = jnp.minimum(c8, jnp.uint32(255))
-            countw = (cb[:, 0::4] | (cb[:, 1::4] << 8)
-                      | (cb[:, 2::4] << 16) | (cb[:, 3::4] << 24))
-            btab = jnp.concatenate([tagw, s8, countw], axis=1)
-        else:
-            scw = (s8 << SC_SHIFT) | jnp.minimum(c8, jnp.uint32(SC_CMASK))
-            btab = jnp.concatenate([tagw, scw], axis=1)
+        cb = jnp.minimum(c8, jnp.uint32(255))
+        countw = (cb[:, 0::4] | (cb[:, 1::4] << 8)
+                  | (cb[:, 2::4] << 16) | (cb[:, 3::4] << 24))
+        btab = jnp.concatenate([tagw, s8, countw], axis=1)
     else:
         btab = jnp.concatenate([k8, s8, c8], axis=1)
     return btab, h_s, rids_s, dropped

@@ -448,8 +448,18 @@ class ReorderEngine:
         self.W = packed.shape[1]
         self.Lb = self.W * bits.BASES_PER_WORD
         # pad N to a power of two so datasets of similar size share one
-        # compiled program (padding reads are pre-claimed, never touched)
-        self.Np = max(1 << max(self.N - 1, 1).bit_length(), 64)
+        # compiled program (padding reads are pre-claimed, never touched).
+        # Past 2^26 reads, pow2 padding can waste up to 2x in EVERY
+        # device table (rows/dicts/pairs — 100M reads padded to 134M
+        # pushed the dict build past v5e HBM); 1/8-octave granules bound
+        # the waste at 12.5% for at most 8 compiled shapes per octave,
+        # amortized by runs that big.
+        np_pow2 = max(1 << max(self.N - 1, 1).bit_length(), 64)
+        if self.N > (1 << 26):
+            gran = 1 << (max(self.N - 1, 1).bit_length() - 3)
+            self.Np = min(-(-self.N // gran) * gran, np_pow2)
+        else:
+            self.Np = np_pow2
         # enough walkers to keep the device busy, but few enough that seeds
         # don't fragment the contig space: ~256 reads per walker measured
         # best on v5e (B=4096 at 1M reads beat B=16384 on both speed and

@@ -40,13 +40,20 @@ with open("/proc/self/status") as f:          # pipeline process's own peak
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tmpd = tempfile.mkdtemp(prefix="rss_check_")
-    fq = os.path.join(tmpd, "in.fastq")
+    # deterministic cached input: a 100M-read file takes ~25 min to
+    # synthesize — keep it for re-runs (delete by hand to reclaim disk)
+    cache = os.environ.get("SPRING_TPU_RSS_DATA", "/tmp/rss_check_data")
+    os.makedirs(cache, exist_ok=True)
+    fq = os.path.join(cache, f"in_{N}_{L}.fastq")
     out = os.path.join(tmpd, "out.stpu")
-    print(f"generating {N} x {L}bp synthetic reads ...", flush=True)
-    from spring_tpu.utils import synth
-    # scale the genome so coverage stays ~50x (SRR554369-like) at any N
-    genome = max(2_000_000, N * L // 50)
-    synth.make_se(fq, N, read_len=L, genome_size=genome, seed=5)
+    if not os.path.exists(fq):
+        print(f"generating {N} x {L}bp synthetic reads ...", flush=True)
+        from spring_tpu.utils import synth
+        # scale the genome so coverage stays ~50x (SRR554369-like) at any N
+        genome = max(2_000_000, N * L // 50)
+        tmp_fq = fq + ".tmp"
+        synth.make_se(tmp_fq, N, read_len=L, genome_size=genome, seed=5)
+        os.replace(tmp_fq, fq)
     sz = os.path.getsize(fq)
     print(f"input {sz / 1e9:.2f} GB; compressing ...", flush=True)
     hwm_file = os.path.join(tmpd, "hwm")
@@ -70,9 +77,8 @@ def main():
         "peak_rss_gb": round(peak_kb / 1e6, 3),
         "pipeline_hwm_gb": round(pipe_kb / 1e6, 3),
         "limit_gb": LIMIT_GB, "ok": ok}))
-    for f in (fq, out):
-        if os.path.exists(f):
-            os.unlink(f)
+    if os.path.exists(out):
+        os.unlink(out)
     os.rmdir(tmpd)
     sys.exit(0 if ok else 1)
 
