@@ -152,11 +152,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # prewarm the device dictionary-build program while the host parses:
     # at 10M+ reads the tunnel server may re-JIT the deserialized build
     # executable (~50-100 s) and the device is otherwise idle here. The
-    # clean-read count usually shares n_pad's power of two; a mismatch
+    # clean-read count usually shares n's padding bucket; a mismatch
     # only wastes the warmup.
     if n >= 2_000_000 and maxlen >= 32 and not os.environ.get(
             "SPRING_TPU_DIST"):
-        def _prewarm_dict_build(np2=n_pad, w2=W, ml2=maxlen):
+        def _prewarm_dict_build(np2=eng.padded_n(n), w2=W, ml2=maxlen):
             try:
                 import jax.numpy as jnp
                 from ..reorder import dictionary as dct2

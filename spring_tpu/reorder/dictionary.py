@@ -519,23 +519,29 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     dropped = jnp.sum(entry & ~fits).astype(jnp.int32)
 
     if compact and not wide:
-        # scatter the pre-packed slot values directly — TWO S*SLOTS
-        # arrays instead of key/start/count triple (the triple pushed
-        # the 2^27-entry build program past v5e HBM: 18.0 of 15.75 GB).
-        # Empty slots stay 0 in both planes, matching the 3-array form's
-        # zeroed keys/starts/counts bit for bit.
+        # scatter the pre-packed slot values DIRECTLY into the flat
+        # (S * COMPACT_WORDS,) btab image: tag halves via scatter-add
+        # (slots 2j/2j+1 own disjoint 16-bit halves of tag word j), sc
+        # words at their column. The (S, SLOTS)-shaped reshape+concat
+        # this replaces made XLA materialize u32[S,8] temps in a
+        # T(8,128)-tiled layout — 16x padding, 16 GB at S=2^25 (the
+        # whole OOM of the 100M-read build). The flat image is returned
+        # 1-D; the caller reshapes OUTSIDE jit, where the (S, 12) array
+        # gets the benign default layout (1.33x pad).
         t16 = ((keys_s * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
         scv = (pos.astype(jnp.uint32) << SC_SHIFT) \
             | jnp.minimum(ucount, SC_CMASK).astype(jnp.uint32)
-        ftag = jnp.zeros(S * SLOTS + 1, jnp.uint32).at[flat].set(
-            jnp.where(fits, t16, 0))
-        fsc = jnp.zeros(S * SLOTS + 1, jnp.uint32).at[flat].set(
-            jnp.where(fits, scv, 0))
-        t8 = ftag[: S * SLOTS].reshape(S, SLOTS)
-        tagw = t8[:, 0::2] | (t8[:, 1::2] << 16)
-        scw = fsc[: S * SLOTS].reshape(S, SLOTS)
-        return (jnp.concatenate([tagw, scw], axis=1),
-                h_s, rids_s, dropped)
+        sink = S * COMPACT_WORDS
+        row0 = b * COMPACT_WORDS
+        idx_tag = jnp.where(fits, row0 + (rank >> 1), sink)
+        val_tag = jnp.where(
+            fits, t16 << (16 * (rank & 1)).astype(jnp.uint32), 0)
+        idx_sc = jnp.where(fits, row0 + SLOTS // 2 + rank, sink)
+        val_sc = jnp.where(fits, scv, 0)
+        flatb = jnp.zeros(S * COMPACT_WORDS + 1, jnp.uint32)
+        flatb = flatb.at[jnp.concatenate([idx_tag, idx_sc])].add(
+            jnp.concatenate([val_tag, val_sc]))
+        return flatb[:sink], h_s, rids_s, dropped
 
     fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
@@ -570,6 +576,8 @@ def build_hash_dicts_device(rows, n_real: int,
     for spec in windows:
         btab, keys_s, rids_s, dropped = _build_hash_dict_dev(
             rows, nr, spec.start, S, _use_wide(Np))
+        if btab.ndim == 1:      # compact flat image — reshape outside jit
+            btab = btab.reshape(S, COMPACT_WORDS)
         out.append(DeviceDict(btab=btab, rids=rids_s, keys_dev=keys_s,
                               start=spec.start, dropped=dropped))
     return out

@@ -61,6 +61,21 @@ REBUILD_FRACTION = float(_os.environ.get("SPRING_TPU_REBUILD_FRACTION",
 # headline (rounds, flush wall, emission bytes fetched over the tunnel)
 LAST_RUN_STATS: dict = {}
 
+
+def padded_n(n: int) -> int:
+    """Engine read-count padding: pow2 so datasets of similar size share
+    one compiled program (padding reads are pre-claimed, never touched).
+    Past 2^26 reads, pow2 padding can waste up to 2x in EVERY device
+    table (rows/dicts/pairs — 100M reads padded to 134M pushed the dict
+    build past v5e HBM); 1/8-octave granules bound the waste at 12.5%
+    for at most 8 compiled shapes per octave, amortized by runs that
+    big. Always a multiple of 64 (bitmap words, pairs rows)."""
+    np_pow2 = max(1 << max(n - 1, 1).bit_length(), 64)
+    if n <= (1 << 26):
+        return np_pow2
+    gran = 1 << (max(n - 1, 1).bit_length() - 3)
+    return min(-(-n // gran) * gran, np_pow2)
+
 _ODD = jnp.uint32(0x55555555)
 _ONES = jnp.uint32(0xFFFFFFFF)
 _BIG = jnp.iinfo(jnp.int32).max
@@ -447,19 +462,7 @@ class ReorderEngine:
         self.N = len(select)              # real read count
         self.W = packed.shape[1]
         self.Lb = self.W * bits.BASES_PER_WORD
-        # pad N to a power of two so datasets of similar size share one
-        # compiled program (padding reads are pre-claimed, never touched).
-        # Past 2^26 reads, pow2 padding can waste up to 2x in EVERY
-        # device table (rows/dicts/pairs — 100M reads padded to 134M
-        # pushed the dict build past v5e HBM); 1/8-octave granules bound
-        # the waste at 12.5% for at most 8 compiled shapes per octave,
-        # amortized by runs that big.
-        np_pow2 = max(1 << max(self.N - 1, 1).bit_length(), 64)
-        if self.N > (1 << 26):
-            gran = 1 << (max(self.N - 1, 1).bit_length() - 3)
-            self.Np = min(-(-self.N // gran) * gran, np_pow2)
-        else:
-            self.Np = np_pow2
+        self.Np = padded_n(self.N)
         # enough walkers to keep the device busy, but few enough that seeds
         # don't fragment the contig space: ~256 reads per walker measured
         # best on v5e (B=4096 at 1M reads beat B=16384 on both speed and
