@@ -244,8 +244,8 @@ def probe_meta(btab, queries: jnp.ndarray
     """Hash-probe a batch of uint32 keys for bin metadata only.
 
     Returns (start, count) per query, both int32 with count 0 on miss.
-    Accepts either btab layout: classic (S, 3*SLOTS) full-key rows or
-    compact (S, COMPACT_WORDS) tag rows."""
+    Accepts the btab layouts: classic (S, 3*SLOTS) full-key rows,
+    compact (S, COMPACT_WORDS) or wide (S, WIDE_WORDS) tag rows."""
     S = btab.shape[0]
     shift = 32 - int(np.log2(S))
     flat = queries.reshape(-1)
@@ -519,29 +519,30 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
     dropped = jnp.sum(entry & ~fits).astype(jnp.int32)
 
     if compact and not wide:
-        # scatter the pre-packed slot values DIRECTLY into the flat
-        # (S * COMPACT_WORDS,) btab image: tag halves via scatter-add
-        # (slots 2j/2j+1 own disjoint 16-bit halves of tag word j), sc
-        # words at their column. The (S, SLOTS)-shaped reshape+concat
-        # this replaces made XLA materialize u32[S,8] temps in a
-        # T(8,128)-tiled layout — 16x padding, 16 GB at S=2^25 (the
-        # whole OOM of the 100M-read build). The flat image is returned
-        # 1-D; the caller reshapes OUTSIDE jit, where the (S, 12) array
-        # gets the benign default layout (1.33x pad).
+        # scatter the pre-packed slot values DIRECTLY into the 2-D
+        # (S+1, 12) btab: tag halves via scatter-add (slots 2j/2j+1 own
+        # disjoint 16-bit halves of tag word j), sc words at their
+        # column, row S the sink. Building per-slot (S, SLOTS) planes
+        # and reshaping/concatenating them — or reshaping a flat image
+        # to (S, 12) ANYWHERE, in- or out-of-jit — makes XLA materialize
+        # a T(8,128)-tiled relayout that pads the minor dim to 128: 16 GB
+        # at S=2^25, the whole OOM of the 100M-read build. A 2-D zeros +
+        # 2-D scatter keeps the benign pad-to-16 layout end to end
+        # (measured: 6.4 GB temp / 2.1 GB output at S=2^25).
         t16 = ((keys_s * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
         scv = (pos.astype(jnp.uint32) << SC_SHIFT) \
             | jnp.minimum(ucount, SC_CMASK).astype(jnp.uint32)
-        sink = S * COMPACT_WORDS
-        row0 = b * COMPACT_WORDS
-        idx_tag = jnp.where(fits, row0 + (rank >> 1), sink)
+        rowi = jnp.where(fits, b, S)
+        col_tag = jnp.clip(rank >> 1, 0, SLOTS // 2 - 1)
         val_tag = jnp.where(
             fits, t16 << (16 * (rank & 1)).astype(jnp.uint32), 0)
-        idx_sc = jnp.where(fits, row0 + SLOTS // 2 + rank, sink)
+        col_sc = jnp.clip(SLOTS // 2 + rank, 0, COMPACT_WORDS - 1)
         val_sc = jnp.where(fits, scv, 0)
-        flatb = jnp.zeros(S * COMPACT_WORDS + 1, jnp.uint32)
-        flatb = flatb.at[jnp.concatenate([idx_tag, idx_sc])].add(
+        btab = jnp.zeros((S + 1, COMPACT_WORDS), jnp.uint32)
+        btab = btab.at[jnp.concatenate([rowi, rowi]),
+                       jnp.concatenate([col_tag, col_sc])].add(
             jnp.concatenate([val_tag, val_sc]))
-        return flatb[:sink], h_s, rids_s, dropped
+        return btab[:S], h_s, rids_s, dropped
 
     fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
@@ -576,8 +577,6 @@ def build_hash_dicts_device(rows, n_real: int,
     for spec in windows:
         btab, keys_s, rids_s, dropped = _build_hash_dict_dev(
             rows, nr, spec.start, S, _use_wide(Np))
-        if btab.ndim == 1:      # compact flat image — reshape outside jit
-            btab = btab.reshape(S, COMPACT_WORDS)
         out.append(DeviceDict(btab=btab, rids=rids_s, keys_dev=keys_s,
                               start=spec.start, dropped=dropped))
     return out

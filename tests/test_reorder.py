@@ -209,9 +209,11 @@ def test_device_dict_build_matches_host():
     dev = dct.build_hash_dicts_device(jnp.asarray(rows), n, windows)
 
     for hd, dd in zip(host, dev):
-        # bit-identical tables and bins (device mirrors the host placement)
-        np.testing.assert_array_equal(np.asarray(hd.btab),
-                                      np.asarray(dd.btab))
+        # bit-identical tables and bins (device mirrors the host
+        # placement; the device image is flat — see build_hash_dicts_device)
+        np.testing.assert_array_equal(
+            np.asarray(hd.btab),
+            np.asarray(dd.btab).reshape(np.asarray(hd.btab).shape))
         np.testing.assert_array_equal(np.asarray(hd.rids),
                                       np.asarray(dd.rids))
         # same probe answers for every indexed window key
