@@ -404,6 +404,10 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             engine = eng.ReorderEngine(
                 packed_buf, lengths, cfg, select=clean_rids,
                 rows_dev=stager.rows() if stager is not None else None)
+            if stager is not None:
+                # the engine owns the staged table now; run() drops it
+                # once the padded row table is assembled
+                stager.release()
         mark("dict_build")
         emissions = engine.run(progress=_progress)
         _submit_deferred()      # zero-flush runs never fire the callback

@@ -577,6 +577,11 @@ def build_hash_dicts_device(rows, n_real: int,
     for spec in windows:
         btab, keys_s, rids_s, dropped = _build_hash_dict_dev(
             rows, nr, spec.start, S, _use_wide(Np))
+        if Np > (1 << 26):
+            # serialize big builds: each runs ~6 GB of temps next to the
+            # 3.2 GB rows; two dispatched together co-resident their
+            # temps and OOM'd the 100M build at runtime
+            jax.block_until_ready(btab)
         out.append(DeviceDict(btab=btab, rids=rids_s, keys_dev=keys_s,
                               start=spec.start, dropped=dropped))
     return out

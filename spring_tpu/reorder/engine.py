@@ -923,6 +923,10 @@ def _engine_run(self, progress=None) -> np.ndarray:
         # flush as a non-donated argument instead of a scan carry
         rows_tab = state.pop("rows")
         jax.block_until_ready(rows_tab)
+        # the staged pre-gather row table (rows_dev) is folded into
+        # rows_tab now — drop the reference so its ~3 GB (at 100M reads)
+        # frees before the dictionary builds run their temps
+        self._rows_dev = None
         _t1 = time.time()
         self._build_dicts(rows_tab)
         # both dicts' compact tables stacked: ONE probe gather per round
