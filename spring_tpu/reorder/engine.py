@@ -929,8 +929,13 @@ def _engine_run(self, progress=None) -> np.ndarray:
         self._rows_dev = None
         _t1 = time.time()
         self._build_dicts(rows_tab)
-        # both dicts' compact tables stacked: ONE probe gather per round
+        # both dicts' compact tables stacked: ONE probe gather per round.
+        # The stacked copy is the only one the round reads — drop the
+        # per-dict tables (2 x 2.15 GB at 100M reads; keeping both
+        # copies OOM'd the pairs build that follows)
         dkeys = jnp.concatenate([d.btab for d in self._dicts], axis=0)
+        for d in self._dicts:
+            d.btab = None
         drids1 = [d.rids for d in self._dicts]
         # stacked overlapping pair rows (dict d at row offset d*Np/8):
         # the round's bin fetch is ONE row gather across both dicts
@@ -1043,6 +1048,10 @@ def _engine_run(self, progress=None) -> np.ndarray:
             if n_claimed - last_claimed > REBUILD_FRACTION * max(self.N, 1):
                 tc = time.time()
                 drids1 = self._compact_dicts(drids1, state["claimed"])
+                # drop this loop's ref to the old pairs before building
+                # the new ones (the in-flight flush may still pin them,
+                # but one less reference frees them the moment it lands)
+                pairs_all = None
                 pairs_all = jnp.concatenate(
                     [dct.pairs_from_rids(r) for r in drids1], axis=0)
                 last_claimed = n_claimed
