@@ -931,9 +931,15 @@ def _engine_run(self, progress=None) -> np.ndarray:
         self._build_dicts(rows_tab)
         # both dicts' compact tables stacked: ONE probe gather per round.
         # The stacked copy is the only one the round reads — drop the
-        # per-dict tables (2 x 2.15 GB at 100M reads; keeping both
-        # copies OOM'd the pairs build that follows)
+        # per-dict tables (2 x 2.15 GB at 100M reads). PJRT allocates an
+        # execution's outputs at ENQUEUE time, so past 2^26 reads each
+        # step blocks before the next dispatch: without the barriers the
+        # concat/pairs outputs co-resident with every input and OOM'd
+        # the 100M init.
+        big = self.Np > (1 << 26)
         dkeys = jnp.concatenate([d.btab for d in self._dicts], axis=0)
+        if big:
+            jax.block_until_ready(dkeys)
         for d in self._dicts:
             d.btab = None
         drids1 = [d.rids for d in self._dicts]
@@ -941,6 +947,8 @@ def _engine_run(self, progress=None) -> np.ndarray:
         # the round's bin fetch is ONE row gather across both dicts
         pairs_all = jnp.concatenate(
             [dct.pairs_from_rids(r) for r in drids1], axis=0)
+        if big:
+            jax.block_until_ready(pairs_all)
         if trace:
             print(f"[trace] reorder init: state {_t1 - _t0:.3f}s dicts "
                   f"{time.time() - _t1:.3f}s", flush=True)
