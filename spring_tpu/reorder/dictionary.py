@@ -118,14 +118,20 @@ def table_buckets(n_keys: int) -> int:
     return min(b, 1 << 25)
 
 
+@jax.jit
 def pairs_from_rids(rids: jnp.ndarray) -> jnp.ndarray:
     """(n,) rids -> (n/8, 16) overlapping pair rows: row i holds
-    rids[8i : 8i+16]. Duplicates memory 2x so a probe's up-to-8 candidates
-    at any bin offset land in ONE gathered row (two 8-wide row gathers +
-    the same select chain otherwise)."""
-    r8 = rids.reshape(-1, 8)
-    nxt = jnp.concatenate([r8[1:], jnp.full((1, 8), -1, r8.dtype)], axis=0)
-    return jnp.concatenate([r8, nxt], axis=1)
+    rids[8i : 8i+16] (positions past n filled with -1). Duplicates
+    memory 2x so a probe's up-to-8 candidates at any bin offset land in
+    ONE gathered row. Built as ONE jitted gather from the flat array:
+    the eager reshape(-1, 8) + concat form materialized a T(8,128)-
+    tiled intermediate that pads the 8-wide minor dim 16x — 13 GB at
+    100M reads."""
+    n = rids.shape[0]
+    idx = (jnp.arange(n // 8, dtype=jnp.int32)[:, None] * 8
+           + jnp.arange(16, dtype=jnp.int32)[None, :])
+    out = rids[jnp.minimum(idx, n - 1)]
+    return jnp.where(idx >= n, jnp.asarray(-1, rids.dtype), out)
 
 
 @dataclass
