@@ -118,6 +118,25 @@ def table_buckets(n_keys: int) -> int:
     return min(b, 1 << 25)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def pairs_from_rids_stacked(rids_all: jnp.ndarray, D: int) -> jnp.ndarray:
+    """pairs_from_rids for D dictionaries stacked flat in ``rids_all``
+    (dict d's rids at [d*n, (d+1)*n)): returns the (D*n/8, 16) stacked
+    pair rows in ONE jitted gather. Dict boundaries behave like each
+    dict's own tail (positions past its n fill with -1). The eager
+    per-dict pairs + eager concatenate this replaces let the concat
+    pick a T(8,128)-tiled output layout — 8x padding, 13 GB at 100M
+    reads."""
+    n = rids_all.shape[0] // D
+    rows_per = n // 8
+    i = jnp.arange(D * rows_per, dtype=jnp.int32)[:, None]
+    d = i // rows_per
+    li = (i % rows_per) * 8 + jnp.arange(16, dtype=jnp.int32)[None, :]
+    gi = d * n + li
+    out = rids_all[jnp.minimum(gi, D * n - 1)]
+    return jnp.where(li >= n, jnp.asarray(-1, rids_all.dtype), out)
+
+
 @jax.jit
 def pairs_from_rids(rids: jnp.ndarray) -> jnp.ndarray:
     """(n,) rids -> (n/8, 16) overlapping pair rows: row i holds

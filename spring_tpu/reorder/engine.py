@@ -944,9 +944,11 @@ def _engine_run(self, progress=None) -> np.ndarray:
             d.btab = None
         drids1 = [d.rids for d in self._dicts]
         # stacked overlapping pair rows (dict d at row offset d*Np/8):
-        # the round's bin fetch is ONE row gather across both dicts
-        pairs_all = jnp.concatenate(
-            [dct.pairs_from_rids(r) for r in drids1], axis=0)
+        # the round's bin fetch is ONE row gather across both dicts.
+        # Built by ONE jitted gather over the flat-stacked rids — eager
+        # 2-D concats pick tiled layouts (see pairs_from_rids_stacked)
+        pairs_all = dct.pairs_from_rids_stacked(
+            jnp.concatenate(drids1), len(drids1))
         if big:
             jax.block_until_ready(pairs_all)
         if trace:
@@ -1060,8 +1062,8 @@ def _engine_run(self, progress=None) -> np.ndarray:
                 # the new ones (the in-flight flush may still pin them,
                 # but one less reference frees them the moment it lands)
                 pairs_all = None
-                pairs_all = jnp.concatenate(
-                    [dct.pairs_from_rids(r) for r in drids1], axis=0)
+                pairs_all = dct.pairs_from_rids_stacked(
+                    jnp.concatenate(drids1), len(drids1))
                 last_claimed = n_claimed
                 if trace:
                     jax.block_until_ready(pairs_all)

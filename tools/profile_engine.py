@@ -40,7 +40,8 @@ def main():
     state = e._init_state()
     rows_tab = state.pop("rows")
     dkeys = eng.jnp.concatenate([d.btab for d in e.dicts], axis=0)
-    drids = eng.jnp.concatenate([eng.dct.pairs_from_rids(d.rids) for d in e.dicts], axis=0)
+    drids = eng.dct.pairs_from_rids_stacked(
+        eng.jnp.concatenate([d.rids for d in e.dicts]), len(e.dicts))
     stride = max(e.N // e.B, 1)
     idx = np.arange(e.N, dtype=np.int32)
     so = np.concatenate([idx[r::stride] for r in range(stride)])
