@@ -227,7 +227,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # ~3 s and a ~300 MB client staging spike at 10M reads otherwise.
     stager = None
     if (len(files) == 1 and n >= 2_000_000 and maxlen >= 32
-            and not os.environ.get("SPRING_TPU_DIST")):
+            and not os.environ.get("SPRING_TPU_DIST")
+            and not os.environ.get("SPRING_TPU_NO_STAGER")):
         stager = eng.DeviceRowStager(n, W, fastq_native._SEG_RECORDS)
 
     exc_parts = []

@@ -900,6 +900,11 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     return round_fn, jax.jit(flush_fn, donate_argnums=(0,)), CAP
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _dus_pairs(out, seg, row0):
+    return jax.lax.dynamic_update_slice(out, seg, (row0, 0))
+
+
 @functools.lru_cache(maxsize=None)
 def _take_prefix_fn(k: int):
     """Jitted static-size prefix slice (pow2-bucketed so a run compiles a
@@ -943,14 +948,27 @@ def _engine_run(self, progress=None) -> np.ndarray:
         for d in self._dicts:
             d.btab = None
         drids1 = [d.rids for d in self._dicts]
+
         # stacked overlapping pair rows (dict d at row offset d*Np/8):
         # the round's bin fetch is ONE row gather across both dicts.
-        # Built by ONE jitted gather over the flat-stacked rids — eager
-        # 2-D concats pick tiled layouts (see pairs_from_rids_stacked)
-        pairs_all = dct.pairs_from_rids_stacked(
-            jnp.concatenate(drids1), len(drids1))
-        if big:
-            jax.block_until_ready(pairs_all)
+        # Built per dict into a donated preallocated output — one fused
+        # all-dict gather program peaked ~6.5 GB of temps, just past the
+        # ~6 GB free beside the 100M tables (and eager 2-D concats pick
+        # tiled layouts that pad the 16-wide minor dim 8x)
+        def build_pairs(drids):
+            nprow = self.Np // 8
+            out = jnp.zeros((len(drids) * nprow, 16), jnp.int32)
+            for di, r in enumerate(drids):
+                p = dct.pairs_from_rids(r)
+                if big:
+                    jax.block_until_ready(p)
+                out = _dus_pairs(out, p,
+                                 jnp.asarray(di * nprow, jnp.int32))
+                if big:
+                    jax.block_until_ready(out)
+            return out
+
+        pairs_all = build_pairs(drids1)
         if trace:
             print(f"[trace] reorder init: state {_t1 - _t0:.3f}s dicts "
                   f"{time.time() - _t1:.3f}s", flush=True)
@@ -1062,8 +1080,7 @@ def _engine_run(self, progress=None) -> np.ndarray:
                 # the new ones (the in-flight flush may still pin them,
                 # but one less reference frees them the moment it lands)
                 pairs_all = None
-                pairs_all = dct.pairs_from_rids_stacked(
-                    jnp.concatenate(drids1), len(drids1))
+                pairs_all = build_pairs(drids1)
                 last_claimed = n_claimed
                 if trace:
                     jax.block_until_ready(pairs_all)
