@@ -905,6 +905,23 @@ def _dus_pairs(out, seg, row0):
     return jax.lax.dynamic_update_slice(out, seg, (row0, 0))
 
 
+_PAIRS_SEG_ROWS = 1 << 21
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pairs_seg(rids, row0, rows: int):
+    """Pair rows [row0, row0+rows) of one dict's bin array: row i holds
+    rids[8i : 8i+16] (-1 past the end). Segmented because the whole-dict
+    program's internal (n/8, 16) temps get T(8,128)-tiled layouts — 8x
+    padding, 7.3 GB of temps at 100M reads (measured); 2M-row segments
+    bound that at ~1 GB."""
+    idx = ((row0 + jnp.arange(rows, dtype=jnp.int32))[:, None] * 8
+           + jnp.arange(16, dtype=jnp.int32)[None, :])
+    n = rids.shape[0]
+    out = rids[jnp.minimum(idx, n - 1)]
+    return jnp.where(idx >= n, jnp.asarray(-1, rids.dtype), out)
+
+
 @functools.lru_cache(maxsize=None)
 def _take_prefix_fn(k: int):
     """Jitted static-size prefix slice (pow2-bucketed so a run compiles a
@@ -958,14 +975,19 @@ def _engine_run(self, progress=None) -> np.ndarray:
         def build_pairs(drids):
             nprow = self.Np // 8
             out = jnp.zeros((len(drids) * nprow, 16), jnp.int32)
+            SEG = _PAIRS_SEG_ROWS
             for di, r in enumerate(drids):
-                p = dct.pairs_from_rids(r)
-                if big:
-                    jax.block_until_ready(p)
-                out = _dus_pairs(out, p,
-                                 jnp.asarray(di * nprow, jnp.int32))
-                if big:
-                    jax.block_until_ready(out)
+                starts = (list(range(0, nprow - SEG, SEG))
+                          + [max(nprow - SEG, 0)]) if nprow > SEG else [0]
+                for s0 in starts:
+                    rows_n = min(SEG, nprow)
+                    p = _pairs_seg(r, jnp.asarray(s0, jnp.int32), rows_n)
+                    out = _dus_pairs(
+                        out, p, jnp.asarray(di * nprow + s0, jnp.int32))
+                    if big:
+                        # enqueue-time allocation: unsynced segments
+                        # would co-resident their temps
+                        jax.block_until_ready(out)
             return out
 
         pairs_all = build_pairs(drids1)
