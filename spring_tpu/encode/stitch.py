@@ -188,14 +188,17 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
         root = root[root]
     mark("roots")
 
-    # per-read transform
-    cid = np.repeat(np.arange(nc), counts)
-    pos_local = layout.gpos - bases[cid]
-    rlen = lengths[layout.rids].astype(np.int64)
-    f_read = fr[cid].astype(np.int64)
-    pos_r = np.where(f_read == 0, orr[cid] + pos_local,
-                     orr[cid] - pos_local - rlen)
-    rc_new = (layout.rc ^ fr[cid].astype(np.uint8)).astype(np.uint8)
+    # per-read transform — int32 throughout: positions/offsets are
+    # consensus coordinates (< 2^31 up to ~2 Gbase), and the int64 form's
+    # ~10 full-length temporaries spiked peak RSS by ~6 GB at 100M reads
+    cid = np.repeat(np.arange(nc, dtype=np.int32), counts)
+    pos_local = layout.gpos.astype(np.int32) - bases.astype(np.int32)[cid]
+    rlen = lengths[layout.rids]                       # int32
+    f_read = fr.astype(np.int8)[cid]
+    orr32 = orr.astype(np.int32)
+    pos_r = np.where(f_read == 0, orr32[cid] + pos_local,
+                     orr32[cid] - pos_local - rlen).astype(np.int32)
+    rc_new = (layout.rc ^ fr.astype(np.uint8)[cid]).astype(np.uint8)
     mark("transform")
 
     # rebase each group to min 0, compute extents, rebuild concatenated
@@ -206,12 +209,14 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
                                      return_inverse=True)
     # rank groups by first-appearance order of their root contig
     order_groups = np.argsort(first_of, kind="stable")
-    rank = np.empty(len(uroot), np.int64)
+    rank = np.empty(len(uroot), np.int32)
     rank[order_groups] = np.arange(len(uroot))
-    grank = rank[inv[cid]]                    # group rank per read
+    grank = rank[inv.astype(np.int32)[cid]]   # group rank per read
     pmin = int(pos_r.min())
-    span = int(pos_r.max() + rlen.max()) - pmin + 1
-    order = np.argsort(grank * span + (pos_r - pmin))
+    span = int(pos_r.max()) + int(rlen.max()) - pmin + 1
+    # the composite key needs 64 bits (rank * span overflows int32) —
+    # the one unavoidable full-length int64 temporary
+    order = np.argsort(grank.astype(np.int64) * span + (pos_r - pmin))
     mark("sort")
     gr_s = grank[order]
     pos_s = pos_r[order]
@@ -219,11 +224,12 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
     first_idx = np.searchsorted(gr_s, np.arange(len(uroot)), side="left")
     pos_s = pos_s - pos_s[first_idx][gr_s]    # per-group min -> 0
     glen_ranked = np.maximum.reduceat(pos_s + rlen_s, first_idx)
-    gbase = np.concatenate([[0], np.cumsum(glen_ranked)[:-1]])
+    gbase = np.concatenate(
+        [[0], np.cumsum(glen_ranked, dtype=np.int64)[:-1]])
     new_counts = np.bincount(gr_s, minlength=len(uroot))
     layout2 = cons.ContigLayout(
         rids=layout.rids[order],
-        gpos=(gbase[gr_s] + pos_s).astype(np.int64),
+        gpos=gbase[gr_s] + pos_s,             # int64 via gbase
         rc=rc_new[order],
         seq_len=int(glen_ranked.sum()),
         cbase=gbase.astype(np.int64),
