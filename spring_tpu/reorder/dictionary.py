@@ -111,9 +111,11 @@ def _use_wide(n_entries: int) -> bool:
 def table_buckets(n_keys: int) -> int:
     """Bucket count for n_keys (pow2, ~2 slots per key: bucket-overflow
     drop rate ~1e-4 at SLOTS=8). Capped at 2^25 buckets so the tables of
-    a 100M+-read build still fit HBM beside the row table (load factor
-    rises to ~0.5 there; overflow drops grow but stay a ratio nit —
-    dropped keys just leave their reads to the second-chance pass)."""
+    a 100M+-read build still fit HBM beside the row table. MEASURED at
+    the cap (100M reads, 2026-08-20): ~73k of ~190M keys dropped per
+    dict = 0.04%, and the unmatched-read fraction stayed at 0.04% —
+    dropped keys leave their reads to the other dict window or the
+    second-chance pass."""
     b = max(1 << int(max(4 * n_keys // SLOTS, 1) - 1).bit_length(), 64)
     return min(b, 1 << 25)
 
