@@ -211,10 +211,15 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             writer.add(name, fn(*args))
         futs.append(pool.submit(run))
 
+    # flipped once the device engine phase ends: during it, codec tasks
+    # stay single-OMP-thread (the pool is the parallelism and the tunnel
+    # client needs a core); in the drain tail the engine's reserved core
+    # is idle, so tasks widen to 2 threads (~60 MB of block streams on
+    # 3x1 threads was the last ~7 s of a 10M compress)
+    device_done = [False]
+
     def _bsc1(raw):
-        # one OMP thread per block-stream task: the pool is the
-        # parallelism; full-width teams from every worker thrash 4 cores
-        return bsc.compress(raw, num_threads=1)
+        return bsc.compress(raw, num_threads=2 if device_done[0] else 1)
 
     inflight_cap = 2 * workers
     spool = None
@@ -501,6 +506,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             noisechar = np.concatenate([noisechar, nchar2])
             lay_rank[g2] = int((lay_rank >= 0).sum()) + np.arange(len(g2))
         mark("second_chance")
+
+    device_done[0] = True       # tail codec tasks may widen to 2 threads
 
     if trace:
         # reorder quality metrics (reference comparison point: 199,725 of
