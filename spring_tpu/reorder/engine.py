@@ -51,11 +51,16 @@ SHIFT_CHUNK = 4        # shifts probed per round
 # compaction and the endgame exit only happen between flushes, and the
 # extra tail rounds cost more than the amortization saved
 FLUSH_ROUNDS = int(_os.environ.get("SPRING_TPU_FLUSH_ROUNDS", "32"))
-# compact dicts when claimed grew by this fraction since the last compact
-# (0.22 halves the compaction count vs 0.10 with identical round count,
-# accepts, and archive size at 10M — measured on-chip)
+# compact dicts when claimed grew by this fraction since the last compact.
+# DISABLED by default (fraction > 1 never triggers): ablations on-chip
+# measured BYTE-IDENTICAL archives and the same 0.04% unmatched rate
+# with compaction off at cov5-100k, 10M, and (3-compact schedule vs 6)
+# 100M synthetic profiles — the 2-dict x 16-shift probe redundancy
+# absorbs stale bin entries — while each compaction event cost ~2.5 s at
+# 10M scale. Re-enable with e.g. SPRING_TPU_REBUILD_FRACTION=0.22 if a
+# profile ever shows bin staleness (high-dup data with shallow probes).
 REBUILD_FRACTION = float(_os.environ.get("SPRING_TPU_REBUILD_FRACTION",
-                                         "0.22"))
+                                         "10"))
 
 # stats of the most recent run() — bench.py reports them next to the
 # headline (rounds, flush wall, emission bytes fetched over the tunnel)
