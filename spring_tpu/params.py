@@ -56,7 +56,13 @@ NUM_READS_PER_BLOCK_LONG = 10000    # long mode block
 # on these stream sizes and parallelize across cores)
 
 # --- TPU batch geometry (no reference analog; ours) ---
-REORDER_BATCH = 16384         # max parallel contig walkers per device
+# max parallel contig walkers per device. On-chip sweep at 10M reads
+# (2026-08-20): B=8192 beats 16384 on rounds wall (20.3 vs 23.7 s),
+# seed count (326k vs 349k), and archive bytes (348.02 vs 348.21 MB);
+# 4096 is smaller still on bytes but its 960 rounds pay the per-round
+# floor (34 s), and 65536 loses everywhere. 1M keeps B=4096 via the
+# ~256-reads-per-walker auto rule.
+REORDER_BATCH = 8192
 DICT_PROBE_CANDIDATES = 2     # candidates fetched per selected probe group.
                               # Bins are shallow (a bin = reads starting at
                               # ONE genome position, ~coverage/readlen
