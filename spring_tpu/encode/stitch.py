@@ -195,6 +195,14 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
     pos_local = layout.gpos.astype(np.int32) - bases.astype(np.int32)[cid]
     rlen = lengths[layout.rids]                       # int32
     f_read = fr.astype(np.int8)[cid]
+    # overflow guard: a pathological >2 Gbase merged chain would wrap the
+    # int32 pos_r below and corrupt the layout silently. The bound uses
+    # only the small per-contig arrays (orr is int64, length nc).
+    if nc and (int(np.abs(orr).max()) + int(pos_local.max(initial=0))
+               + int(rlen.max(initial=0))) >= 2**31:
+        raise OverflowError(
+            "stitched contig-chain extent exceeds int32 coordinates "
+            "(>2 Gbase chain); refusing to build a corrupt layout")
     orr32 = orr.astype(np.int32)
     pos_r = np.where(f_read == 0, orr32[cid] + pos_local,
                      orr32[cid] - pos_local - rlen).astype(np.int32)

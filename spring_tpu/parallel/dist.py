@@ -41,10 +41,13 @@ structure sharded:
     walker state carried from the previous round (a walker that dies in
     round r reseeds in round r+1 — one-round lag vs single-chip).
 
-Slot validity across an exchange is tracked ONLY by the dispatch's source
-table (_collect scatters replies back by src): payloads are raw 32-bit
-patterns and must never be sign-tested on the receiving side (a uint32
-key with the top bit set is a legitimate value, not an empty slot).
+Slot validity across an exchange is tracked ONLY by the dispatch's
+per-query slot map (_collect gathers replies back by slot): payloads are
+raw 32-bit patterns and must never be sign-tested on the receiving side
+(a uint32 key with the top bit set is a legitimate value, not an empty
+slot). Dispatch tables and collects are sort+gather end to end — no
+scatters (the scatter-built tables were the diagnosed 10M-on-1-device
+cost, DIST_BENCH chip_1dev_10M).
 
 Per-round collectives: 2 all_to_alls (probe keys + meta words),
 2 (candidate requests + rids), 2 (row requests + rows), 1 all_gather
@@ -117,14 +120,22 @@ def _owner_of_key(key: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def _dispatch(payloads: tuple, owner: jnp.ndarray, valid: jnp.ndarray,
               n: int, cap: int):
-    """MoE-style capacity-limited dispatch table.
+    """MoE-style capacity-limited dispatch table, built SORT-FIRST.
 
     payloads: tuple of (Q,) int32 arrays routed together. Returns
       sends: list of (n*cap,) int32 per-destination tables (-1 fill)
-      src:   (n*cap,) int32 source index of each slot (-1 empty)
+      slot:  (Q,) int32 table slot of each query (n*cap if dropped)
     Overflow beyond `cap` per destination is dropped. A dropped probe or
     candidate only loses match opportunities (the read stays a singleton
-    or seeds later) — never correctness."""
+    or seeds later) — never correctness.
+
+    The tables are GATHERED from the sorted order (slot j of the table
+    reads sorted entry starts[j//cap] + j%cap) and the per-query slot map
+    comes from one inverse-permutation sort. The previous form scattered
+    payloads + a source map into the n*cap tables; at big per-device
+    shapes (Bl*G ~ 0.5M probe queries at 10M-on-1-device) those scatters
+    were the diagnosed 148 ms/round cost of DIST_BENCH chip_1dev_10M —
+    TPU scatter lowering runs far below sort+gather speed."""
     Q = owner.shape[0]
     key = jnp.where(valid, owner, n)            # invalid to the end
     idx = jnp.arange(Q, dtype=jnp.int32)
@@ -134,21 +145,35 @@ def _dispatch(payloads: tuple, owner: jnp.ndarray, valid: jnp.ndarray,
     grp_start = jax.lax.cummax(jnp.where(firsts, idx, 0))
     rank = idx - grp_start
     ok = (ko < n) & (rank < cap)
-    pos = jnp.where(ok, ko * cap + rank, n * cap)
-    sends = [jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(po)[:-1]
-             for po in out[2:]]
-    src = jnp.full((n * cap + 1,), -1, jnp.int32).at[pos].set(io)[:-1]
-    return sends, src
+    # per-destination entry counts/starts in the sorted order (n is tiny:
+    # one broadcast compare beats segment bookkeeping)
+    cnt = jnp.sum(ko[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
+                  axis=1).astype(jnp.int32)
+    starts = jnp.cumsum(cnt) - cnt
+    j = jnp.arange(n * cap, dtype=jnp.int32)
+    d, r = j // cap, j % cap
+    src_idx = jnp.clip(starts[d] + r, 0, Q - 1)
+    slot_ok = r < jnp.minimum(cnt[d], cap)
+    sends = [jnp.where(slot_ok, po[src_idx], -1) for po in out[2:]]
+    # per-query slot: invert the sort permutation with one 2-operand sort
+    slot_sorted = jnp.where(ok, ko * cap + rank, n * cap)
+    _, slot_q = jax.lax.sort((io, slot_sorted), num_keys=1)
+    return sends, slot_q
 
 
-def _collect(replies: jnp.ndarray, src: jnp.ndarray, Q: int) -> jnp.ndarray:
-    """Scatter exchange replies back to their source slots.
+def _collect(replies: jnp.ndarray, slot_q: jnp.ndarray) -> jnp.ndarray:
+    """Gather exchange replies back to their source queries.
 
-    replies: (n*cap, ...) aligned with the dispatch table; src as returned
-    by _dispatch. Returns (Q, ...) with zeros where nothing returned."""
-    tgt = jnp.where(src >= 0, src, Q)
-    out_shape = (Q + 1,) + replies.shape[1:]
-    return jnp.zeros(out_shape, replies.dtype).at[tgt].set(replies)[:-1]
+    replies: (n*cap, ...) aligned with the dispatch table; slot_q as
+    returned by _dispatch ((Q,), n*cap where nothing was sent). Returns
+    (Q, ...) with zeros where nothing returned — one row gather, no
+    scatter."""
+    T = replies.shape[0]
+    out = replies[jnp.clip(slot_q, 0, T - 1)]
+    good = slot_q < T
+    if replies.ndim > 1:
+        good = good.reshape(good.shape + (1,) * (replies.ndim - 1))
+    return jnp.where(good, out, jnp.zeros((), replies.dtype))
 
 
 def _probe_meta_sc(btab: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
@@ -189,11 +214,15 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
     S_EMIT = M + 1
     CAP = eng.FLUSH_ROUNDS * max(3, 3 * SC // 16) + S_EMIT
     nwords = Np // 32 + 2
-    # exchange capacities (per destination, per device)
-    capk = max(-(-int(np.ceil(capf * D * Npl / n)) // 8) * 8, 8)
-    capq = max(int(np.ceil(capf * (Bl * G) / n)), 1)
-    capc = max(int(np.ceil(capf * (Bl * GSEL) / n)), 1)
-    capr = max(int(np.ceil(capf * (Bl * (M + 2)) / n)), 1)
+    # exchange capacities (per destination, per device), never above the
+    # query count itself (at n<=2 the slack factor would size the tables
+    # past what a destination can possibly receive)
+    capk = max(-(-min(int(np.ceil(capf * D * Npl / n)), D * Npl)
+                 // 8) * 8, 8)
+    capq = max(min(int(np.ceil(capf * (Bl * G) / n)), Bl * G), 1)
+    capc = max(min(int(np.ceil(capf * (Bl * GSEL) / n)), Bl * GSEL), 1)
+    capr = max(min(int(np.ceil(capf * (Bl * (M + 2)) / n)),
+                   Bl * (M + 2)), 1)
     R = n * capk                    # per-device dictionary entries
     if R > dct.MAX_COMPACT_ENTRIES:
         raise ValueError(
@@ -300,11 +329,11 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
 
         # ---- metadata-only probe exchange ----
         keys_g = keys_bg.reshape(-1)
-        sends_q, src_q = _dispatch((keys_g.astype(jnp.int32),),
-                                   _owner_of_key(keys_g, n), v_g, n, capq)
+        sends_q, slot_q = _dispatch((keys_g.astype(jnp.int32),),
+                                    _owner_of_key(keys_g, n), v_g, n, capq)
         recv_k = a2a(sends_q[0]).astype(jnp.uint32)
         sc_back = a2a(_probe_meta_sc(btab, recv_k))
-        sc_g = _collect(sc_back, src_q, Bl * G).reshape(Bl, G)
+        sc_g = _collect(sc_back, slot_q).reshape(Bl, G)
         hit_g = ((sc_g & jnp.uint32(dct.SC_CMASK)) > 0) & searching[:, None]
 
         # ---- pick the GSEL best-priority hitting groups ----
@@ -322,9 +351,9 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
         srel = g_id // (2 * D)
 
         # ---- candidate fetch exchange: only GSEL starts per walker ----
-        sends_c, src_c = _dispatch((st_sel.reshape(-1),),
-                                   _owner_of_key(key_sel.reshape(-1), n),
-                                   gok.reshape(-1), n, capc)
+        sends_c, slot_c = _dispatch((st_sel.reshape(-1),),
+                                    _owner_of_key(key_sel.reshape(-1), n),
+                                    gok.reshape(-1), n, capc)
         recv_st = a2a(sends_c[0])
         prow = pairs[jnp.clip(recv_st >> 3, 0, pairs.shape[0] - 1)]
         offc = recv_st & 7
@@ -332,10 +361,9 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
         for o in range(1, 8):
             cr = jnp.where((offc == o)[:, None], prow[:, o:o + C], cr)
         back_c = a2a(cr)
-        Qc = Bl * GSEL
-        fetched_c = _collect((src_c >= 0).astype(jnp.int32), src_c, Qc) > 0
+        fetched_c = slot_c < n * capc
         cand_sel = jnp.where(fetched_c[:, None],
-                             _collect(back_c, src_c, Qc),
+                             _collect(back_c, slot_c),
                              -1).reshape(Bl, GSEL, C)
         offs = jnp.arange(C, dtype=jnp.int32)
         vcand = (offs[None, None, :]
@@ -362,13 +390,12 @@ def _dist_programs(mesh: Mesh, Np: int, W: int, B: int, C: int, SC: int,
              ).reshape(-1),
             jnp.ones((Bl,), bool), seed_try])
         owner_r = (jnp.clip(req, 0, Np - 1) >> lg_npl).astype(jnp.int32)
-        sends_r, src_r = _dispatch((req,), owner_r, req_valid, n, capr)
+        sends_r, slot_r = _dispatch((req,), owner_r, req_valid, n, capr)
         recv_r = a2a(sends_r[0])
         rows_srv = rows_local[jnp.clip(recv_r, 0, Np - 1) & (Npl - 1)]
         rows_back = a2a(rows_srv)
-        Qr = Bl * M + 2 * Bl
-        rows_all = _collect(rows_back, src_r, Qr)
-        fetched = _collect((src_r >= 0).astype(jnp.uint32), src_r, Qr) > 0
+        rows_all = _collect(rows_back, slot_r)
+        fetched = slot_r < n * capr
         rows_all = jnp.where(fetched[:, None], rows_all,
                              jnp.uint32(1 << 31))
         rows = rows_all[: Bl * M].reshape(Bl, M, W + 1)

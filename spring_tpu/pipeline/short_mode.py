@@ -86,7 +86,10 @@ def check_quality_lengths(blk, path: str) -> None:
 
 # stage wall seconds of the most recent compress_short run — bench.py
 # reports this next to the headline so a regression is attributable to a
-# stage (and separable from tunnel weather via the bench's device probe)
+# stage (and separable from tunnel weather via the bench's device probe).
+# Module-level by design: one compress call per process (the bench/CLI
+# shape) — concurrent compress calls in one process would interleave
+# these stats (engine.LAST_RUN_STATS likewise).
 LAST_STAGE_SECONDS: dict[str, float] = {}
 
 
@@ -509,11 +512,16 @@ def compress_short(files: list[str], writer: ArchiveWriter,
 
     device_done[0] = True       # tail codec tasks may widen to 2 threads
 
+    # reorder quality metric, always computed (one sum): a bin-staleness
+    # regression on real data (stale claimed entries displacing live bin
+    # candidates while compaction is off) shows up here without needing
+    # SPRING_TPU_TRACE — bench.py reports it beside the headline
+    unmatched = int((flag == 0).sum())
+    eng.LAST_RUN_STATS["unmatched_frac"] = round(unmatched / max(n, 1), 5)
     if trace:
         # reorder quality metrics (reference comparison point: 199,725 of
         # 3,258,816 clean reads unmatched on SRR554369 ~= 6.1%,
         # logs/8_29_18/SRR554369.log:563)
-        unmatched = int((flag == 0).sum())
         print(f"[trace] reorder quality: aligned={n - unmatched} "
               f"unmatched={unmatched} ({100 * unmatched / max(n, 1):.2f}%) "
               f"consensus={len(seq_codes)} bases "

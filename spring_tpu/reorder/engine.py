@@ -72,9 +72,12 @@ def padded_n(n: int) -> int:
     one compiled program (padding reads are pre-claimed, never touched).
     Past 2^26 reads, pow2 padding can waste up to 2x in EVERY device
     table (rows/dicts/pairs — 100M reads padded to 134M pushed the dict
-    build past v5e HBM); 1/8-octave granules bound the waste at 12.5%
-    for at most 8 compiled shapes per octave, amortized by runs that
-    big. Always a multiple of 64 (bitmap words, pairs rows)."""
+    build past v5e HBM); 1/8-octave granules bound the waste at ONE
+    granule — ~12.5% of n mid-octave, up to 25% for n just past a power
+    of two (the granule then comes from the next octave: 2^26+1 pads to
+    5*2^24) — for at most 8 compiled shapes per octave, amortized by
+    runs that big. Size HBM-fit headroom from the 25% worst case.
+    Always a multiple of 64 (bitmap words, pairs rows)."""
     np_pow2 = max(1 << max(n - 1, 1).bit_length(), 64)
     if n <= (1 << 26):
         return np_pow2
