@@ -383,12 +383,16 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     has_n = overlay.has_n_mask(n)
     clean_rids = np.nonzero(~has_n)[0].astype(np.int32)
 
+    # per-read metadata in int32 (the int64 forms were ~2.4 GB of the
+    # 100M peak RSS, SCALE_100M.json): gpos/noise_off are consensus /
+    # noise-array offsets, both guarded < 2^31 below; lay_rank < n which
+    # short mode already caps at int32 (params.MAX_NUM_READS_SHORT)
     flag = np.zeros(n, np.uint8)
-    gpos = np.zeros(n, np.int64)
+    gpos = np.zeros(n, np.int32)
     rc = np.zeros(n, np.uint8)
     nn_by_read = np.zeros(n, np.int32)
-    noise_off = np.zeros(n, np.int64)      # read -> offset into noise arrays
-    lay_rank = np.full(n, -1, np.int64)    # read -> rank in layout order
+    noise_off = np.zeros(n, np.int32)      # read -> offset into noise arrays
+    lay_rank = np.full(n, -1, np.int32)    # read -> rank in layout order
     noisepos = np.empty(0, np.int32)
     noisechar = np.empty(0, np.uint8)
     seq_codes = np.empty(0, np.uint8)
@@ -469,13 +473,20 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             nn, noisepos, noisechar = cons.extract_noise_packed(
                 glay, seq_codes, packed_all, lengths)
             mark("noise")
+            # int32 metadata guards: consensus coords and noise offsets
+            # must fit (fails loudly instead of wrapping; >2 Gbase
+            # consensus / >2G substitutions is past short-mode scale)
+            if len(seq_codes) > 2**31 - 1 or len(noisepos) > 2**31 - 1:
+                raise OverflowError(
+                    "consensus/noise size exceeds int32 metadata "
+                    f"({len(seq_codes)} bases, {len(noisepos)} noise)")
             flag[g] = 1
             gpos[g] = glay.gpos
             rc[g] = glay.rc
             nn_by_read[g] = nn
             noise_off[g] = np.concatenate(
-                [[0], np.cumsum(nn.astype(np.int64))[:-1]])
-            lay_rank[g] = np.arange(len(g))
+                [[0], np.cumsum(nn.astype(np.int64))[:-1]]).astype(np.int32)
+            lay_rank[g] = np.arange(len(g), dtype=np.int32)
 
     _submit_deferred()      # engine may not have run (no clean reads,
     # maxlen < 32) — make sure order-preserving codec work is in flight
@@ -503,8 +514,11 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             nn2, npos2, nchar2 = cons.extract_noise_packed(
                 lay2, seq_codes, packed_all, lengths, overlay)
             nn_by_read[g2] = nn2
-            noise_off[g2] = len(noisepos) + np.concatenate(
+            if len(noisepos) + len(npos2) > 2**31 - 1:
+                raise OverflowError("noise array exceeds int32 offsets")
+            noise_off[g2] = (len(noisepos) + np.concatenate(
                 [[0], np.cumsum(nn2.astype(np.int64))[:-1]])
+            ).astype(np.int32)
             noisepos = np.concatenate([noisepos, npos2])
             noisechar = np.concatenate([noisechar, nchar2])
             lay_rank[g2] = int((lay_rank >= 0).sum()) + np.arange(len(g2))
@@ -534,23 +548,38 @@ def compress_short(files: list[str], writer: ArchiveWriter,
           + packing.codes_to_bitstream_2bit(
               seq_codes[None, :], np.array([len(seq_codes)])))
 
+    # ---- free the packed row table before the stream codecs run: its
+    # only remaining consumer is the literal stream (unaligned/N reads —
+    # 0.04% + N fraction), whose char rows are gathered into a small side
+    # table first. At 100M reads the table is ~2.8 GB of the peak-RSS
+    # composition (SCALE_100M.json). Skipped when literals are the bulk
+    # of the input (no-clean-reads / maxlen<32 paths) — the char matrix
+    # would then out-size the packed rows it frees.
+    lit_rids = np.nonzero(flag == 0)[0].astype(np.int64)
+    lit_chars_all = None
+    if lit_rids.size * ml <= packed_buf.nbytes // 2:
+        lit_chars_all = packing.CODE_TO_CHAR[
+            cons.unpack_rows(packed_all, lit_rids, ml, overlay)]
+        packed_all = packed_buf = None
+
     # --- output order (-r): re-block by the internal reorder instead of the
     # original order. PE keeps pairing implicit by position: output k pairs
     # with output k + n/2 (pe_encode invariant, src/pe_encode.cpp:41-69).
     if cp.preserve_order:
-        order_out = np.arange(n, dtype=np.int64)
+        order_out = np.arange(n, dtype=np.int32)
     else:
         # aligned reads take their layout (contig-walk) rank; literal reads
         # (N / singleton) follow in original order
         seq_rank = lay_rank.copy()
         rest = np.nonzero(seq_rank < 0)[0]
         n_aligned = int((lay_rank >= 0).sum())
-        seq_rank[rest] = n_aligned + np.arange(len(rest))
+        seq_rank[rest] = n_aligned + np.arange(len(rest), dtype=np.int32)
         if paired:
-            rank1 = np.argsort(seq_rank[:per_file], kind="stable")
+            rank1 = np.argsort(seq_rank[:per_file],
+                               kind="stable").astype(np.int32)
             order_out = np.concatenate([rank1, rank1 + per_file])
         else:
-            order_out = np.argsort(seq_rank, kind="stable")
+            order_out = np.argsort(seq_rank, kind="stable").astype(np.int32)
 
     def _noise_for(al: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Ragged gather of noise for aligned reads ``al`` (block order),
@@ -569,8 +598,13 @@ def compress_short(files: list[str], writer: ArchiveWriter,
         return np.where(inner == 0, npos_b, npos_b - prev), nchar_b
 
     def _literal_blob(lit: np.ndarray) -> bytes:
-        lit_chars = packing.CODE_TO_CHAR[
-            cons.unpack_rows(packed_all, lit, ml, overlay)]
+        if lit_chars_all is not None:
+            # lit_rids is sorted (np.nonzero) and every flag==0 rid is in
+            # it, so searchsorted is an exact index
+            lit_chars = lit_chars_all[np.searchsorted(lit_rids, lit)]
+        else:
+            lit_chars = packing.CODE_TO_CHAR[
+                cons.unpack_rows(packed_all, lit, ml, overlay)]
         lit_valid = np.arange(ml)[None, :] < lengths[lit, None]
         return lit_chars[lit_valid].tobytes()
 
