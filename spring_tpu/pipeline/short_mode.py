@@ -409,7 +409,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
             cfg = eng.ReorderConfig(max_readlen=maxlen)
             for env, attr in (("SPRING_TPU_WALKERS", "num_walkers"),
                               ("SPRING_TPU_SC", "shift_chunk"),
-                              ("SPRING_TPU_SLOTS", "accept_slots")):
+                              ("SPRING_TPU_SLOTS", "accept_slots"),
+                              ("SPRING_TPU_FARDICT", "far_near")):
                 v = os.environ.get(env)
                 if v:
                     setattr(cfg, attr, int(v))

@@ -360,6 +360,48 @@ def probe_meta_split_stacked(btab_all, S: int, queries
     return start.reshape(queries.shape), count.reshape(queries.shape)
 
 
+def probe_meta_groups(btab_all, S: int, queries: jnp.ndarray,
+                      dict_of_g: np.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Metadata probe of D stacked compact/wide tables for a STATIC group
+    list: queries (B, G) uint32 keys, dict_of_g (G,) host constant of the
+    dictionary each group probes. Generalizes probe_meta_split_stacked to
+    group lists that don't probe every (shift, orient, dict) combination
+    (the far-shift dict-thinning probe) — still ONE btab row gather."""
+    B, G = queries.shape
+    flat = queries.reshape(-1)
+    shift = 32 - int(np.log2(S))
+    b = (flat * jnp.uint32(_HASH_MULT)) >> shift
+    off = jnp.asarray(dict_of_g.astype(np.int32) * S)[None, :]
+    b = (b.astype(jnp.int32).reshape(B, G) + off).reshape(-1)
+    row = btab_all[b]
+    tagw = row[:, :SLOTS // 2]
+    tags = jnp.stack([tagw & jnp.uint32(0xFFFF), tagw >> 16],
+                     axis=2).reshape(-1, SLOTS)
+    qtag = ((flat * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+    if btab_all.shape[1] == COMPACT_WORDS:
+        scw = row[:, SLOTS // 2:]
+        hit = (tags == qtag[:, None]) & ((scw & jnp.uint32(SC_CMASK)) > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        sc = jnp.sum(jnp.where(first_hit, scw, 0), axis=1)
+        start = (sc >> SC_SHIFT).astype(jnp.int32)
+        count = (sc & jnp.uint32(SC_CMASK)).astype(jnp.int32)
+    else:
+        srow = row[:, SLOTS // 2: SLOTS // 2 + SLOTS]
+        cw = row[:, SLOTS // 2 + SLOTS:]
+        cnts = jnp.stack([cw & jnp.uint32(0xFF),
+                          (cw >> 8) & jnp.uint32(0xFF),
+                          (cw >> 16) & jnp.uint32(0xFF),
+                          cw >> 24], axis=2).reshape(-1, SLOTS)
+        hit = (tags == qtag[:, None]) & (cnts > 0)
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        start = jnp.sum(jnp.where(first_hit, srow, 0),
+                        axis=1).astype(jnp.int32)
+        count = jnp.sum(jnp.where(first_hit, cnts, 0),
+                        axis=1).astype(jnp.int32)
+    return start.reshape(B, G), count.reshape(B, G)
+
+
 def probe_hash(btab, rids, queries: jnp.ndarray,
                max_candidates: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hash-probe a batch of uint32 keys. Same contract as ``probe``.

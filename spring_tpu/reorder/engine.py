@@ -106,6 +106,15 @@ class ReorderConfig:
     # optimized breadth-first and cuts round count by ~coverage)
     shift_chunk: int = 16
     accept_slots: int = 16
+    # probe thinning: shifts >= far_near probe ONE dictionary (d = s % D)
+    # instead of both — the probe gather is per-ROW latency-bound
+    # (PROFILE.md), and far-shift probes are the long tail of its row
+    # count while accepts concentrate at near shifts. A read findable
+    # only via the skipped dict at a far shift is retried at nearer
+    # shifts as the contig approaches, or lands in second chance.
+    # 0 disables (reference semantics: both dicts at every shift,
+    # src/reorder.h:479-557).
+    far_near: int = 0
 
     def __post_init__(self):
         if self.max_shift == 0:
@@ -495,7 +504,8 @@ class ReorderEngine:
         # scan on every compress call (~3 s of pure Python tracing)
         self._round_impl, self._round_fn, self.emit_cap = _flush_program(
             self.Np, cfg.candidates, cfg.shift_chunk, cfg.accept_slots,
-            tuple(w.start for w in self.windows), cfg.thresh)
+            tuple(w.start for w in self.windows), cfg.thresh,
+            cfg.far_near)
 
     @property
     def dicts(self) -> list[dct.DeviceDict]:
@@ -594,14 +604,28 @@ class ReorderEngine:
 
 @functools.lru_cache(maxsize=None)
 def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
-                   starts: tuple, thresh: int):
+                   starts: tuple, thresh: int, far_near: int = 0):
     """Build (round_impl, jitted flush, emit_cap) for one static shape
     signature. Cached at MODULE level: a per-engine jax.jit would re-trace
     the (large) scanned round on every compress call — ~3 s of pure Python
     tracing per run."""
-    lay = ProbeLayout(len(starts), C, SC)
     D = len(starts)
-    G = SC * 2 * D                     # probe groups: (shift, orient, dict)
+    # static probe-group list in priority order (shift > orientation >
+    # dict — the reference search order, src/reorder.h:479-557). With
+    # far_near > 0, shifts past it probe one dictionary (d = s % D): the
+    # probe gather's row count is its cost (latency-bound, PROFILE.md)
+    # and far-shift probes are its long tail.
+    thin = bool(far_near) and far_near < SC and D > 1
+    groups = [(s, o, d) for s in range(SC) for o in range(2)
+              for d in range(D)
+              if not thin or s < far_near or d == s % D]
+    G = len(groups)                    # probe groups: (shift, orient, dict)
+    g_srel_c = np.array([s for s, o, d in groups], np.int32)
+    g_o_c = np.array([o for s, o, d in groups], np.int32)
+    g_d_c = np.array([d for s, o, d in groups], np.int32)
+    # flat index of group (s, o, d) in the (B, SC, D, 2) query tensor
+    g_flat_c = np.array([(s * D + d) * 2 + o for s, o, d in groups],
+                        np.int32)
     GSEL = max(1, min(accept_slots, G * C) // C)
     M = GSEL * C
 
@@ -643,20 +667,20 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
                                              shift_base, SC)
         q, v = walker_queries(frames, s_tot, ref_len, starts)
 
-        # ---- metadata-only probe: one packed (start|count) sc word
-        # per (shift, orient, dict) group from ONE stacked-table gather;
-        # NO candidate rids are fetched yet. Probe gathers are byte-bound
-        # (~7 GB/s), so fetching C rids for all G groups eagerly cost
-        # more than the whole rest of the round ----
+        # ---- metadata-only probe: one packed (start|count) sc word per
+        # STATIC probe group from ONE stacked-table gather; NO candidate
+        # rids are fetched yet. Probe gathers are byte-bound (~7 GB/s),
+        # so fetching C rids for all G groups eagerly cost more than the
+        # whole rest of the round. The group list's order IS the
+        # priority (shift > orientation > dict) ----
         Sdict = dkeys.shape[0] // D
-        q_by_d = jnp.moveaxis(q, 2, 0)             # (D, B, SC, 2)
-        st_d, ct_d = dct.probe_meta_split_stacked(dkeys, Sdict, q_by_d)
-        ct_d = jnp.where(jnp.moveaxis(v, 2, 0), ct_d, 0)
-        # group axis g = ((s*2 + o)*D + d): slot order IS the priority
-        # (shift > orientation > dict — the reference search order,
-        # src/reorder.h:479-557)
-        st_g = jnp.moveaxis(st_d, 0, 3).reshape(B, G)
-        ct_g = jnp.moveaxis(ct_d, 0, 3).reshape(B, G)
+        qf = q.reshape(B, SC * D * 2)
+        vf = v.reshape(B, SC * D * 2)
+        gsel_idx = jnp.asarray(g_flat_c)
+        q_g = jnp.take(qf, gsel_idx, axis=1)        # (B, G)
+        v_g = jnp.take(vf, gsel_idx, axis=1)
+        st_g, ct_g = dct.probe_meta_groups(dkeys, Sdict, q_g, g_d_c)
+        ct_g = jnp.where(v_g, ct_g, 0)
         hit_g = (ct_g > 0) & searching[:, None]
 
         # ---- pick the GSEL best-priority hitting groups; only those
@@ -668,9 +692,11 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
         g_id = jnp.where(gok, -negg, 0)
         st_sel = jnp.take_along_axis(st_g, g_id, axis=1)
         ct_sel = jnp.where(gok, jnp.take_along_axis(ct_g, g_id, axis=1), 0)
-        d_sel = g_id % D
-        o_sel = (g_id // D) % 2
-        srel = g_id // (2 * D)
+        # per-group fields from tiny static tables (the group list may be
+        # thinned, so arithmetic decode no longer applies)
+        d_sel = jnp.asarray(g_d_c)[g_id]
+        o_sel = jnp.asarray(g_o_c)[g_id]
+        srel = jnp.asarray(g_srel_c)[g_id]
         nprow = Np // 8
         rowid = d_sel * nprow + (st_sel >> 3)
         both = pairs_all[jnp.clip(rowid, 0, D * nprow - 1).reshape(-1)]
