@@ -163,4 +163,73 @@ int32_t stpu_layout_from_emissions(
   return 0;
 }
 
+// Fused stitch transform (encode/stitch.py): per-read merged-frame
+// coordinates, orientation, read length, group rank, and the composite
+// (grank, pos) sort key — ONE parallel pass over contig segments. The
+// numpy chain this replaces allocated ~10 full-length temporaries, and
+// this host's lazily-backed memory runs fresh-page numpy at ~60 MB/s
+// (5+ s at 10M reads, PROFILE.md); the fused pass touches each output
+// once. Returns 0, or -1 if any merged coordinate falls outside int32
+// (a >2 Gbase stitched chain — caller raises instead of corrupting).
+//
+// counts/bases: per-contig read counts and first-read offsets into the
+// concatenated layout; gpos: per-read absolute layout positions;
+// rids+lengths: read lengths via the global length table; fr/orr: each
+// contig's affine map to its group root (flip, offset); rc: per-read
+// orientation; grank_c: per-contig output-group rank.
+int32_t stpu_stitch_transform(
+    const int64_t* counts, int64_t nc, const int64_t* gpos,
+    const int64_t* bases, const int32_t* rids, const int32_t* lengths,
+    const uint8_t* fr, const int64_t* orr, const uint8_t* rc,
+    const int32_t* grank_c, int64_t n, int32_t num_threads,
+    int32_t* pos_r_out, uint8_t* rc_new_out, int32_t* rlen_out,
+    int32_t* grank_out, int64_t* key_out) {
+  const int T = layout_threads(num_threads);
+  std::vector<int64_t> cstart(nc + 1);
+  cstart[0] = 0;
+  for (int64_t c = 0; c < nc; ++c) cstart[c + 1] = cstart[c] + counts[c];
+  if (cstart[nc] != n) return -1;
+
+  int64_t pmin = INT64_MAX, pmax = INT64_MIN, lmax = 0;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(T) reduction(min : pmin) \
+    reduction(max : pmax) reduction(max : lmax)
+#endif
+  {
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 256)
+#endif
+    for (int64_t c = 0; c < nc; ++c) {
+      const int64_t s = cstart[c], e = cstart[c + 1];
+      const int64_t off = orr[c], base = bases[c];
+      const uint8_t flip = fr[c];
+      const int32_t gr = grank_c[c];
+      for (int64_t i = s; i < e; ++i) {
+        const int64_t pl = gpos[i] - base;
+        const int32_t rl = lengths[rids[i]];
+        const int64_t p = flip == 0 ? off + pl : off - pl - rl;
+        key_out[i] = p;  // staged; pass 2 folds in the group rank
+        rc_new_out[i] = rc[i] ^ (uint8_t)flip;
+        rlen_out[i] = rl;
+        grank_out[i] = gr;
+        if (p < pmin) pmin = p;
+        if (p > pmax) pmax = p;
+        if (rl > lmax) lmax = rl;
+      }
+    }
+  }
+  if (n == 0) return 0;
+  if (pmin < INT32_MIN || pmax > INT32_MAX) return -1;
+  const int64_t span = pmax + lmax - pmin + 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(T)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t p = key_out[i];
+    pos_r_out[i] = (int32_t)p;
+    key_out[i] = (int64_t)grank_out[i] * span + (p - pmin);
+  }
+  return 0;
+}
+
 }  // extern "C"

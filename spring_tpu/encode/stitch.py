@@ -188,43 +188,57 @@ def stitch_layout(layout: cons.ContigLayout, seq_codes: np.ndarray,
         root = root[root]
     mark("roots")
 
-    # per-read transform — int32 throughout: positions/offsets are
-    # consensus coordinates (< 2^31 up to ~2 Gbase), and the int64 form's
-    # ~10 full-length temporaries spiked peak RSS by ~6 GB at 100M reads
-    cid = np.repeat(np.arange(nc, dtype=np.int32), counts)
-    pos_local = layout.gpos.astype(np.int32) - bases.astype(np.int32)[cid]
-    rlen = lengths[layout.rids]                       # int32
-    f_read = fr.astype(np.int8)[cid]
-    # overflow guard: a pathological >2 Gbase merged chain would wrap the
-    # int32 pos_r below and corrupt the layout silently. The bound uses
-    # only the small per-contig arrays (orr is int64, length nc).
-    if nc and (int(np.abs(orr).max()) + int(pos_local.max(initial=0))
-               + int(rlen.max(initial=0))) >= 2**31:
+    # rank groups by first-appearance order of their root contig
+    # (nc-sized host work, cheap)
+    uroot, first_of, inv = np.unique(root, return_index=True,
+                                     return_inverse=True)
+    order_groups = np.argsort(first_of, kind="stable")
+    rank = np.empty(len(uroot), np.int32)
+    rank[order_groups] = np.arange(len(uroot), dtype=np.int32)
+    grank_c = rank[inv.astype(np.int32)]          # (nc,) rank per contig
+
+    # fused native per-read transform (csrc/layout.cpp): merged-frame
+    # pos_r (int32, overflow-guarded inside), rc, read length, group
+    # rank, and the composite (grank, pos) sort key in ONE parallel
+    # pass. The numpy chain this replaces allocated ~10 full-length
+    # temporaries — ~6 GB of peak RSS at 100M reads and 5+ s at 10M on
+    # this host's lazily-backed memory (PROFILE.md).
+    import ctypes
+    from ..codecs import native
+    lib = native.load()
+    n_r = len(layout.gpos)
+    gpos64 = np.ascontiguousarray(layout.gpos, np.int64)
+    counts64 = np.ascontiguousarray(counts, np.int64)
+    bases64 = np.ascontiguousarray(bases, np.int64)
+    rids32 = np.ascontiguousarray(layout.rids, np.int32)
+    lens32 = np.ascontiguousarray(lengths, np.int32)
+    fr8 = np.ascontiguousarray(fr, np.uint8)
+    orr64 = np.ascontiguousarray(orr, np.int64)
+    rc8 = np.ascontiguousarray(layout.rc, np.uint8)
+    pos_r = np.empty(n_r, np.int32)
+    rc_new = np.empty(n_r, np.uint8)
+    rlen = np.empty(n_r, np.int32)
+    grank = np.empty(n_r, np.int32)
+    key = np.empty(n_r, np.int64)
+    rcode = lib.stpu_stitch_transform(
+        cons._i64p(counts64), ctypes.c_int64(nc), cons._i64p(gpos64),
+        cons._i64p(bases64), cons._i32p(rids32), cons._i32p(lens32),
+        cons._u8p(fr8), cons._i64p(orr64), cons._u8p(rc8),
+        cons._i32p(np.ascontiguousarray(grank_c, np.int32)),
+        ctypes.c_int64(n_r), ctypes.c_int32(0),
+        cons._i32p(pos_r), cons._u8p(rc_new), cons._i32p(rlen),
+        cons._i32p(grank), cons._i64p(key))
+    if rcode != 0:
         raise OverflowError(
             "stitched contig-chain extent exceeds int32 coordinates "
             "(>2 Gbase chain); refusing to build a corrupt layout")
-    orr32 = orr.astype(np.int32)
-    pos_r = np.where(f_read == 0, orr32[cid] + pos_local,
-                     orr32[cid] - pos_local - rlen).astype(np.int32)
-    rc_new = (layout.rc ^ fr.astype(np.uint8)[cid]).astype(np.uint8)
     mark("transform")
 
     # rebase each group to min 0, compute extents, rebuild concatenated
     # coords (group order = first-member contig order, stable). ONE
     # combined-key sort + reduceat passes — np.minimum.at/maximum.at are
     # unbuffered scalar loops (~10 s at 10M reads)
-    uroot, first_of, inv = np.unique(root, return_index=True,
-                                     return_inverse=True)
-    # rank groups by first-appearance order of their root contig
-    order_groups = np.argsort(first_of, kind="stable")
-    rank = np.empty(len(uroot), np.int32)
-    rank[order_groups] = np.arange(len(uroot))
-    grank = rank[inv.astype(np.int32)[cid]]   # group rank per read
-    pmin = int(pos_r.min())
-    span = int(pos_r.max()) + int(rlen.max()) - pmin + 1
-    # the composite key needs 64 bits (rank * span overflows int32) —
-    # the one unavoidable full-length int64 temporary
-    order = np.argsort(grank.astype(np.int64) * span + (pos_r - pmin))
+    order = np.argsort(key)
     mark("sort")
     gr_s = grank[order]
     pos_s = pos_r[order]
