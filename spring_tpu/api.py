@@ -114,6 +114,10 @@ def decompress(archive: str, outputs: list[str], gzipped: bool = False,
             from .pipeline import long_mode
             long_mode.decompress_long(reader, outputs, gzipped, num_threads,
                                       read_range)
+        elif cp.shard_reads:
+            from .pipeline import short_mode
+            short_mode.decompress_short_sharded(reader, outputs, gzipped,
+                                                num_threads, read_range)
         else:
             from .pipeline import short_mode
             short_mode.decompress_short(reader, outputs, gzipped, num_threads,

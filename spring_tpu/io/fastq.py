@@ -122,11 +122,14 @@ class BlockWriter:
     """
 
     def __init__(self, path: str, gzipped: bool = False, fasta: bool = False,
-                 num_threads: int = 8):
+                 num_threads: int = 8, append: bool = False):
+        # append: continue an output started by an earlier call (the
+        # super-shard decompress loop); gzip stays valid because members
+        # are concatenable
         self.path = path
         self.gzipped = gzipped
         self.fasta = fasta
-        self._f = open(path, "wb")
+        self._f = open(path, "ab" if append else "wb")
         self._pool = ThreadPoolExecutor(max_workers=num_threads) if gzipped else None
 
     def write_block(self, ids: list[bytes], seqs: list[bytes],

@@ -13,7 +13,7 @@ import json
 from typing import Optional
 
 FORMAT_MAGIC = "SPRING-TPU"
-FORMAT_VERSION = 4   # v2: id streams use 15-bit range-coder probabilities;
+FORMAT_VERSION = 5   # v2: id streams use 15-bit range-coder probabilities;
                      # qv shards may carry the fine-position-context flag
                      # v3: long-mode read streams carry a mode byte (raw
                      # str-array wire vs 2-bit packed ACGT); qv shards may
@@ -22,14 +22,19 @@ FORMAT_VERSION = 4   # v2: id streams use 15-bit range-coder probabilities;
                      # (with template + T_DUP wire additions); v2-v3 id
                      # streams would mis-decode, so older archives are
                      # refused rather than corrupted
+                     # v5: optional super-shard container for inputs past
+                     # the per-shard read cap (manifest carries
+                     # shard_reads; members live under sh<j>/ with a
+                     # per-shard manifest). v4 archives read unchanged.
 
 # --- short-read mode limits (reference src/params.h:22-24) ---
 MAX_READ_LEN = 511            # short mode limit; long mode is unlimited
 # Read ids are int32 throughout the device pipeline (emissions, layouts,
-# dictionaries), so short mode refuses inputs past the int32 range —
-# enforced at scan time in pipeline/short_mode.py. The reference allows
-# ~2^32 (src/params.h:24); long mode here is block-streamed and has no
-# read-count limit.
+# dictionaries), so one COMPRESSION SHARD holds at most int32-many
+# reads. Inputs past this are split into independent super-shards inside
+# one archive (short_mode.compress_short; PARITY.md "Beyond 2^31
+# reads"), exceeding the reference's uint32 ceiling (src/params.h:24).
+# Long mode is block-streamed and has no read-count limit.
 MAX_NUM_READS_SHORT = 2**31 - 2
 
 # --- dictionary configuration (reference src/params.h:25-27 uses 2 dicts
@@ -100,11 +105,16 @@ class CompressionParams:
     num_blocks: int = 0
     paired_id_code: int = 0              # PE id pattern (0=none, 1..3)
     paired_id_match: bool = False
+    # super-shard container: per-shard TOTAL read counts (empty = plain
+    # single-shard archive). Shard j's members live under "sh<j>/" with
+    # their own manifest; this top-level manifest only routes.
+    shard_reads: tuple = ()
     version: int = FORMAT_VERSION
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
         d["bin_thresholds"] = list(d["bin_thresholds"])
+        d["shard_reads"] = list(d["shard_reads"])
         d["magic"] = FORMAT_MAGIC
         return json.dumps(d, indent=1, sort_keys=True)
 
@@ -125,5 +135,6 @@ class CompressionParams:
                 f"archive format v{d.get('version', 0)} predates the v4 "
                 "stream coders and cannot be read by this build")
         d["bin_thresholds"] = tuple(d.get("bin_thresholds", ()))
+        d["shard_reads"] = tuple(d.get("shard_reads", ()))
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})

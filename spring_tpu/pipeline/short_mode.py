@@ -94,7 +94,8 @@ LAST_STAGE_SECONDS: dict[str, float] = {}
 
 
 def compress_short(files: list[str], writer: ArchiveWriter,
-                   cp: P.CompressionParams, num_threads: int = 8) -> None:
+                   cp: P.CompressionParams, num_threads: int = 8,
+                   _scanned=None) -> None:
     from ..reorder import engine as eng
 
     trace = os.environ.get("SPRING_TPU_TRACE")
@@ -120,19 +121,28 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     # a sparse N overlay; the byte codes matrix never exists. Reference
     # analog: blockwise preprocess into 2-bit bitsets + temp streams
     # (src/preprocess.cpp:141-285).
-    bufs = [fastq_native.open_buf(f) for f in files]
-    infos = [fastq_native.scan_buf(b, f, fasta=cp.fasta_input)
-             for b, f in zip(bufs, files)]
+    if _scanned is None:
+        bufs = [fastq_native.open_buf(f) for f in files]
+        infos = [fastq_native.scan_buf(b, f, fasta=cp.fasta_input)
+                 for b, f in zip(bufs, files)]
+    else:
+        bufs, infos = _scanned
     counts = [i.n for i in infos]
     if len(files) == 2 and counts[0] != counts[1]:
         raise ValueError("paired files have different read counts")
     mark("scan")
     n = sum(counts)
-    if n > P.MAX_NUM_READS_SHORT:
-        raise ValueError(
-            f"{n} reads exceeds the short-mode limit "
-            f"({P.MAX_NUM_READS_SHORT}); shard the input or use long "
-            f"mode (-l)")
+    # per-shard read cap: device read ids are int32 (PARITY.md "Beyond
+    # 2^31 reads"); larger inputs split into independent super-shards
+    # inside one archive. SPRING_TPU_SHARD_READS lowers the cap so the
+    # shard machinery is testable at small n.
+    cap = min(int(os.environ.get("SPRING_TPU_SHARD_READS", "0"))
+              or P.MAX_NUM_READS_SHORT, P.MAX_NUM_READS_SHORT)
+    if n > cap:
+        if _scanned is not None:
+            raise RuntimeError("shard slicing exceeded the read cap")
+        _compress_sharded(files, writer, cp, num_threads, bufs, infos, cap)
+        return
     cp.num_reads = n
     cp.num_blocks = -(-n // block) if n else 0
     maxlen = max((i.maxlen for i in infos), default=0)
@@ -691,6 +701,155 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     mark("codec+write")
 
 
+# ---------------- super-shard container (> per-shard read cap) ----------
+#
+# Reference ceiling: 4.29e9 reads via uint32 ids (src/params.h:24). Here
+# one compression shard holds <= 2^31-2 reads (int32 device rids); larger
+# inputs become k independent sub-archives inside ONE container — shard
+# j's members under "sh<j>/" with a per-shard manifest, the top manifest
+# carrying shard_reads for routing. PE shards split at pair granularity
+# so the pe_encode invariant holds per shard. Design note: PARITY.md
+# "Beyond 2^31 reads".
+
+
+class _ShardWriter:
+    """Routes writer.add under a shard prefix (writer API used by the
+    compress body is add() only)."""
+
+    def __init__(self, inner, prefix: str):
+        self._inner = inner
+        self._prefix = prefix
+
+    def add(self, name: str, data: bytes) -> None:
+        self._inner.add(self._prefix + name, data)
+
+
+class _ShardReader:
+    """Reader view of one shard: get/get_block under the prefix, params
+    from the shard's own manifest."""
+
+    def __init__(self, inner, prefix: str):
+        self._inner = inner
+        self._prefix = prefix
+        self.params = P.CompressionParams.from_json(
+            inner.get(prefix + "params.json").decode())
+
+    def get(self, name: str) -> bytes:
+        return self._inner.get(self._prefix + name)
+
+    def get_block(self, stream: str, block: int) -> bytes:
+        return self._inner.get(f"{self._prefix}{stream}.{block}")
+
+
+def _slice_scan(info, a: int, b: int, stride: int):
+    """ScanInfo view covering records [a, b) of a scanned buffer. `a`
+    must sit on a checkpoint boundary; ckpt_byte offsets stay absolute
+    (the shard parses the ORIGINAL buffer), ckpt_id rebases to the
+    shard's first id byte (the parse writes ids relative to its slice)."""
+    assert a % stride == 0
+    c0 = a // stride
+    if b % stride == 0 and b // stride < len(info.ckpt_id) and b < info.n:
+        id_end = int(info.ckpt_id[b // stride])
+    else:
+        id_end = info.idbytes
+    idb0 = int(info.ckpt_id[c0])
+    return fastq_native.ScanInfo(
+        n=b - a, maxlen=info.maxlen, idbytes=id_end - idb0,
+        ckpt_byte=info.ckpt_byte[c0:],
+        ckpt_id=info.ckpt_id[c0:] - idb0)
+
+
+def _compress_sharded(files, writer, cp, num_threads, bufs, infos,
+                      cap: int) -> None:
+    import dataclasses
+
+    stride = fastq_native.ckpt_stride()
+    nfiles = len(files)
+    per_file = infos[0].n
+    lim = cap // nfiles
+    per_shard = (lim // stride) * stride
+    if per_shard <= 0:
+        raise ValueError(
+            f"shard cap {cap} is below the parser checkpoint stride "
+            f"({stride} records)")
+    ranges = [(x, min(x + per_shard, per_file))
+              for x in range(0, per_file, per_shard)]
+    shard_reads = []
+    maxlen = 0
+    for j, (a, b) in enumerate(ranges):
+        cpj = dataclasses.replace(cp, num_reads=0, num_blocks=0,
+                                  shard_reads=())
+        sub = [_slice_scan(i, a, b, stride) for i in infos]
+        pw = _ShardWriter(writer, f"sh{j}/")
+        compress_short(files, pw, cpj, num_threads, _scanned=(bufs, sub))
+        pw.add("params.json", cpj.to_json().encode())
+        shard_reads.append(cpj.num_reads)
+        maxlen = max(maxlen, cpj.max_readlen)
+    cp.num_reads = nfiles * per_file
+    cp.max_readlen = maxlen
+    cp.num_blocks = 0
+    cp.shard_reads = tuple(shard_reads)
+
+
+def decompress_short_sharded(reader, out_paths: list[str], gzipped: bool,
+                             num_threads: int = 8,
+                             read_range: tuple[int, int] | None = None
+                             ) -> None:
+    """Decompress a super-shard archive: shards decode in order and
+    append to the output(s). PE single-output needs two passes (all
+    shards' file-1 halves, then file-2) to match the unsharded layout."""
+    cp = reader.params
+    paired = cp.paired_end
+    nfiles = 2 if paired else 1
+    shard_n = list(cp.shard_reads)
+    pf = [s // nfiles for s in shard_n]          # per-file reads per shard
+    base = np.concatenate([[0], np.cumsum(pf)]).astype(np.int64)
+    pf_total = int(base[-1])
+    lo, hi = ((0, cp.num_reads) if read_range is None else read_range)
+    single_out = len(out_paths) == 1
+
+    def segs(glo: int, ghi: int, half: int):
+        """Shard-local [a, b) segments of global per-file range
+        [glo, ghi), mapped into half `half` of each shard's local index
+        space."""
+        out = []
+        for j in range(len(shard_n)):
+            a = max(glo - int(base[j]), 0)
+            b = min(ghi - int(base[j]), pf[j])
+            if a < b:
+                out.append((j, half * pf[j] + a, half * pf[j] + b))
+        return out
+
+    if paired:
+        plan1 = segs(max(lo, 0), min(hi, pf_total), 0)
+        plan2 = segs(max(lo - pf_total, 0), min(hi - pf_total, pf_total), 1)
+        if single_out:
+            plan = [(s, 0) for s in plan1] + [(s, 0) for s in plan2]
+        else:
+            # full-shard fast path: one call decodes both halves per shard
+            if read_range is None:
+                plan = None
+                for j in range(len(shard_n)):
+                    decompress_short(_ShardReader(reader, f"sh{j}/"),
+                                     out_paths, gzipped, num_threads,
+                                     None, append=j > 0)
+                return
+            plan = [(s, 0) for s in plan1] + [(s, 1) for s in plan2]
+    else:
+        plan = [(s, 0) for s in segs(lo, hi, 0)]
+
+    started: set = set()
+    for (j, a, b), w in plan:
+        decompress_short(_ShardReader(reader, f"sh{j}/"),
+                         [out_paths[w]], gzipped, num_threads, (a, b),
+                         append=out_paths[w] in started)
+        started.add(out_paths[w])
+    # a range can select zero reads for some outputs — still create them
+    for p in out_paths:
+        if p not in started:
+            open(p, "wb").close()
+
+
 def _windowed(pool, tasks, window: int):
     """Submit (fn, *args) tasks keeping at most `window` in flight; yield
     results in submission order (bounds decoded-block memory: completed
@@ -707,7 +866,8 @@ def _windowed(pool, tasks, window: int):
 
 def decompress_short(reader: ArchiveReader, out_paths: list[str],
                      gzipped: bool, num_threads: int = 8,
-                     read_range: tuple[int, int] | None = None) -> None:
+                     read_range: tuple[int, int] | None = None,
+                     append: bool = False) -> None:
     cp = reader.params
     block = cp.num_reads_per_block
     n = cp.num_reads
@@ -723,7 +883,7 @@ def decompress_short(reader: ArchiveReader, out_paths: list[str],
 
     pool = ThreadPoolExecutor(max_workers=num_threads)
     writers = [fastq.BlockWriter(p, gzipped=gzipped, fasta=cp.fasta_input,
-                                 num_threads=num_threads)
+                                 num_threads=num_threads, append=append)
                for p in out_paths]
     # per-block native thread budget: blocks are the outer parallelism, but
     # a short file (or the tail) has fewer blocks than threads — give the
