@@ -101,7 +101,10 @@ WIDE_WORDS = SLOTS // 2 + SLOTS + SLOTS // 4
 SC_SHIFT = 5
 SC_CMASK = (1 << SC_SHIFT) - 1
 MAX_COMPACT_ENTRIES = 1 << (32 - SC_SHIFT)
-FORCE_WIDE = False     # tests flip this to exercise the wide format small
+# tests flip this to exercise the wide format small; the env var lets
+# at-scale runs cross into the wide row without 135M+ reads
+# (SCALE_100M.json wide-format row)
+FORCE_WIDE = bool(__import__("os").environ.get("SPRING_TPU_FORCE_WIDE"))
 
 
 def _use_wide(n_entries: int) -> bool:
