@@ -616,6 +616,31 @@ def _hash_build_core(keys_raw, ok, S: int, compact: bool = False,
             jnp.concatenate([val_tag, val_sc]))
         return btab[:S], h_s, rids_s, dropped
 
+    if compact and wide:
+        # wide row via the SAME direct 2-D scatter as the compact branch:
+        # the flat-image + reshape form below materializes T(8,128)-tiled
+        # relayout temps at S=2^25 (the 100M wide build crashed the
+        # remote compile helper). Layout: 4 tag words | 8 start words |
+        # 2 count words (byte s%4 of word s//4).
+        t16 = ((keys_s * jnp.uint32(_TAG_MULT)) >> 16) & jnp.uint32(0xFFFF)
+        rowi = jnp.where(fits, b, S)
+        col_tag = jnp.clip(rank >> 1, 0, SLOTS // 2 - 1)
+        val_tag = jnp.where(
+            fits, t16 << (16 * (rank & 1)).astype(jnp.uint32), 0)
+        col_st = jnp.clip(SLOTS // 2 + rank, 0, SLOTS // 2 + SLOTS - 1)
+        val_st = jnp.where(fits, pos.astype(jnp.uint32), 0)
+        col_cn = jnp.clip(SLOTS // 2 + SLOTS + (rank >> 2),
+                          0, WIDE_WORDS - 1)
+        val_cn = jnp.where(
+            fits,
+            jnp.minimum(ucount, 255).astype(jnp.uint32)
+            << (8 * (rank & 3)).astype(jnp.uint32), 0)
+        btab = jnp.zeros((S + 1, WIDE_WORDS), jnp.uint32)
+        btab = btab.at[jnp.concatenate([rowi, rowi, rowi]),
+                       jnp.concatenate([col_tag, col_st, col_cn])].add(
+            jnp.concatenate([val_tag, val_st, val_cn]))
+        return btab[:S], h_s, rids_s, dropped
+
     fkey = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fstart = jnp.zeros(S * SLOTS + 1, jnp.uint32)
     fcount = jnp.zeros(S * SLOTS + 1, jnp.uint32)
