@@ -232,4 +232,61 @@ int32_t stpu_stitch_transform(
   return 0;
 }
 
+// Stitch relayout: apply the (grank, pos)-sorted permutation and rebuild
+// concatenated coordinates in two parallel passes over group segments.
+// Replaces a numpy chain of ~6 full-length gathers/temporaries (17.6 s
+// at 100M reads on this host's fresh-page memory). Groups are
+// CONTIGUOUS runs of the sorted order and each group's rows are
+// pos-ascending, so group g's min pos is its first row's.
+//
+// order: the sort permutation (int64); group_first: per-group first row
+// in sorted order (ngroups+1, from the contig-level counts). Outputs:
+// per-read rid/gpos/rc in sorted order, per-group concatenated base and
+// length. Returns total consensus length.
+int64_t stpu_stitch_relayout(
+    const int64_t* order, const int64_t* group_first, int64_t ngroups,
+    const int32_t* rids, const uint8_t* rc, const int32_t* pos_r,
+    const int32_t* rlen, int64_t n, int32_t num_threads,
+    int32_t* rid_out, int64_t* gpos_out, uint8_t* rc_out,
+    int64_t* gbase_out, int64_t* glen_out) {
+  const int T = layout_threads(num_threads);
+  (void)n;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64) num_threads(T)
+#endif
+  for (int64_t g = 0; g < ngroups; ++g) {
+    const int64_t s = group_first[g], e = group_first[g + 1];
+    const int32_t minp = pos_r[order[s]];
+    int64_t len = 0;
+    for (int64_t i = s; i < e; ++i) {
+      const int64_t oi = order[i];
+      const int64_t ext = (int64_t)(pos_r[oi] - minp) + rlen[oi];
+      if (ext > len) len = ext;
+    }
+    glen_out[g] = len;
+    gbase_out[g] = minp;  // staged: pass 2 swaps in the running base
+  }
+  int64_t base = 0;
+  std::vector<int64_t> minp_g(ngroups);
+  for (int64_t g = 0; g < ngroups; ++g) {
+    minp_g[g] = gbase_out[g];
+    gbase_out[g] = base;
+    base += glen_out[g];
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64) num_threads(T)
+#endif
+  for (int64_t g = 0; g < ngroups; ++g) {
+    const int64_t s = group_first[g], e = group_first[g + 1];
+    const int64_t b = gbase_out[g] - minp_g[g];
+    for (int64_t i = s; i < e; ++i) {
+      const int64_t oi = order[i];
+      rid_out[i] = rids[oi];
+      gpos_out[i] = b + pos_r[oi];
+      rc_out[i] = rc[oi];
+    }
+  }
+  return base;
+}
+
 }  // extern "C"
