@@ -505,7 +505,8 @@ class ReorderEngine:
         self._round_impl, self._round_fn, self.emit_cap = _flush_program(
             self.Np, cfg.candidates, cfg.shift_chunk, cfg.accept_slots,
             tuple(w.start for w in self.windows), cfg.thresh,
-            cfg.far_near)
+            cfg.far_near,
+            int(_os.environ.get("SPRING_TPU_CAP_PER_ROUND", "3")))
 
     @property
     def dicts(self) -> list[dct.DeviceDict]:
@@ -604,7 +605,8 @@ class ReorderEngine:
 
 @functools.lru_cache(maxsize=None)
 def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
-                   starts: tuple, thresh: int, far_near: int = 0):
+                   starts: tuple, thresh: int, far_near: int = 0,
+                   cap_per_round: int = 3):
     """Build (round_impl, jitted flush, emit_cap) for one static shape
     signature. Cached at MODULE level: a per-engine jax.jit would re-trace
     the (large) scanned round on every compress call — ~3 s of pure Python
@@ -875,8 +877,10 @@ def _flush_program(Np: int, C: int, SC: int, accept_slots: int,
     # buffer slots per walker per flush: accepts/round scale with the
     # probed shift span (~3 per 16 shifts at 20-50x coverage); an
     # undersized CAP silently stalls every walker for the tail of each
-    # flush (measured: SC=32 with the SC=16 CAP gained nothing)
-    CAP = FLUSH_ROUNDS * max(3, 3 * SC // 16) + S
+    # flush (measured: SC=32 with the SC=16 CAP gained nothing).
+    # SPRING_TPU_CAP_PER_ROUND raises the budget — bursty walkers (high
+    # local coverage) otherwise stall out the flush tail.
+    CAP = FLUSH_ROUNDS * max(cap_per_round, cap_per_round * SC // 16) + S
 
     def flush_fn(state, lengths, dkeys, pairs_all, seed_order,
                  n_real, maxshift, rows_tab):
