@@ -766,6 +766,14 @@ def _compress_sharded(files, writer, cp, num_threads, bufs, infos,
     stride = fastq_native.ckpt_stride()
     nfiles = len(files)
     per_file = infos[0].n
+    # consistency guard: shard slicing trusts the scan's checkpoint
+    # table; a claimed read count the table cannot cover would send the
+    # native parser past its buffers. Fail loudly instead.
+    for i, f in zip(infos, files):
+        if (i.n - 1) // stride + 1 > len(i.ckpt_byte):
+            raise ValueError(
+                f"{f}: inconsistent scan (checkpoint table covers fewer "
+                f"records than the claimed {i.n})")
     lim = cap // nfiles
     per_shard = (lim // stride) * stride
     if per_shard <= 0:

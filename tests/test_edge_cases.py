@@ -133,9 +133,12 @@ def test_hostile_xbc_nblocks_claim_rejected():
         bsc.decompress(wire)
 
 
-def test_read_count_cap_enforced(tmp_path, monkeypatch):
-    # rids are int32 end-to-end; short mode must refuse past 2^31-2
-    # before any array is sized rather than silently corrupting.
+def test_read_count_cap_routes_to_sharding(tmp_path, monkeypatch):
+    # rids are int32 per compression shard; n past the cap now routes to
+    # the super-shard writer (tests/test_shards.py) instead of refusing.
+    # A scan whose checkpoint table cannot cover its claimed read count
+    # (as this fake's cannot) must fail loudly before the native parser
+    # is pointed past its buffers — never silently corrupt or crash.
     from spring_tpu import params as P
     from spring_tpu.pipeline import short_mode
     fq = tmp_path / "in.fastq"
@@ -150,5 +153,5 @@ def test_read_count_cap_enforced(tmp_path, monkeypatch):
     monkeypatch.setattr(short_mode.fastq_native, "scan_buf",
                         lambda *a, **k: _Huge(real_scan(*a, **k)))
     o = api.CompressOptions(num_threads=1, verbose=False)
-    with pytest.raises(ValueError, match="short-mode limit"):
+    with pytest.raises(ValueError, match="inconsistent scan"):
         api.compress([str(fq)], str(tmp_path / "a.stpu"), o)
