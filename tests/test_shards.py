@@ -106,6 +106,22 @@ def test_pe_sharded_single_out(tmp_path, shard_cap):
     assert got == want
 
 
+def test_se_sharded_reorder_mode(tmp_path, shard_cap):
+    # -r (non-order-preserving) per shard: the read MULTISET round-trips
+    # and shard routing still holds (reference test_script.sh verifies
+    # -r order-insensitively the same way)
+    n = 2 * shard_cap + 19
+    fq = str(tmp_path / "a.fastq")
+    synth.make_se(fq, n, read_len=100, genome_size=50_000, seed=16)
+    arc = str(tmp_path / "a.stpu")
+    api.compress([fq], arc, api.CompressOptions(num_threads=4,
+                                                verbose=False,
+                                                reorder=True))
+    out = str(tmp_path / "a.out.fastq")
+    api.decompress(arc, [out], verbose=False, num_threads=4)
+    assert sorted(_reads_of(out)) == sorted(_reads_of(fq))
+
+
 def test_sharded_deterministic(tmp_path, shard_cap):
     n = 2 * shard_cap + 3
     fq = str(tmp_path / "a.fastq")
