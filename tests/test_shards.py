@@ -122,6 +122,24 @@ def test_se_sharded_reorder_mode(tmp_path, shard_cap):
     assert sorted(_reads_of(out)) == sorted(_reads_of(fq))
 
 
+def test_sharded_with_dist_engine(tmp_path, shard_cap, monkeypatch):
+    # super-shards compose with the distributed engine: each shard runs
+    # the sharded reorder over the device mesh (conftest pins an
+    # 8-virtual-device CPU mesh)
+    monkeypatch.setenv("SPRING_TPU_DIST", "1")
+    n = shard_cap + shard_cap // 2           # 2 shards
+    fq = str(tmp_path / "a.fastq")
+    synth.make_se(fq, n, read_len=100, genome_size=50_000, seed=17)
+    arc = str(tmp_path / "a.stpu")
+    api.compress([fq], arc, api.CompressOptions(num_threads=4,
+                                                verbose=False))
+    with ArchiveReader(arc) as r:
+        assert len(r.params.shard_reads) == 2
+    out = str(tmp_path / "a.out.fastq")
+    api.decompress(arc, [out], verbose=False, num_threads=4)
+    assert filecmp.cmp(fq, out, shallow=False)
+
+
 def test_sharded_deterministic(tmp_path, shard_cap):
     n = 2 * shard_cap + 3
     fq = str(tmp_path / "a.fastq")
