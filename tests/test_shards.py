@@ -89,6 +89,32 @@ def test_pe_sharded_roundtrip(tmp_path, shard_cap):
     assert filecmp.cmp(f2, o2, shallow=False)
 
 
+def test_pe_sharded_range(tmp_path, shard_cap):
+    # PE range decode straddling BOTH a shard boundary (file-1 side) and
+    # the file-1/file-2 boundary of the global index space
+    per_file = shard_cap + 9                 # shards of cap/2 pairs
+    f1 = str(tmp_path / "r1.fastq")
+    f2 = str(tmp_path / "r2.fastq")
+    synth.make_pe(f1, f2, per_file, read_len=100, genome_size=50_000,
+                  seed=18)
+    arc = str(tmp_path / "p.stpu")
+    api.compress([f1, f2], arc, api.CompressOptions(num_threads=4,
+                                                    verbose=False))
+    lo, hi = per_file - 4, per_file + 6      # last 4 of f1 + first 6 of f2
+    o1 = str(tmp_path / "o1.fastq")
+    o2 = str(tmp_path / "o2.fastq")
+    api.decompress(arc, [o1, o2], verbose=False, num_threads=4,
+                   read_range=(lo, hi))
+    assert _reads_of(o1) == _reads_of(f1)[per_file - 4:]
+    assert _reads_of(o2) == _reads_of(f2)[:6]
+    # and a range inside file 1 straddling the shard boundary
+    b = shard_cap // 2                       # pairs per shard
+    api.decompress(arc, [o1, o2], verbose=False, num_threads=4,
+                   read_range=(b - 3, b + 5))
+    assert _reads_of(o1) == _reads_of(f1)[b - 3:b + 5]
+    assert _reads_of(o2) == []
+
+
 def test_pe_sharded_single_out(tmp_path, shard_cap):
     per_file = shard_cap + 11
     f1 = str(tmp_path / "r1.fastq")
