@@ -407,6 +407,25 @@ def compress_short(files: list[str], writer: ArchiveWriter,
     noisechar = np.empty(0, np.uint8)
     seq_codes = np.empty(0, np.uint8)
 
+    # seq stream: u64 length + 2-bit packed consensus. Submitted the
+    # moment the consensus is FINAL (after stitch — noise extraction and
+    # second chance only read it), so its ~n/2 bytes of xbc work overlap
+    # the noise/second-chance device stages instead of joining the drain
+    # tail (VERDICT r4 next #7; the full block-stream members cannot move
+    # up the same way: flag/gpos/order_out stay unknown until second
+    # chance resolves the leftover reads)
+    seq_submitted = False
+
+    def _submit_seq():
+        nonlocal seq_submitted
+        if seq_submitted:
+            return
+        seq_submitted = True
+        _sink("seq.0", _bsc1,
+              np.uint64(len(seq_codes)).tobytes()
+              + packing.codes_to_bitstream_2bit(
+                  seq_codes[None, :], np.array([len(seq_codes)])))
+
     if len(clean_rids) and maxlen >= 32:
         c_len = lengths[clean_rids]
         use_dist = os.environ.get("SPRING_TPU_DIST")
@@ -481,6 +500,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
                     seq_codes = cons.build_consensus_packed(
                         glay, packed_all, lengths)
                 mark(f"stitch[{n_st}]")
+            if len(seq_codes) <= 2**31 - 1:     # guard below still fires
+                _submit_seq()
             nn, noisepos, noisechar = cons.extract_noise_packed(
                 glay, seq_codes, packed_all, lengths)
             mark("noise")
@@ -553,11 +574,8 @@ def compress_short(files: list[str], writer: ArchiveWriter,
               f"({len(seq_codes) / max(n * max(maxlen, 1), 1):.3f}x of "
               f"read bases)", flush=True)
 
-    # seq stream: u64 length + 2-bit packed consensus
-    _sink("seq.0", bsc.compress,
-          np.uint64(len(seq_codes)).tobytes()
-          + packing.codes_to_bitstream_2bit(
-              seq_codes[None, :], np.array([len(seq_codes)])))
+    _submit_seq()       # edge paths (no clean reads, maxlen < 32, empty
+    # layout) reach here without the early post-stitch submission
 
     # ---- free the packed row table before the stream codecs run: its
     # only remaining consumer is the literal stream (unaligned/N reads —
